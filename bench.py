@@ -1,0 +1,60 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query time = best of BENCH_RUNS (default 3) fully-executed runs
+(df.toPandas() forces the whole plan), after one warm-up run that pays
+JIT/codegen/file-listing costs. Session startup is excluded per
+BASELINE.md's gate definition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tw_etl_spark.queries import all_queries
+from tw_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark(app_name="tw-etl-spark-bench")
+    specs = all_queries()
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        # Warm-up: plan + codegen + file listing.
+        spec.spark(spark, sf_dir).toPandas()
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Table catalog: load the driver's synthetic parquet tables.
+
+Tables and schemas are documented in /root/repo/FIXTURES.md §A. All
+reads go through ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns persisted as parquet TIMESTAMP(NANOS); Spark reads them as
+# epoch-nano longs (spark.sql.legacy.parquet.nanosAsLong) — normalize to
+# microsecond TimestampType, truncating like DuckDB does.
+_NANO_TS_COLUMNS = {"events": ["ts"]}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table with timestamp normalization applied."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANO_TS_COLUMNS.get(name, []):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # Integer DIV: epoch-nanos (~1.7e18) exceed double's 53-bit
+            # mantissa, so a float divide would corrupt the low digits.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Load every synthetic table as a DataFrame.
+
+    With ``register_views=True`` each table is also registered as a
+    temp view so ``spark.sql`` queries can reference it by name.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = read_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

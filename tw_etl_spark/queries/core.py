@@ -1,0 +1,435 @@
+"""The eleven headline oracle queries from SURVEY.md §2.3.
+
+Q1/Q3/Q5/Q6 — relational core (scan, filter, joins, hash agg, top-k).
+W1 — window ranking.  E1/E2/E3 — time-series rollup, JSON extraction,
+sessionization.  D1/D2 — text explode + exact dedup.  V1 — vector
+cosine top-k pairs.
+
+Spark side is DataFrame-API-first so Catalyst sees a declarative plan
+(predicate pushdown, broadcast selection, partial aggregation,
+TakeOrderedAndProject all come free). Oracle side is ANSI SQL for
+DuckDB over the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tw_etl_spark.catalog import read_table as _t  # noqa: F401
+from tw_etl_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary: filter + 8-aggregate hash agg + sort on lineitem.
+# Capability: SURVEY §2.2 aggregations (partial+final hash agg is automatic;
+# at 100 TB this is a map-side-combined single shuffle on 2 low-card keys).
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        round(sum(l_quantity), 2)                                          AS sum_qty,
+        round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+        round(avg(l_quantity), 6)                                          AS avg_qty,
+        round(avg(l_extendedprice), 6)                                     AS avg_price,
+        round(avg(l_discount), 6)                                          AS avg_disc,
+        count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-style Q1; hash aggregate with 8 aggregates.",
+    tags=("agg", "filter", "sort"),
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — top-k revenue: 3-way join + agg + ORDER BY ... LIMIT 10.
+# customer is the small side → broadcast; Spark plans TakeOrderedAndProject
+# for the limit (no global sort materialization).
+# --------------------------------------------------------------------------
+@register(
+    "q3_topk_revenue",
+    oracle="""
+    SELECT
+        l_orderkey,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        o_orderdate,
+        o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="3-way join + agg + deterministic top-10.",
+    tags=("join", "agg", "topk"),
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — nation revenue: 6-way join incl. composite key + agg.
+# region/nation/supplier/customer are dims → broadcast chain; only the
+# orders⋈lineitem fact-fact join shuffles. At 100 TB that one shuffle is
+# on l_orderkey; AQE handles skew.
+# --------------------------------------------------------------------------
+@register(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT
+        n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="6-way join with composite key (l_suppkey,s_nationkey=c_nationkey).",
+    tags=("join", "agg"),
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — filter-only agg with BETWEEN: the predicate-pushdown canary.
+# All three predicates reach the parquet scan (check plans.assert_pushdown).
+# --------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Filter-only aggregate; BETWEEN + range predicates pushed to scan.",
+    tags=("filter", "agg"),
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 — per-customer top-3 orders by totalprice: window rank() + filter.
+# rank() (not row_number) keeps ties deterministic across engines.
+# --------------------------------------------------------------------------
+@register(
+    "w1_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Window ranking + filter (per-group top-k).",
+    tags=("window", "topk"),
+)
+def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# E1 — hourly tumbling rollup over the events time-series.
+# Batch form of the streaming tumbling-window agg (SURVEY §2.2 streaming).
+# --------------------------------------------------------------------------
+@register(
+    "e1_hourly_rollup",
+    oracle="""
+    SELECT
+        date_trunc('hour', ts)       AS hour,
+        event_type,
+        count(*)                     AS n_events,
+        round(sum(value), 2)         AS sum_value,
+        count(DISTINCT user_id)      AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+    doc="date_trunc tumbling rollup with count/sum/countDistinct.",
+    tags=("agg", "time"),
+)
+def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E2 — JSON path extraction + aggregate (the ffprobe-sidecar capability,
+# reference convert.sh:44-48 jq '.streams[1].height' → get_json_object).
+# --------------------------------------------------------------------------
+@register(
+    "e2_json_extract_avg",
+    oracle="""
+    SELECT
+        event_type,
+        round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+        count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="get_json_object over a JSON string column + avg.",
+    tags=("json", "agg"),
+)
+def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("double")), 6
+            ).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E3 — sessionization: lag over (user, ts), 30-min gap rule, sessions/user.
+# The batch form of session_window; the gap rule mirrors the reference's
+# packet-time-series gap semantics (convert.sh:60-62, ad segments).
+# --------------------------------------------------------------------------
+@register(
+    "e3_sessionization",
+    oracle="""
+    WITH gaps AS (
+        SELECT
+            user_id,
+            ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT
+        user_id,
+        sum(CASE WHEN prev_ts IS NULL
+                   OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions,
+        count(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="lag-based 30-minute-gap sessionization, session count per user.",
+    tags=("window", "time"),
+)
+def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(new_sess).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D1 — word count: split + explode + agg + deterministic top-20.
+# --------------------------------------------------------------------------
+@register(
+    "d1_word_count",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+    doc="split+explode word count, top-20 with lexical tiebreak.",
+    tags=("text", "agg", "topk"),
+)
+def d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# D2 — exact dedup: md5 content hash, distinct vs total.
+# The exact-dedup primitive from SURVEY §2.2 [EXT]; at 100 TB this is one
+# shuffle on the 128-bit hash (not the full text) — see operators.dedup.
+# --------------------------------------------------------------------------
+@register(
+    "d2_exact_dedup",
+    oracle="""
+    SELECT
+        count(DISTINCT md5(text)) AS n_distinct,
+        count(*)                  AS n_total
+    FROM documents
+    """,
+    doc="Exact dedup via md5 content hash.",
+    tags=("dedup", "hash"),
+)
+def d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# V1 — top-10 cosine-similarity pairs. Semantically a theta self-join on
+# vec_id < vec_id + exact cosine + global top-k (what the oracle SQL runs);
+# physically executed as an Arrow-batched blocked matmul against a
+# broadcast normalized corpus (operators.similarity.cosine_topk_pairs) —
+# no N×N row materialization, no shuffle, measured ~100× faster than the
+# interpreted higher-order-function theta join at 2k×64d.
+# --------------------------------------------------------------------------
+@register(
+    "v1_cosine_top_pairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT
+        a.vec_id AS id_a,
+        b.vec_id AS id_b,
+        round(
+            list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+            6
+        ) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, id_a, id_b
+    LIMIT 10
+    """,
+    doc="Theta self-join + exact cosine + global top-10 pairs.",
+    tags=("vector", "join", "topk"),
+)
+def v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.similarity import cosine_topk_pairs
+
+    v = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_pairs(v, id_col="vec_id", vec_col="embedding", k=10)

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode (``local[N]``) is a single JVM; ``spark.driver.memory`` is the
+only memory knob that matters there. On a real cluster the same settings
+(AQE, adaptive shuffle-partition coalescing, broadcast threshold) are the
+100 TB posture: AQE re-plans joins/skew at runtime, so we declare intent
+and let Catalyst pick the physical strategy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "tw-etl-spark",
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for the local core count. Session
+    timezone is pinned to UTC so timestamp semantics match the DuckDB
+    oracle (DuckDB timestamps are UTC-naive).
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # ~cores, not the 200 default; AQE coalesces further at runtime.
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        # AQE: runtime re-planning — broadcast conversion, skew-join
+        # splitting, partition coalescing. Core of the 100 TB posture.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        # Dimension tables (region/nation/customer/supplier/part at any
+        # SF that fits) should broadcast; 64m is a deliberate bump from
+        # the 10m default — on a 1000-executor cluster a 64 MB broadcast
+        # beats a 100 TB shuffle every time.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # zstd parquet on write: best scan/size tradeoff at scale.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # The driver's events.parquet carries TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read as long and normalize to µs in
+        # catalog.read_table (matching DuckDB's truncation semantics).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
