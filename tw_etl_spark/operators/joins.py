@@ -1,0 +1,124 @@
+"""Composite join operators Spark lacks natively: as-of and interval joins.
+
+Reference capability: reconstructing absolute wallclock time from packet
+``pts_time`` series and detecting ad-gap segments
+(/root/reference/convert.sh:56-65) — i.e. nearest-≤-timestamp lookup and
+interval-overlap matching, generalized here to relational form.
+
+Both operators are pure DataFrame compositions (no UDFs): one shuffle on
+the ``by`` key, window functions after. That is the 100 TB shape — the
+union+last(ignorenulls) as-of trick costs exactly one hash partition of
+(left ∪ right) instead of a per-key merge in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str,
+    right_payload: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: for every left row, the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group (inclusive, i.e.
+    DuckDB's ``ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on``).
+
+    ``right`` must be unique per (by, on) — pre-aggregate if not, else
+    which peer wins is nondeterministic.
+
+    Implementation: tag sides, union, and take ``last(payload,
+    ignorenulls=True)`` over a window ordered by (on, tag) with the right
+    side sorting first at equal timestamps. Single shuffle on ``by``;
+    streams through sorted partitions (no per-key buffering).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    left_cols = left.columns
+    out_payload = {c: f"{c}{suffix}" for c in right_payload + [on]}
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_payload[c]) for c in right_payload],
+        F.lit(None).cast(left.schema[on].dataType).alias(out_payload[on]),
+        F.lit(1).alias("__tag"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by + [on]],
+        *[F.col(c).alias(out_payload[c]) for c in right_payload],
+        F.col(on).alias(out_payload[on]),
+        F.lit(0).alias("__tag"),
+    ).select(*[F.col(c) for c in l_tagged.columns])  # align column order
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    for c in out_payload.values():
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: Column,
+    right_start: Column,
+    right_end: Column,
+    by: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows whose point column falls inside [start, end).
+
+    With ``by`` keys this is an equi-join + range filter (sort-merge on
+    the keys — fine at scale). Without keys it degenerates to a broadcast
+    nested loop: acceptable only when one side is small; for the
+    large-large keyless case bucketize time first (see
+    ``bucketed_range_join``).
+    """
+    cond = (left_point >= right_start) & (left_point < right_end)
+    if by:
+        for k in by:
+            cond = (left[k] == right[k]) & cond
+    return left.join(right, cond, how)
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Scale path for keyless interval joins: explode each right interval
+    into the time buckets it covers, equi-join on bucket, then re-check
+    the exact predicate. Turns an O(n·m) nested loop into a shuffle join
+    whose fan-out is interval_length/bucket_seconds."""
+    b = F.lit(bucket_seconds)
+    l_b = left.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(left_point)) / b).cast("long")
+    )
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(right_start)) / b).cast("long"),
+                (F.unix_timestamp(F.col(right_end)) / b).cast("long"),
+            )
+        ),
+    )
+    joined = l_b.join(r_b, "__bucket").filter(
+        (F.col(left_point) >= F.col(right_start))
+        & (F.col(left_point) < F.col(right_end))
+    )
+    return joined.drop("__bucket")

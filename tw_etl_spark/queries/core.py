@@ -229,7 +229,8 @@ def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
     return (
-        o.withColumn("rnk", F.rank().over(w))
+        # cast: DuckDB rank() yields BIGINT; align widths for the schema gate
+        o.withColumn("rnk", F.rank().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
@@ -320,8 +321,8 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
         user_id,
-        sum(CASE WHEN prev_ts IS NULL
-                   OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions,
+        CAST(sum(CASE WHEN prev_ts IS NULL
+                   OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         count(*) AS n_events
     FROM gaps
     GROUP BY user_id

@@ -1,1 +1,665 @@
-"""Placeholder — populated in a later phase."""
+"""Relational-core operator coverage (SURVEY.md §2.2): joins of every
+flavor, rollup/cube/grouping-sets, window frames, set operations, and
+the scalar function families. Each query exercises one operator family
+and is oracle-verified against DuckDB.
+
+Dialect-compat rules applied throughout (see queries/__init__ docstring):
+integer widths aligned to BIGINT where the engines differ (rank/ntile/
+grouping/length/floor), arrays serialized with array_join for stable
+hashing, regex patterns restricted to the RE2 ∩ Java-regex subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tw_etl_spark.catalog import read_table as _t
+from tw_etl_spark.operators.joins import asof_join
+from tw_etl_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+@register(
+    "j1_left_outer_default_fill",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_name,
+        CAST(count(o_orderkey) AS BIGINT)        AS n_orders,
+        round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    doc="Left outer join + coalesce default-fill (reference R7/R16 pattern).",
+    tags=("join", "outer"),
+)
+def j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j2_anti_join_blocklist",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Left anti join — the reference's blocklist skip (manager.py:449-452).",
+    tags=("join", "anti"),
+)
+def j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j3_semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    ORDER BY c_custkey
+    """,
+    doc="Left semi join — the reference's existence probe (manager.py:171-174).",
+    tags=("join", "semi"),
+)
+def j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j4_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT
+        coalesce(cn.nk, sn.nk)              AS nk,
+        CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    ORDER BY nk
+    """,
+    doc="Full outer join with both-side fill.",
+    tags=("join", "outer"),
+)
+def j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.join(sn, "nk", "full_outer")
+        .select(
+            "nk",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nk")
+    )
+
+
+@register(
+    "j5_equi_range_join",
+    oracle="""
+    SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped_30d
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderkey
+    ORDER BY o_orderkey
+    """,
+    doc="Equi-join with range residual predicate (interval containment).",
+    tags=("join", "range"),
+)
+def j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate >= o.o_orderdate)
+            & (l.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipped_30d"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "j6_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts, max(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.event_id, c.click_value, c.ts AS click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.user_id, p.event_id
+    """,
+    doc="As-of join (nearest click ≤ purchase ts per user) — the packet "
+    "wallclock-reconstruction capability (convert.sh:60-65), via "
+    "operators.joins.asof_join (union + last(ignorenulls) window).",
+    tags=("join", "asof", "time"),
+)
+def j6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", right_payload=["click_value"]
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("click_value_asof").alias("click_value"),
+        F.col("ts_asof").alias("click_ts"),
+    ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Aggregation extensions
+# --------------------------------------------------------------------------
+@register(
+    "a1_rollup",
+    oracle="""
+    SELECT
+        n_name,
+        c_mktsegment,
+        round(sum(c_acctbal), 2)                 AS total_bal,
+        CAST(count(*) AS BIGINT)                 AS n_cust,
+        CAST(grouping(n_name) AS BIGINT)         AS g_nation,
+        CAST(grouping(c_mktsegment) AS BIGINT)   AS g_segment
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    ORDER BY g_nation, g_segment, n_name, c_mktsegment
+    """,
+    doc="ROLLUP hierarchy totals with grouping() markers.",
+    tags=("agg", "rollup"),
+)
+def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("bigint").alias("g_segment"),
+        )
+        .orderBy("g_nation", "g_segment", "n_name", "c_mktsegment")
+    )
+
+
+@register(
+    "a2_cube",
+    oracle="""
+    SELECT
+        lang,
+        source,
+        CAST(count(*) AS BIGINT)     AS n_docs,
+        round(avg(n_chars), 6)       AS avg_chars,
+        CAST(grouping(lang) AS BIGINT)   AS g_lang,
+        CAST(grouping(source) AS BIGINT) AS g_source
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    ORDER BY g_lang, g_source, lang, source
+    """,
+    doc="CUBE over documents (lang × source).",
+    tags=("agg", "cube"),
+)
+def a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.grouping("lang").cast("bigint").alias("g_lang"),
+            F.grouping("source").cast("bigint").alias("g_source"),
+        )
+        .orderBy("g_lang", "g_source", "lang", "source")
+    )
+
+
+@register(
+    "a3_grouping_sets",
+    oracle="""
+    SELECT
+        lang,
+        source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    ORDER BY lang, source
+    """,
+    doc="GROUPING SETS (per-lang, per-source, grand total) via spark.sql.",
+    tags=("agg", "grouping-sets", "sql"),
+)
+def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT
+            lang,
+            source,
+            count(*)               AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY lang, source
+        """
+    )
+
+
+@register(
+    "a4_collect_sorted",
+    oracle="""
+    SELECT
+        lang,
+        array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+        CAST(count(DISTINCT source) AS BIGINT)                 AS n_sources
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="collect_set + array_sort serialized via array_join (deterministic).",
+    tags=("agg", "collect"),
+)
+def a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "a5_stats_percentiles",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(stddev_samp(l_quantity), 6)  AS sd_qty,
+        round(var_samp(l_quantity), 6)     AS var_qty,
+        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty,
+        round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 6) AS p90_qty,
+        round(min(l_extendedprice), 2)     AS min_price,
+        round(max(l_extendedprice), 2)     AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="stddev/variance + exact interpolated percentiles.",
+    tags=("agg", "stats"),
+)
+def a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+@register(
+    "s1_set_ops",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT
+        (SELECT count(*) FROM (SELECT nk FROM cn UNION SELECT nk FROM sn))     AS n_union,
+        (SELECT count(*) FROM (SELECT nk FROM cn UNION ALL SELECT nk FROM sn)) AS n_union_all,
+        (SELECT count(*) FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)) AS n_intersect,
+        (SELECT count(*) FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn))    AS n_except
+    """,
+    doc="union / unionAll / intersect / except cardinalities.",
+    tags=("setop",),
+)
+def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    n_union = cn.union(sn).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    n_union_all = cn.union(sn).agg(F.count(F.lit(1)).alias("n_union_all"))
+    n_intersect = cn.intersect(sn).agg(F.count(F.lit(1)).alias("n_intersect"))
+    n_except = cn.exceptAll(sn.distinct()).distinct().agg(
+        F.count(F.lit(1)).alias("n_except")
+    )
+    return n_union.crossJoin(n_union_all).crossJoin(n_intersect).crossJoin(n_except)
+
+
+# --------------------------------------------------------------------------
+# Window frames & analytics
+# --------------------------------------------------------------------------
+@register(
+    "w2_window_frames",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING), 2)             AS running_value,
+        round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Running sum (cumulative frame) + sliding 3-row average — the "
+    "cumulative-stream-time capability (convert.sh:64 duration_time).",
+    tags=("window", "frames"),
+)
+def w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+            ).alias("running_value"),
+            F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("avg3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "w3_lag_lead_ntile",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        lag(event_type)  OVER w AS prev_type,
+        lead(event_type) OVER w AS next_type,
+        ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="lag/lead neighbors + ntile quartiles with deterministic tiebreaks.",
+    tags=("window", "analytic"),
+)
+def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.ntile(4).over(wv).cast("bigint").alias("quartile"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function families
+# --------------------------------------------------------------------------
+@register(
+    "f1_string_functions",
+    oracle="""
+    SELECT
+        c_custkey,
+        upper(substring(c_name, 1, 8))                       AS prefix,
+        regexp_extract(c_name, '([0-9]+)$', 1)               AS digits,
+        CAST(length(c_name) AS BIGINT)                       AS name_len,
+        concat_ws('-', lower(c_mktsegment), CAST(c_nationkey AS VARCHAR)) AS seg_key,
+        replace(c_name, 'Customer', 'C')                     AS short_name,
+        CAST(strpos(c_name, '#') AS BIGINT)                  AS hash_pos,
+        trim(concat('  ', c_mktsegment, ' '))                AS trimmed
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="String family: substring/upper/lower/regexp_extract/length/"
+    "concat_ws/replace/instr/trim (reference R2 filename parsing).",
+    tags=("scalar", "string"),
+)
+def f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
+            F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("digits"),
+            F.length("c_name").cast("bigint").alias("name_len"),
+            F.concat_ws(
+                "-", F.lower("c_mktsegment"), F.col("c_nationkey").cast("string")
+            ).alias("seg_key"),
+            F.regexp_replace("c_name", "Customer", "C").alias("short_name"),
+            F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+            F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
+                "trimmed"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "f2_datetime_functions",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT)   AS o_year,
+        CAST(month(o_orderdate) AS BIGINT)  AS o_month,
+        dayname(o_orderdate)                AS o_dayname,
+        o_orderdate + INTERVAL 90 DAY       AS due_date,
+        date_trunc('month', o_orderdate)    AS o_month_start
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Date/time family: year/month/dayname/interval-add/date_trunc "
+    "(ISO-8601 handling, reference manager.py:296).",
+    tags=("scalar", "datetime"),
+)
+def f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+            F.date_format("o_orderdate", "EEEE").alias("o_dayname"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("o_month_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "f3_math_functions",
+    oracle="""
+    SELECT
+        p_partkey,
+        round(sqrt(p_retailprice), 6)            AS sqrt_price,
+        round(pow(p_size, 2), 1)                 AS size_sq,
+        CAST(floor(p_retailprice) AS DOUBLE)     AS floor_price,
+        CAST(ceil(p_retailprice) AS DOUBLE)      AS ceil_price,
+        abs(p_size - 25)                         AS size_dev,
+        round(ln(p_retailprice), 6)              AS ln_price,
+        p_size % 5                               AS size_mod,
+        round(p_retailprice * 1.1 - 3, 3)        AS derived
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="Math family: sqrt/pow/floor/ceil/abs/ln/mod/arithmetic "
+    "(reference R8 size-reduction metric, bc scale=3).",
+    tags=("scalar", "math"),
+)
+def f3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+            F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+            F.floor("p_retailprice").cast("double").alias("floor_price"),
+            F.ceil("p_retailprice").cast("double").alias("ceil_price"),
+            F.abs(F.col("p_size") - 25).alias("size_dev"),
+            F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+            (F.col("p_size") % 5).alias("size_mod"),
+            F.round(F.col("p_retailprice") * 1.1 - 3, 3).alias("derived"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "f4_map_explode",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS key, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    ORDER BY c_custkey, key
+    """,
+    doc="create_map + explode(map) → key/value rows (parsed-props pattern).",
+    tags=("scalar", "map"),
+)
+def f4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.explode(
+                F.create_map(
+                    F.lit("acctbal"),
+                    F.col("c_acctbal"),
+                    F.lit("nationkey"),
+                    F.col("c_nationkey").cast("double"),
+                )
+            ).alias("key", "value"),
+        )
+        .orderBy("c_custkey", "key")
+    )
+
+
+@register(
+    "f5_hash_functions",
+    oracle="""
+    SELECT
+        doc_id,
+        md5(text)    AS h_md5,
+        sha256(text) AS h_sha256
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Hash family: md5 + sha2-256 (reference R11 uses openssl digests).",
+    tags=("scalar", "hash"),
+)
+def f5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("h_md5"),
+            F.sha2(F.col("text").cast("binary"), 256).alias("h_sha256"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "f6_conditional_case",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CASE WHEN o_totalprice >= 300000 THEN 'high'
+             WHEN o_totalprice >= 100000 THEN 'mid'
+             ELSE 'low' END AS price_band,
+        CASE WHEN o_orderstatus = 'F' THEN 'final' ELSE 'open' END AS status_label,
+        coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'default') AS prio
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="CASE WHEN branching + nullif/coalesce (reference R6 audio/video branch).",
+    tags=("scalar", "conditional"),
+)
+def f6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") >= 300000, "high")
+            .when(F.col("o_totalprice") >= 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.when(F.col("o_orderstatus") == "F", "final")
+            .otherwise("open")
+            .alias("status_label"),
+            F.coalesce(
+                F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")), F.lit("default")
+            ).alias("prio"),
+        )
+        .orderBy("o_orderkey")
+    )
