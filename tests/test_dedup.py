@@ -1,0 +1,77 @@
+"""Unit tests for the approximate dedup operators: MinHash-LSH recall
+against exact Jaccard ground truth, SimHash invariants, exact dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table
+from tw_etl_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_expr,
+)
+from tw_etl_spark.operators.text import fingerprint_expr
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    d = read_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_jaccard_pairs(d, threshold=0.99).collect()
+    }
+    assert exact, "fixture should contain identical-token-set pairs"
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(d, threshold=0.9).collect()
+    }
+    # J=1.0 pairs have identical signatures → every band collides →
+    # recall on the exact-dup stratum must be total.
+    missed = exact - approx
+    assert not missed, f"minhash missed exact-duplicate pairs: {sorted(missed)[:5]}"
+
+
+def test_minhash_precision(spark):
+    d = read_table(spark, SF_SMOKE, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.9).collect()
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in exact_jaccard_pairs(d, threshold=0.0).collect()
+    }
+    # est-J ≥ 0.9 candidates should all have true J ≥ 0.7 (loose band
+    # accounting for 64-hash estimator variance).
+    for r in pairs:
+        true_j = exact.get((r.id_a, r.id_b), 0.0)
+        assert true_j >= 0.7, f"false positive pair {(r.id_a, r.id_b)}: true J={true_j}"
+
+
+def test_simhash_identical_token_sets_collide(spark):
+    d = read_table(spark, SF_SMOKE, "documents")
+    df = d.select(
+        "doc_id",
+        fingerprint_expr(F.col("text")).alias("fp"),
+        simhash_expr(F.col("text")).alias("sh"),
+    )
+    # same distinct-token set (same fingerprint) ⇒ same simhash
+    bad = (
+        df.groupBy("fp")
+        .agg(F.countDistinct("sh").alias("n_sh"))
+        .filter(F.col("n_sh") > 1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    d = read_table(spark, SF_SMOKE, "documents")
+    deduped = exact_dedup(d, content_col="text", id_col="doc_id")
+    # fixture has no exact string dups → identity
+    assert deduped.count() == d.count()
+    # inject dups: union the table with itself shifted ids
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = d.unionByName(dup)
+    kept = exact_dedup(both, content_col="text", id_col="doc_id")
+    assert kept.count() == d.count()
+    assert kept.agg(F.max("doc_id")).first()[0] < 1_000_000

@@ -1,0 +1,47 @@
+"""ANN recall vs exact KNN, and agreement between the broadcast-matmul
+path and the higher-order-function expression path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table
+from tw_etl_spark.functions.vectors import cosine_similarity_expr
+from tw_etl_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from tests.conftest import SF_SMOKE
+
+
+def test_ann_recall_vs_exact(spark):
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    q = v.filter(F.col("vec_id") < 50)
+    exact = cosine_topk(q, v, k=3).collect()
+    approx = ann_lsh_topk(q, v, k=3, num_planes=4, num_tables=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"ANN recall@3 too low: {recall:.3f}"
+
+
+def test_matmul_matches_hof_expression(spark):
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    q = v.filter(F.col("vec_id") < 5)
+    fast = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(q, v, k=2).collect()
+    }
+    a = q.alias("a")
+    b = v.alias("b")
+    hof = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            cosine_similarity_expr(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "cos"
+            ),
+        )
+        .collect()
+    )
+    hof_map = {(r.qid, r.nid): r.cos for r in hof}
+    for key, sim in fast.items():
+        assert abs(hof_map[key] - sim) < 1e-6, key

@@ -1,0 +1,45 @@
+"""Text-operator invariants: rolling-hash determinism, quality bounds,
+language-ID totality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table
+from tw_etl_spark.operators.text import (
+    lang_id_expr,
+    quality_score_expr,
+    rolling_hash_expr,
+    tokens_expr,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_rolling_hash_deterministic_and_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c",), ("c b a",)], ["text"]
+    ).select(rolling_hash_expr(F.col("text")).alias("h"))
+    rows = [r.h for r in df.collect()]
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]  # order-sensitive, unlike set fingerprints
+    assert all(0 <= h < 1_000_000_007 for h in rows)
+
+
+def test_quality_score_bounds(spark):
+    d = read_table(spark, SF_SMOKE, "documents")
+    stats = (
+        d.select(quality_score_expr(F.col("text"), F.col("n_chars")).alias("q"))
+        .agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+        .first()
+    )
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_lang_id_total_and_in_domain(spark):
+    d = read_table(spark, SF_SMOKE, "documents")
+    preds = (
+        d.select(lang_id_expr(tokens_expr(F.col("text"))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    assert {r.p for r in preds} <= {"en", "de", "es", "fr", "zh", "und"}

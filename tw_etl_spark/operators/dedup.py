@@ -1,0 +1,186 @@
+"""Deduplication operators [EXT]: exact, n-gram Jaccard, MinHash-LSH,
+SimHash (SURVEY.md §2.2).
+
+Scale design notes (the point of each variant):
+
+- **Exact**: shuffle the 128-bit content hash, never the payload. At
+  100 TB the dedup shuffle is ~32 bytes/row regardless of document size.
+- **Exact Jaccard** (token-set): explode distinct tokens, self-join on
+  token, agree/total counting. Exact but quadratic in docs-per-token —
+  use only to validate the approximate paths, or behind a stop-token
+  filter (drop tokens whose doc-frequency exceeds a cap; they contribute
+  ~0 discrimination and all of the skew).
+- **MinHash-LSH**: k independent min-hashes per doc (one map-side
+  partial-agg shuffle), banded into b buckets; candidate pairs come from
+  bucket equi-joins (only near-dups collide), then estimated Jaccard =
+  signature agreement. Linear shuffle volume: k longs per doc.
+- **SimHash**: one 32-bit signature per doc from per-bit majority votes;
+  near-dup ⇔ small Hamming distance. Cheapest signature, weakest recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tw_etl_spark.operators.text import tokens_expr
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per exact content hash."""
+    h = F.md5(F.col(content_col).cast("binary")).alias("__h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def token_set_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) rows over the distinct token set of each document."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("tk"),
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs sharing ≥1 token.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
+    rounded to 6 for oracle comparison.
+    """
+    ex = token_set_df(df, id_col, text_col)
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tk") == F.col("b.tk")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over the token set
+    of xxhash64(token, i). One explode + one partial-aggregated groupBy —
+    the 100 TB-safe shape (k longs per doc cross the wire, not text)."""
+    ex = token_set_df(df, id_col, text_col)
+    aggs = [
+        F.min(F.xxhash64("tk", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("doc").agg(*aggs)
+    return sig.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH over MinHash signatures.
+
+    rows_per_band = num_hashes // bands; a pair becomes a candidate iff
+    some band of the signatures collides, then is kept iff the estimated
+    Jaccard (fraction of agreeing signature positions) ≥ threshold.
+    Returns (id_a, id_b, est_jaccard).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("signature"), b * r + 1, r),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", F.col("bb.band"), F.col("bb.bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    est = agree / F.lit(num_hashes)
+    return cand.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash_expr(text: Column, bits: int = 32) -> Column:
+    """SimHash over the distinct token set: per-bit majority vote of
+    32-bit token hashes (crc32 — available in both Spark and the DuckDB
+    oracle path via identical md5-prefix arithmetic is NOT needed since
+    crc32 exists only Spark-side; oracle checks use md5-prefix hashes,
+    see queries/dedup.py)."""
+    toks = F.array_distinct(tokens_expr(text))
+    th = F.transform(toks, lambda t: F.crc32(t.cast("binary")))
+
+    def vote(bit: int):
+        mask = F.lit(1 << bit)
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) > 0, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote(b) for b in range(bits)]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return out

@@ -109,6 +109,132 @@ def cosine_topk_pairs(
     )
 
 
+def ann_lsh_topk(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH.
+
+    ``num_tables`` independent hash tables, each bucketing vectors by the
+    sign pattern of ``num_planes`` random projections. Candidates =
+    bucket collisions in any table; exact cosine re-rank of candidates
+    only. Neither side is broadcast — both stream through a shuffle on
+    (table, bucket), which is the 100 TB path when the corpus doesn't fit
+    in memory. Recall/cost is tuned by (num_planes, num_tables):
+    fewer planes ⇒ bigger buckets ⇒ higher recall, more compute.
+    """
+    import numpy as np  # noqa: F811 — top-level import also exists
+
+    first = corpus_df.select(vec_col).first()
+    dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, dim, num_planes))
+    sc = corpus_df.sparkSession.sparkContext
+    bplanes = sc.broadcast(planes)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        p = bplanes.value
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = []
+        codes = np.zeros((mat.shape[0], p.shape[0]), dtype=np.int64)
+        for t in range(p.shape[0]):
+            bits = (mat @ p[t]) > 0
+            codes[:, t] = bits @ (1 << np.arange(p.shape[2]))
+        out = [row.tolist() for row in codes]
+        return pd.Series(out)
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(buckets_udf(F.col(vec_col))).alias("table", "bucket"),
+        )
+
+    q = banded(query_df, "q")
+    c = banded(corpus_df, "c")
+    cand = (
+        q.join(c, ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+
+    from tw_etl_spark.functions.vectors import cosine_similarity_expr
+
+    from pyspark.sql.window import Window
+
+    scored = cand.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        F.round(cosine_similarity_expr(F.col("q_vec"), F.col("c_vec")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def cosine_threshold_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All distinct pairs (id_a < id_b) with rounded cosine ≥ threshold —
+    the embedding-near-dup primitive. Same broadcast-matmul shape as
+    cosine_topk_pairs but threshold-filtered instead of top-k."""
+    sc = df.sparkSession.sparkContext
+    ids, mat = _collect_matrix(df, id_col, vec_col)
+    b = sc.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = b.value
+        order = np.argsort(c_ids)
+        c_ids_sorted, c_mat_sorted = c_ids[order], c_mat[order]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (q / qn[:, None]) @ c_mat_sorted.T
+            for i, qid in enumerate(q_ids):
+                start = np.searchsorted(c_ids_sorted, qid, side="right")
+                s = np.round(sims[i, start:], 6)
+                keep = s >= threshold
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.full(int(keep.sum()), qid, dtype=np.int64),
+                            "id_b": c_ids_sorted[start:][keep],
+                            "cos_sim": s[keep],
+                        }
+                    )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
 def cosine_topk(
     query_df: DataFrame,
     corpus_df: DataFrame,

@@ -1,0 +1,115 @@
+"""Text-analysis operators [EXT]: tokenization, language-ID, quality
+scoring, token counting, fingerprinting (SURVEY.md §2.2).
+
+Everything here is built from JVM-side expressions (split /
+regexp_extract_all / higher-order functions) — no Python UDFs in any
+hot path, so the whole stage stays inside whole-stage codegen and
+scales linearly with input splits. Language profiles are plain token
+sets; scoring is token-overlap density (the classic stopword-profile
+n-gram heuristic, here over the corpus vocabulary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokens vs "BPE-ish" maximal runs of letters/digits.
+BPE_TOKEN_RE = "[a-z]+|[A-Z]+|[0-9]+"
+
+# Per-language marker-token profiles over the corpus vocabulary.
+# The operator is the interesting part (profile-overlap argmax); the
+# profiles themselves are data-dependent configuration.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "table", "join", "query"],
+    "de": ["scan", "row", "group", "batch"],
+    "es": ["fast", "slow", "small", "big"],
+    "fr": ["key", "value", "hash", "merge"],
+    "zh": ["stream", "window", "vector", "spark"],
+}
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization with empty-token cleanup."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text)).cast("bigint")
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Count of regex-defined subword-ish tokens (letters/digit runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("bigint")
+
+
+def profile_hits_expr(toks: Column, profile: list[str]) -> Column:
+    """How many tokens (with multiplicity) fall in the profile set."""
+    lit_set = F.array(*[F.lit(w) for w in profile])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_set, t)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    n = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: (profile_hits_expr(toks, prof) / n)
+        for lang, prof in LANG_PROFILES.items()
+    }
+
+
+def lang_id_expr(toks: Column) -> Column:
+    """argmax over profile densities; fixed priority order breaks ties
+    deterministically."""
+    scores = lang_scores(toks)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed: first profile in LANG_PROFILES wins ties
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, lang).otherwise(expr)
+    return expr
+
+
+def quality_score_expr(text: Column, n_chars: Column) -> Column:
+    """Composite quality score: lexical diversity + length saturation +
+    mean token length, each clamped to [0,1]. Deterministic arithmetic
+    only, so it is oracle-verifiable."""
+    toks = tokens_expr(text)
+    n_tok = F.size(toks).cast("double")
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1.0))
+    length_sat = F.least(n_tok / F.lit(80.0), F.lit(1.0))
+    avg_len = (n_chars.cast("double") / F.greatest(n_tok, F.lit(1.0))) / F.lit(6.0)
+    return F.round(
+        0.4 * diversity + 0.3 * length_sat + 0.3 * F.least(avg_len, F.lit(1.0)), 6
+    )
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Key-collision fingerprint: md5 of the sorted distinct token set.
+    Collapses token-order/multiplicity variants into one cluster key —
+    the light-weight near-dup primitive (one narrow hash column to
+    shuffle at 100 TB, not the document text)."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens_expr(text))), " ")
+    return F.md5(canon.cast("binary"))
+
+
+def rolling_hash_expr(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over whitespace tokens (token-level
+    Rabin-Karp). Uses crc32 as the per-token integer so the fold stays
+    in 64-bit range under the modulus."""
+    return F.aggregate(
+        tokens_expr(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + F.crc32(t.cast("binary"))) % mod,
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document text-analysis columns."""
+    toks = tokens_expr(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("bigint"))
+        .withColumn("n_bpe_tokens", bpe_token_count_expr(F.col(text_col)))
+        .withColumn("lang_pred", lang_id_expr(toks))
+        .withColumn("fingerprint", fingerprint_expr(F.col(text_col)))
+    )

@@ -1,1 +1,130 @@
-"""Placeholder — populated in a later phase."""
+"""Deduplication queries [EXT]: exact, n-gram Jaccard, MinHash-LSH,
+SimHash, embedding-cosine near-dup (SURVEY.md §2.2).
+
+dd2/dd5 are oracle-verified exactly; dd3/dd4 are approximate/engine-
+specific signatures (no SQL twin) — the driver records rows-only and
+tests/test_dedup.py proves recall against the exact-Jaccard ground
+truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table as _t
+from tw_etl_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_expr,
+)
+from tw_etl_spark.operators.similarity import cosine_threshold_pairs
+from tw_etl_spark.queries import register
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@register(
+    "dd1_exact_dedup_keep_first",
+    oracle="""
+    WITH keep AS (
+        SELECT md5(text) AS h, min(doc_id) AS doc_id
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="Exact dedup, keep-first-id survivor set (hash-only shuffle).",
+    tags=("dedup", "ext"),
+)
+def dd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        exact_dedup(d, content_col="text", id_col="doc_id")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dd2_jaccard_neardup_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
+    sizes AS (SELECT doc_id AS doc, len(toks) AS n FROM tok),
+    shared AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS sh
+        FROM ex a JOIN ex b ON a.tk = b.tk AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(sh / (sa.n + sb.n - sh), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc
+    JOIN sizes sb ON id_b = sb.doc
+    WHERE round(sh / (sa.n + sb.n - sh), 6) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact token-set Jaccard near-dup pairs (≥0.95). The exact "
+    "baseline the MinHash path is validated against.",
+    tags=("dedup", "jaccard", "ext"),
+)
+def dd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(d, threshold=0.95).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd3_minhash_lsh_pairs",
+    oracle=None,  # xxhash64 signatures have no DuckDB twin; recall unit-tested
+    doc="MinHash-LSH near-dup candidates (64 hashes, 16 bands, est-J ≥ 0.9). "
+    "Linear shuffle (k longs/doc); recall vs exact Jaccard in tests/test_dedup.py.",
+    tags=("dedup", "minhash", "ext"),
+)
+def dd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd4_simhash",
+    oracle=None,  # crc32-based signature, Spark-side only
+    doc="32-bit SimHash per document (per-bit majority vote). Identical "
+    "token sets ⇒ identical simhash (asserted in tests).",
+    tags=("dedup", "simhash", "ext"),
+)
+def dd4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dd5_embedding_neardup_pairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+           6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(
+              list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+          6) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-dup pairs (rounded cosine ≥ 0.45) via the "
+    "broadcast-matmul threshold scan.",
+    tags=("dedup", "vector", "ext"),
+)
+def dd5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "embeddings")
+    return cosine_threshold_pairs(v, threshold=0.45).orderBy("id_a", "id_b")

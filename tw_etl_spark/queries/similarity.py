@@ -1,1 +1,60 @@
-"""Placeholder — populated in a later phase."""
+"""Similarity-search queries [EXT]: exact KNN (oracle-verified) and
+LSH-bucketed approximate nearest neighbors (recall unit-tested)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table as _t
+from tw_etl_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from tw_etl_spark.queries import register
+
+
+@register(
+    "v2_knn_exact",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 20),
+    sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS s
+        FROM q JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT qid, nid, s,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+        FROM sims
+    )
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(rn AS BIGINT) AS rank, round(s, 6) AS cos_sim
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="Exact per-query top-3 cosine neighbors (20 queries vs full corpus) "
+    "via broadcast-matmul brute force — the ANN correctness baseline.",
+    tags=("vector", "knn", "ext"),
+)
+def v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    return (
+        cosine_topk(q, v, k=3)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "v3_ann_lsh",
+    oracle=None,  # approximate; recall vs exact asserted in tests/test_similarity.py
+    doc="Random-hyperplane LSH ANN (8 tables × 8 planes), exact re-rank of "
+    "bucket-collision candidates. Shuffle-based (no broadcast) — the path "
+    "for corpora too large for memory.",
+    tags=("vector", "ann", "ext"),
+)
+def v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    return ann_lsh_topk(q, v, k=3).orderBy("query_id", "rank")

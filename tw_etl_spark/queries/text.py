@@ -1,1 +1,220 @@
-"""Placeholder — populated in a later phase."""
+"""Text-analysis queries [EXT] over the documents table: token stats,
+language-ID, quality scoring, fingerprinting, n-grams, rolling hash.
+
+All but the rolling hash are oracle-verified (DuckDB list lambdas mirror
+the Spark higher-order functions exactly — same integer counts, same
+division order, so doubles match bit-for-bit before rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table as _t
+from tw_etl_spark.operators.text import (
+    LANG_PROFILES,
+    bpe_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    rolling_hash_expr,
+    tokens_expr,
+)
+from tw_etl_spark.queries import register
+
+# DuckDB fragment: cleaned token list of `text`
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@register(
+    "t1_token_stats",
+    oracle=f"""
+    SELECT
+        doc_id,
+        CAST(len({_TOKS}) AS BIGINT)                                  AS n_tokens,
+        CAST(len(list_distinct({_TOKS})) AS BIGINT)                   AS n_distinct_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace + distinct + BPE-ish regex tokens.",
+    tags=("text", "ext"),
+)
+def t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+            bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_score_sql(profile: list[str]) -> str:
+    lits = ", ".join(f"'{w}'" for w in profile)
+    return (
+        f"len(list_filter({_TOKS}, t -> list_contains([{lits}], t)))"
+        f" / greatest(len({_TOKS}), 1)"
+    )
+
+
+_SCORES = {lang: _lang_score_sql(prof) for lang, prof in LANG_PROFILES.items()}
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_PROFILES) + ")"
+_CASE = (
+    "CASE "
+    + " ".join(f"WHEN s_{lang} = {_BEST} THEN '{lang}'" for lang in LANG_PROFILES)
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "t2_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{sql} AS s_{lang}" for lang, sql in _SCORES.items())}
+        FROM documents
+    )
+    SELECT lang, {_CASE} AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    doc="Language-ID heuristic: per-language marker-token density argmax, "
+    "confusion counts vs the labeled lang column.",
+    tags=("text", "ext", "langid"),
+)
+def t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    return (
+        d.select("lang", lang_id_expr(toks).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "t3_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len({_TOKS}) AS DOUBLE)                AS n_tok,
+               CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_dis
+        FROM documents
+    )
+    SELECT doc_id,
+           round(
+               0.4 * (n_dis / greatest(n_tok, 1.0))
+             + 0.3 * least(n_tok / 80.0, 1.0)
+             + 0.3 * least((CAST(n_chars AS DOUBLE) / greatest(n_tok, 1.0)) / 6.0, 1.0),
+           6) AS q_score
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Composite quality score: lexical diversity + length saturation + "
+    "mean token length (cleanse-filter primitive).",
+    tags=("text", "ext", "quality"),
+)
+def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            quality_score_expr(F.col("text"), F.col("n_chars")).alias("q_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t4_fingerprint_clusters",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    ORDER BY fingerprint
+    """,
+    doc="Key-collision fingerprint (sorted distinct token set → md5): "
+    "near-dup clusters with >1 member.",
+    tags=("text", "dedup", "ext"),
+)
+def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+@register(
+    "t5_top_bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+        WHERE len(t) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM bg
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+    doc="N-gram generation via higher-order functions + top-20 bigrams.",
+    tags=("text", "ngram", "ext"),
+)
+def t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("t")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    return (
+        d.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "t6_rolling_hash",
+    oracle=None,  # crc32 has no DuckDB twin; determinism unit-tested instead
+    doc="Token-level polynomial rolling hash (Rabin-Karp style document "
+    "fingerprint). Driver records rows-only; tests/test_text.py pins values.",
+    tags=("text", "hash", "ext"),
+)
+def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", rolling_hash_expr(F.col("text")).alias("rhash"))
+        .orderBy("doc_id")
+    )
