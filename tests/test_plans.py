@@ -1,0 +1,67 @@
+"""Plan-shape regression tests: the scale guarantees (pushdown, pruning,
+broadcast) asserted on real query plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table
+from tw_etl_spark.plans.inspect import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from tw_etl_spark.queries import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    df = all_queries()["q6_forecast_revenue"].spark(spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_q6_column_pruning(spark):
+    df = all_queries()["q6_forecast_revenue"].spark(spark, SF_SMOKE)
+    cols = read_schema_columns(df)[0]
+    # only the 4 referenced columns are read, not all 11
+    assert set(cols) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q3_broadcasts_customer(spark):
+    df = all_queries()["q3_topk_revenue"].spark(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+
+def test_q5_single_fact_shuffle(spark):
+    """Q5's only shuffle joins should be the fact-fact join + final agg;
+    all dimension joins must be broadcast."""
+    df = all_queries()["q5_nation_revenue"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_projection_only_reads_needed_columns(spark):
+    l = read_table(spark, SF_SMOKE, "lineitem")
+    df = l.select("l_orderkey", "l_quantity")
+    assert read_schema_columns(df) == [["l_orderkey", "l_quantity"]]
+
+
+def test_topk_uses_take_ordered(spark):
+    df = all_queries()["q3_topk_revenue"].spark(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_whole_stage_codegen_on_agg_path(spark):
+    df = all_queries()["q1_pricing_summary"].spark(spark, SF_SMOKE)
+    assert "WholeStageCodegen subtrees" in explain_str(df, "codegen")
+
+
+def test_v1_no_shuffle_before_topk(spark):
+    """The broadcast-matmul similarity scan must not shuffle the N×N
+    pair space — only the final top-k exchange is allowed."""
+    df = all_queries()["v1_cosine_top_pairs"].spark(spark, SF_SMOKE)
+    assert count_exchanges(df) <= 1

@@ -1,0 +1,141 @@
+"""Sources/sinks: JSON (incl. gzipped JSONL), CSV, text logs with regex
+projection, file-metadata scans, filename parsing, partitioned sink
+round-trip."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tw_etl_spark.catalog import read_table
+from tw_etl_spark.sources.readers import (
+    parse_recording_filename,
+    read_csv,
+    read_json,
+    read_log_lines,
+    with_file_metadata,
+    write_partitioned_parquet,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sources_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_json_and_gzipped_jsonl(spark, tmpdir):
+    # the ffprobe-sidecar pattern: nested JSON + gzipped JSONL packets
+    doc = {
+        "streams": [
+            {"index": 0, "codec_type": "audio", "width": None, "height": None},
+            {"index": 1, "codec_type": "video", "width": 1280, "height": 720},
+        ]
+    }
+    jpath = os.path.join(tmpdir, "meta.json")
+    with open(jpath, "w") as f:
+        f.write(json.dumps(doc))
+    df = read_json(spark, jpath)
+    h = df.select(F.col("streams")[1]["height"].alias("h")).first().h
+    assert h == 720
+
+    # packets: gzipped JSONL, read transparently
+    gzpath = os.path.join(tmpdir, "packets.jsonl.gz")
+    with gzip.open(gzpath, "wt") as f:
+        for i in range(100):
+            f.write(json.dumps({"pts_time": i * 0.04, "size": 100 + i}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("pts_time", T.DoubleType()),
+            T.StructField("size", T.LongType()),
+        ]
+    )
+    pk = read_json(spark, gzpath, schema=schema)
+    assert pk.count() == 100
+    assert abs(pk.agg(F.max("pts_time")).first()[0] - 3.96) < 1e-9
+
+
+def test_csv_roundtrip(spark, tmpdir):
+    path = os.path.join(tmpdir, "csv")
+    d = read_table(spark, SF_SMOKE, "nation")
+    d.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv(spark, path)
+    assert back.count() == d.count()
+    assert set(back.columns) == set(d.columns)
+
+
+def test_log_line_projection(spark, tmpdir):
+    # reference convert.sh:12-15 log format + R8 metric line
+    lines = [
+        "2024-05-01T12:00:00+00:00 converting foo_720p_2024-05-01T11:00:00_0.mkv",
+        "2024-05-01T12:05:00+00:00 reduced size by 37.5% (1000 -> 625)",
+    ]
+    path = os.path.join(tmpdir, "convert.log")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    df = read_log_lines(spark, path)
+    rows = df.orderBy("log_ts").collect()
+    assert rows[0].message.startswith("converting")
+    assert rows[1].log_ts is not None
+    pct = (
+        df.select(
+            F.regexp_extract("message", r"reduced size by ([0-9.]+)%", 1).alias("p")
+        )
+        .filter(F.col("p") != "")
+        .first()
+        .p
+    )
+    assert pct == "37.5"
+
+
+def test_file_metadata_scan(spark, tmpdir):
+    path = os.path.join(tmpdir, "meta_scan")
+    read_table(spark, SF_SMOKE, "region").write.mode("overwrite").parquet(path)
+    df = with_file_metadata(spark.read.parquet(path))
+    row = df.first()
+    assert row.file_path.startswith("file:")
+    assert row.file_size > 0
+    assert row.file_mtime is not None
+
+
+def test_parse_recording_filename(spark):
+    rows = [
+        ("downloads/streamer1_720p60_2024-05-01T11:00:00_3.mkv",),
+        ("downloads/b_audio_only_2024-05-02T09:30:00_0.mkv",),
+        ("downloads/not_a_recording.txt",),
+    ]
+    df = spark.createDataFrame(rows, ["file_path"])
+    out = {r.file_path: r for r in parse_recording_filename(df).collect()}
+    r1 = out[rows[0][0]]
+    assert (r1.stream_id, r1.quality, r1.retry_id) == ("streamer1", "720p60", 3)
+    assert str(r1.recorded_at) == "2024-05-01 11:00:00"
+    r2 = out[rows[1][0]]
+    assert (r2.stream_id, r2.quality) == ("b", "audio_only")
+    r3 = out[rows[2][0]]
+    assert r3.stream_id == "" and r3.retry_id is None
+
+
+def test_partitioned_sink_roundtrip(spark, tmpdir):
+    path = os.path.join(tmpdir, "part_sink")
+    d = read_table(spark, SF_SMOKE, "documents")
+    write_partitioned_parquet(d, path, ["lang"])
+    # hive layout on disk
+    assert any(p.startswith("lang=") for p in os.listdir(path))
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()
+    # partition pruning: only the lang=en directory is scanned
+    from tw_etl_spark.plans.inspect import explain_str
+
+    pruned = back.filter(F.col("lang") == "en")
+    assert pruned.count() == d.filter(F.col("lang") == "en").count()
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan

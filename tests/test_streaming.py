@@ -1,0 +1,263 @@
+"""Streaming verification (SURVEY.md §5.2.3): stream-vs-batch
+equivalence for windowed aggregations, watermark late-drop behavior,
+streaming dedup, and the R19 retry state machine."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table
+from tw_etl_spark.streaming.state_machine import (
+    CONTINUE,
+    DEDUP_SKIP,
+    EXHAUSTED_COMPLETE,
+    EVENT_SCHEMA,
+    RETRY,
+    START,
+    STOP_EMPTY_POLL,
+    RetryState,
+    apply_events,
+    retry_machine_stream,
+)
+from tw_etl_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark):
+    """events table written as 8 parquet files in shuffled (non-time)
+    order — a file-source replay with out-of-order arrival."""
+    d = tempfile.mkdtemp(prefix="events_replay_")
+    e = read_table(spark, SF_SMOKE, "events")
+    # deterministic shuffle: bucket by hash of event_id
+    e.withColumn("b", F.abs(F.hash("event_id")) % 8).repartition(8, "b").drop(
+        "b"
+    ).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _pin_mtimes(d, subdirs, step=60):
+    """File-source batch order follows mtime; writes within one clock tick
+    tie. Pin each subdir a minute apart."""
+    import time
+
+    t0 = time.time() - 300
+    for i, sub in enumerate(subdirs):
+        for root, _, files in os.walk(os.path.join(d, sub)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + i * step, t0 + i * step))
+
+
+def _stream(spark, replay_dir):
+    batch = read_table(spark, SF_SMOKE, "events")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)  # several micro-batches
+        .parquet(replay_dir)
+    )
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    if "win" in pdf.columns:
+        pdf["win_start"] = pdf["win"].map(lambda w: w["start"])
+        pdf = pdf.drop(columns=["win"])
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols).reset_index(drop=True)
+
+
+def AGGS():
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sv"),
+    ]
+
+
+def test_tumbling_stream_equals_batch(spark, replay_dir):
+    batch = read_table(spark, SF_SMOKE, "events")
+    stream = _stream(spark, replay_dir)
+    got = run_stream_to_memory(
+        tumbling_agg(stream, "ts", "1 hour", ["event_type"], AGGS(), watermark="30 days"),
+        "tumbling_out",
+    )
+    want = tumbling_agg(batch, "ts", "1 hour", ["event_type"], AGGS())
+    assert _canon(got).equals(_canon(want))
+
+
+def test_sliding_stream_equals_batch(spark, replay_dir):
+    batch = read_table(spark, SF_SMOKE, "events")
+    stream = _stream(spark, replay_dir)
+    got = run_stream_to_memory(
+        sliding_agg(
+            stream, "ts", "2 hours", "1 hour", [], AGGS(), watermark="30 days"
+        ),
+        "sliding_out",
+    )
+    want = sliding_agg(batch, "ts", "2 hours", "1 hour", [], AGGS())
+    assert _canon(got).equals(_canon(want))
+
+
+def test_session_stream_equals_batch(spark, replay_dir):
+    batch = read_table(spark, SF_SMOKE, "events")
+    stream = _stream(spark, replay_dir)
+    got = run_stream_to_memory(
+        session_agg(
+            stream, "ts", "30 minutes", ["user_id"], AGGS(), watermark="30 days"
+        ),
+        "session_out",
+    )
+    want = session_agg(batch, "ts", "30 minutes", ["user_id"], AGGS())
+    assert _canon(got).equals(_canon(want))
+    # session count per user must also match the batch lag-based E3 logic
+    n_sessions_stream = got.count()
+    from tw_etl_spark.queries import all_queries
+
+    e3 = all_queries()["e3_sessionization"].spark(spark, SF_SMOKE)
+    assert n_sessions_stream == e3.agg(F.sum("n_sessions")).first()[0]
+
+
+def test_watermark_drops_late_rows(spark):
+    """Rows arriving later than the watermark are dropped from closed
+    windows: feed in-order file then a very-late file."""
+    d = tempfile.mkdtemp(prefix="late_")
+    try:
+        e = read_table(spark, SF_SMOKE, "events").orderBy("ts")
+        early1 = e.filter(F.col("ts").between("2024-01-02", "2024-01-15"))
+        early2 = e.filter(F.col("ts") > F.lit("2024-01-15"))
+        late = e.filter(F.col("ts") < F.lit("2024-01-02"))  # arrives last
+        early1.coalesce(1).write.parquet(os.path.join(d, "f1"))
+        early2.coalesce(1).write.parquet(os.path.join(d, "f2"))
+        late.coalesce(1).write.parquet(os.path.join(d, "f3"))
+        # the watermark used for late-row filtering lags one batch — the
+        # late file must arrive at least two batches after the early max ts
+        _pin_mtimes(d, ["f1", "f2", "f3"])
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(os.path.join(d, "*"))
+        )
+        agg = tumbling_agg(
+            stream, "ts", "1 hour", [], [F.count(F.lit(1)).alias("n")],
+            watermark="1 minute",
+        )
+        got = run_stream_to_memory(agg, "late_out", output_mode="append")
+        # appended (finalized) windows must not include any late-day rows
+        finalized = got.toPandas()
+        if not finalized.empty:
+            starts = finalized["win"].map(lambda w: w["start"])
+            assert (starts >= __import__("pandas").Timestamp("2024-01-02")).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_within_watermark(spark, replay_dir):
+    batch = read_table(spark, SF_SMOKE, "events")
+    dup_dir = tempfile.mkdtemp(prefix="dup_")
+    try:
+        batch.write.parquet(os.path.join(dup_dir, "a"))
+        batch.write.parquet(os.path.join(dup_dir, "b"))  # full duplicate feed
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(dup_dir, "*"))
+        )
+        deduped = stream.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        got = run_stream_to_memory(deduped, "dedup_out", output_mode="append")
+        assert got.count() == batch.count()
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# R19 retry machine — table-driven transitions from the reference behaviors
+# ---------------------------------------------------------------------------
+def ev(kind, size=0, poll=False, retries=3):
+    return {"event": kind, "size": size, "poll_attempt": poll, "retries": retries}
+
+
+def test_machine_poll_empty_stops_without_retry():
+    # manager.py:378-384 — poll attempts don't retry on empty output
+    st, actions = apply_events(
+        RetryState(), [ev("online", poll=True), ev("download_done", size=0)]
+    )
+    assert actions == [START, STOP_EMPTY_POLL]
+    assert not st.active
+
+
+def test_machine_push_retries_until_exhaustion():
+    # manager.py:311-320, 398-427 — push attempts retry to the cap
+    events = [ev("online", retries=3)] + [ev("download_done", size=0)] * 3
+    st, actions = apply_events(RetryState(), events)
+    assert actions == [START, RETRY, RETRY, EXHAUSTED_COMPLETE]
+    assert not st.active
+
+
+def test_machine_dedupes_concurrent_online():
+    # manager.py:287-289 — second online signal while active is skipped
+    st, actions = apply_events(RetryState(), [ev("online"), ev("online")])
+    assert actions == [START, DEDUP_SKIP]
+    assert st.active and st.retry_id == 1
+
+
+def test_machine_nonempty_continues():
+    st, actions = apply_events(
+        RetryState(),
+        [ev("online", retries=5), ev("download_done", size=100)],
+    )
+    assert actions == [START, CONTINUE]
+    assert st.active and st.retry_id == 2
+
+
+def test_machine_end_to_end_streaming(spark):
+    """Same machine through applyInPandasWithState over two micro-batches
+    — state must persist across batches (the resume behavior,
+    manager.py:70-76)."""
+    d = tempfile.mkdtemp(prefix="sm_")
+    try:
+        rows1 = [("s1", "online", 0, False, 2, 1, None)]
+        rows2 = [
+            ("s1", "download_done", 0, False, 2, 2, None),
+            ("s1", "download_done", 0, False, 2, 3, None),
+            ("s2", "online", 0, True, 2, 4, None),
+            ("s2", "download_done", 0, True, 2, 5, None),
+        ]
+        spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, "b1")
+        )
+        spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, "b2")
+        )
+        _pin_mtimes(d, ["b1", "b2"])
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "*"))
+        )
+        out = run_stream_to_memory(
+            retry_machine_stream(stream), "sm_out", output_mode="append"
+        )
+        got = {
+            (r.stream_id, r.seq): r.action
+            for r in out.collect()
+        }
+        assert got[("s1", 1)] == START
+        assert got[("s1", 2)] == RETRY
+        assert got[("s1", 3)] == EXHAUSTED_COMPLETE  # retries=2 exhausted
+        assert got[("s2", 4)] == START
+        assert got[("s2", 5)] == STOP_EMPTY_POLL
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,1 +1,198 @@
-"""Placeholder — populated in a later phase."""
+"""ETL-facade queries: the reference's dataflow patterns (R2/R8/R12/R15)
+as oracle-verified relational queries over the driver tables.
+
+Inputs are derived deterministically from the synthetic tables (both
+engines derive them identically), so the cleanse/parse/route logic — the
+actual operator under test — is hash-verified end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table as _t
+from tw_etl_spark.pipeline import cleanse_streamlists, compression_metric, tiered_routing
+from tw_etl_spark.queries import register
+
+
+@register(
+    "p1_filename_parse",
+    oracle="""
+    WITH files AS (
+        SELECT concat(
+            's', CAST(o_custkey % 50 AS VARCHAR), '_',
+            CASE WHEN o_totalprice >= 300000 THEN '720p60'
+                 WHEN o_totalprice >= 100000 THEN '360p'
+                 ELSE 'audio_only' END, '_',
+            strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), '_',
+            CAST(o_orderkey % 5 AS VARCHAR), '.mkv') AS fname
+        FROM orders
+    )
+    SELECT
+        regexp_extract(fname, '^(.+)_(audio_only|[0-9]+p[0-9]*)_', 2) AS quality,
+        CAST(count(*) AS BIGINT)                                      AS n_files,
+        CAST(count(DISTINCT regexp_extract(fname, '^(.+)_(audio_only|[0-9]+p[0-9]*)_', 1)) AS BIGINT) AS n_streams
+    FROM files
+    GROUP BY quality
+    ORDER BY quality
+    """,
+    doc="R2: filename-encoded facts round-trip — build '{stream}_{qid}_"
+    "{ISO}_{retry}.mkv' names, regex-parse them back, aggregate "
+    "(convert.sh:38-42, manager.py:271).",
+    tags=("etl", "regex"),
+)
+def p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    fname = F.concat(
+        F.lit("s"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit("_"),
+        F.when(F.col("o_totalprice") >= 300000, "720p60")
+        .when(F.col("o_totalprice") >= 100000, "360p")
+        .otherwise("audio_only"),
+        F.lit("_"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("_"),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit(".mkv"),
+    )
+    rx = r"^(.+)_(audio_only|[0-9]+p[0-9]*)_"
+    return (
+        o.select(fname.alias("fname"))
+        .select(
+            F.regexp_extract("fname", rx, 2).alias("quality"),
+            F.regexp_extract("fname", rx, 1).alias("stream"),
+        )
+        .groupBy("quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("stream").alias("n_streams"),
+        )
+        .orderBy("quality")
+    )
+
+
+@register(
+    "p2_cleanse_union_distinct",
+    oracle="""
+    WITH l1 AS (SELECT c_name AS stream_id FROM customer),
+    l2 AS (
+        SELECT CASE WHEN c_custkey % 7 = 0 THEN concat('#', c_name)
+                    WHEN c_custkey % 11 = 0 THEN '   '
+                    ELSE concat('  ', c_name, ' ') END AS stream_id
+        FROM customer
+    ),
+    cleaned AS (
+        SELECT DISTINCT lower(trim(regexp_replace(stream_id, '^#', ''))) AS stream_id
+        FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+        WHERE lower(trim(regexp_replace(stream_id, '^#', ''))) <> ''
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_streams,
+           min(stream_id)           AS first_stream,
+           max(stream_id)           AS last_stream
+    FROM cleaned
+    """,
+    doc="R15: union of raw stream lists + '#'-strip + trim + drop-empty "
+    "+ distinct (manager.py:134-158).",
+    tags=("etl", "cleanse"),
+)
+def p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    l1 = c.select(F.col("c_name").alias("stream_id"))
+    l2 = c.select(
+        F.when(F.col("c_custkey") % 7 == 0, F.concat(F.lit("#"), F.col("c_name")))
+        .when(F.col("c_custkey") % 11 == 0, F.lit("   "))
+        .otherwise(F.concat(F.lit("  "), F.col("c_name"), F.lit(" ")))
+        .alias("stream_id")
+    )
+    cleaned = cleanse_streamlists([l1, l2])
+    return cleaned.agg(
+        F.count(F.lit(1)).alias("n_streams"),
+        F.min("stream_id").alias("first_stream"),
+        F.max("stream_id").alias("last_stream"),
+    )
+
+
+@register(
+    "p3_compression_metric",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(avg(round(100 * (1 - (l_extendedprice * (1 - l_discount)) / l_extendedprice), 3)), 6) AS avg_reduction_pct,
+        CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="R8: per-artifact size-reduction %% at scale 3 (convert.sh:101-106) "
+    "aggregated per group.",
+    tags=("etl", "metric"),
+)
+def p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    new_size = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pct = compression_metric(F.col("l_extendedprice"), new_size)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(pct), 6).alias("avg_reduction_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "p4_tiered_routing",
+    oracle="""
+    WITH artifacts AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'mkv'
+                               WHEN 1 THEN 'json'
+                               ELSE 'json.gz' END AS suffix,
+               concat('tw/', md5(concat(source, '/', CAST(doc_id AS VARCHAR)))) AS key
+        FROM documents
+    )
+    SELECT
+        CASE WHEN suffix = 'json.gz' THEN 'DEEP_ARCHIVE'
+             WHEN suffix = 'json'    THEN 'STANDARD_IA'
+             WHEN suffix = 'mkv'     THEN 'DEEP_ARCHIVE'
+             ELSE 'STANDARD' END AS storage_class,
+        suffix,
+        CAST(count(*) AS BIGINT)          AS n_objects,
+        CAST(count(DISTINCT key) AS BIGINT) AS n_keys
+    FROM artifacts
+    GROUP BY 1, 2
+    ORDER BY storage_class, suffix
+    """,
+    doc="R12: artifact-type → storage-tier routing under hashed key "
+    "prefix 'tw/' (s3-sync.sh:40-67).",
+    tags=("etl", "sink"),
+)
+def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, "mkv")
+        .when(F.col("doc_id") % 3 == 1, "json")
+        .otherwise("json.gz")
+    )
+    key = F.concat(
+        F.lit("tw/"),
+        F.md5(
+            F.concat(
+                F.col("source"), F.lit("/"), F.col("doc_id").cast("string")
+            ).cast("binary")
+        ),
+    )
+    return (
+        d.select(suffix.alias("suffix"), key.alias("key"))
+        .select("suffix", "key", tiered_routing(F.col("suffix")).alias("storage_class"))
+        .groupBy("storage_class", "suffix")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+        .orderBy("storage_class", "suffix")
+    )

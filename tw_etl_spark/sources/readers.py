@@ -1,0 +1,98 @@
+"""Sources & sinks (SURVEY.md §2.2 scans block).
+
+Readers cover the reference's ingest surface generalized to Spark:
+parquet (all driver tables), JSON incl. gzipped JSONL sidecars
+(ffprobe/packet metadata, convert.sh:58,63-65 — Spark's JSON reader is
+codec-transparent), CSV/text logs (convert.sh:12-15), and
+directory-listing facts via ``input_file_name()`` + the ``_metadata``
+hidden column (R1: size-ordered scans; manager.py:369 empty-file gate).
+
+The sink side: Hive-partitioned parquet writes (R12's tiered routing →
+``partitionBy``), with rename-based atomic task commit supplied by
+Spark's FileOutputCommitter (R9 for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def with_file_metadata(df: DataFrame) -> DataFrame:
+    """Attach source-file facts: path, size, modification time.
+
+    The `_metadata` struct is populated by the file sources themselves —
+    zero extra I/O (unlike a driver-side directory listing)."""
+    return df.select(
+        "*",
+        F.input_file_name().alias("file_path"),
+        F.col("_metadata.file_size").alias("file_size"),
+        F.col("_metadata.file_modification_time").alias("file_mtime"),
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON / JSONL reader; gzip handled transparently by extension."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)  # no inference pass in production
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+LOG_LINE_RE = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}[+-]\d{2}:?\d{2}|\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) (.*)$"
+
+
+def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Timestamped append-log reader (reference convert.sh:12-15 format:
+    '<ISO-seconds> <message>') → (log_ts, message)."""
+    raw = spark.read.text(path)
+    return raw.select(
+        F.to_timestamp(F.regexp_extract("value", LOG_LINE_RE, 1)).alias("log_ts"),
+        F.regexp_extract("value", LOG_LINE_RE, 2).alias("message"),
+    )
+
+
+def parse_recording_filename(df: DataFrame, path_col: str = "file_path") -> DataFrame:
+    """R2: '{stream}_{qid}_{ISO-datetime}_{retry}.mkv' → columns
+    (convert.sh:38-42; filename built at manager.py:271)."""
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    rx = r"^(.+)_(audio_only|[0-9]+p[0-9]*)_(\d{4}-\d{2}-\d{2}T[0-9:.]+)_(\d+)\.mkv$"
+    return df.withColumns(
+        {
+            "stream_id": F.regexp_extract(base, rx, 1),
+            "quality": F.regexp_extract(base, rx, 2),
+            "recorded_at": F.try_to_timestamp(F.nullif(F.regexp_extract(base, rx, 3), F.lit(""))),
+            # try_cast: non-matching rows yield '' and ANSI mode (Spark 4
+            # default) makes a plain cast throw
+            "retry_id": F.regexp_extract(base, rx, 4).try_cast("int"),
+        }
+    )
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet sink. Partition values become directory
+    facts (the reference's filename-encoded facts, properly modeled);
+    readers get partition pruning on these columns for free."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,148 @@
+"""Per-key stateful retry machine — the relational port of the
+reference's ``try_stream`` state machine (R19).
+
+Reference semantics ported (citations into /root/reference/):
+- dedupe of concurrent starts per key      stream_manager/src/stream_manager/manager.py:287-289
+- state row created on start, retry loop   manager.py:295-309, 311-320
+- empty output + poll attempt ⇒ stop       manager.py:367-386 (poll_attempt branch)
+- empty output + push attempt ⇒ retry      manager.py:378-384
+- retry cap ⇒ exhaustion cleanup/promote   manager.py:398-427
+- state persisted at every transition      manager.py:309,321,348,365 → here: Spark
+  state store checkpointing (free)
+
+The transition function is pure Python (table-driven-testable); the
+Spark integration wraps it in ``applyInPandasWithState`` so each key's
+state lives in the checkpointed state store, with the groupBy hash
+partition guaranteeing one state owner per key — replacing the
+reference's per-key asyncio.Lock (manager.py:44,292) with partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Events
+ONLINE = "online"  # poll hit or push signal (manager.py:163-176, 445-458)
+DOWNLOAD_DONE = "download_done"  # recording attempt finished
+
+# Actions (one output row per input event)
+START = "start"
+DEDUP_SKIP = "dedup_skip"
+RETRY = "retry"
+CONTINUE = "continue"
+STOP_EMPTY_POLL = "stop_empty_poll"
+EXHAUSTED_COMPLETE = "exhausted_complete"
+
+
+@dataclass
+class RetryState:
+    active: bool = False
+    retry_id: int = 0
+    poll_attempt: bool = False
+    retries: int = 3
+
+
+def step(state: RetryState, event: dict) -> tuple[RetryState, str]:
+    """One transition. Returns (new_state, action)."""
+    kind = event["event"]
+    if kind == ONLINE:
+        if state.active:
+            return state, DEDUP_SKIP  # manager.py:287-289
+        return (
+            RetryState(
+                active=True,
+                retry_id=1,
+                poll_attempt=bool(event.get("poll_attempt", False)),
+                retries=int(event.get("retries", 3)),
+            ),
+            START,
+        )
+    if kind == DOWNLOAD_DONE:
+        if not state.active:
+            return state, DEDUP_SKIP  # stray completion for an idle key
+        empty = int(event.get("size", 0)) <= 0
+        if empty and state.poll_attempt:
+            return RetryState(retries=state.retries), STOP_EMPTY_POLL
+        nxt = state.retry_id + 1
+        if nxt > state.retries:
+            return RetryState(retries=state.retries), EXHAUSTED_COMPLETE
+        return (
+            RetryState(True, nxt, state.poll_attempt, state.retries),
+            RETRY if empty else CONTINUE,
+        )
+    return state, DEDUP_SKIP
+
+
+def apply_events(state: RetryState, events: Iterable[dict]) -> tuple[RetryState, list[str]]:
+    actions = []
+    for ev in events:
+        state, action = step(state, ev)
+        actions.append(action)
+    return state, actions
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("poll_attempt", T.BooleanType()),
+        T.StructField("retries", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("retry_id", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("active", T.BooleanType()),
+        T.StructField("retry_id", T.IntegerType()),
+        T.StructField("poll_attempt", T.BooleanType()),
+        T.StructField("retries", T.IntegerType()),
+    ]
+)
+
+
+def _machine(key, pdfs: Iterator[pd.DataFrame], group_state) -> Iterator[pd.DataFrame]:
+    if group_state.exists:
+        active, retry_id, poll_attempt, retries = group_state.get
+        state = RetryState(active, retry_id, poll_attempt, retries)
+    else:
+        state = RetryState()
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        for ev in pdf.to_dict("records"):
+            state, action = step(state, ev)
+            rows.append((key[0], action, state.retry_id, ev["seq"]))
+    group_state.update((state.active, state.retry_id, state.poll_attempt, state.retries))
+    yield pd.DataFrame(rows, columns=["stream_id", "action", "retry_id", "seq"])
+
+
+def retry_machine_stream(events: DataFrame) -> DataFrame:
+    """Wire the retry machine over a (streaming) events DataFrame with
+    EVENT_SCHEMA. State is checkpointed per stream_id; ordering within a
+    micro-batch follows the ``seq`` column (cross-batch ordering is the
+    source's responsibility, as in any log-replay design)."""
+    return events.groupBy("stream_id").applyInPandasWithState(
+        _machine,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
