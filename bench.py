@@ -22,14 +22,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tw_etl_spark.queries import all_queries
 from tw_etl_spark.session import get_spark
 
+# The headline set benchmarked in BASELINE.md. BENCH_QUERIES=all runs
+# the entire registry instead.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "w1_top3_orders_per_customer",
+    "e1_hourly_rollup",
+    "e2_json_extract_avg",
+    "e3_sessionization",
+    "d1_word_count",
+    "d2_exact_dedup",
+    "v1_cosine_top_pairs",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
-    spark = get_spark(app_name="tw-etl-spark-bench")
+    # Bench-scale tuning: AQE would pick these on a cluster; local[N]
+    # with ~MB inputs wants few shuffle partitions and tight coalescing.
+    spark = get_spark(
+        app_name="tw-etl-spark-bench",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+        },
+    )
     specs = all_queries()
+    if os.environ.get("BENCH_QUERIES", "headline") != "all":
+        specs = {k: specs[k] for k in HEADLINE}
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():

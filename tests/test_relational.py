@@ -1,0 +1,49 @@
+"""Operator-level invariants not expressible as oracle hash-matches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table
+from tw_etl_spark.operators.joins import asof_join, bucketed_range_join, interval_join
+from tw_etl_spark.queries import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def test_approx_count_distinct_error_band(spark):
+    row = all_queries()["a6_approx_count_distinct"].spark(spark, SF_SMOKE).first()
+    # HLL++ default rsd = 5%; allow 3x margin
+    assert abs(row.approx_users - row.exact_users) <= max(3, 0.15 * row.exact_users)
+    assert abs(row.approx_events - row.exact_events) <= 0.15 * row.exact_events
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    e = read_table(spark, SF_SMOKE, "events")
+    # intervals: one per user day with [start, start+2h)
+    iv = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("start"))
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 2 HOURS"))
+        .select(F.col("user_id").alias("iv_user"), "start", "end")
+    )
+    pts = e.select("event_id", "ts")
+    naive = interval_join(pts, iv, F.col("ts"), F.col("start"), F.col("end"))
+    bucketed = bucketed_range_join(pts, iv, "ts", "start", "end", bucket_seconds=3600)
+    assert naive.count() == bucketed.count()
+    a = {(r.event_id, r.iv_user) for r in naive.collect()}
+    b = {(r.event_id, r.iv_user) for r in bucketed.collect()}
+    assert a == b
+
+
+def test_asof_join_no_match_yields_null(spark):
+    left = spark.createDataFrame(
+        [("k", 10, "L1"), ("k", 5, "L0")], ["k", "t", "lv"]
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame([("k", 7, "R7")], ["k", "t", "rv"]).withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    out = {
+        r.lv: r.rv_asof
+        for r in asof_join(left, right, on="t", by="k", right_payload=["rv"]).collect()
+    }
+    assert out == {"L0": None, "L1": "R7"}  # L0 precedes the only right row

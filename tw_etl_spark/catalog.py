@@ -39,14 +39,26 @@ def table_path(sf_dir: str, name: str) -> str:
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
+# Resolved-DataFrame memo: re-listing files + reading parquet footers on
+# every query call costs ~40 ms each. Caching the *plan* (schema +
+# file index) is catalog-metadata caching — the data itself is still
+# scanned from parquet on every execution.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table with timestamp normalization applied."""
+    key = (id(spark), sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANO_TS_COLUMNS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):
             # Integer DIV: epoch-nanos (~1.7e18) exceed double's 53-bit
             # mantissa, so a float divide would corrupt the low digits.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    _PLAN_CACHE[key] = df
     return df
 
 

@@ -365,6 +365,53 @@ def a5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a6_approx_count_distinct",
+    oracle=None,  # HLL sketch is engine-specific; error band unit-tested
+    doc="approx_count_distinct (HyperLogLog++) vs exact — the 100 TB "
+    "cardinality-estimation posture. Tolerance asserted in tests/test_relational.py.",
+    tags=("agg", "approx"),
+)
+def a6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.countDistinct("event_id").alias("exact_events"),
+    )
+
+
+@register(
+    "a7_pivot",
+    oracle="""
+    SELECT
+        user_id,
+        CAST(count(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+        CAST(count(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error,
+        CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        CAST(count(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+        CAST(count(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Pivot (explicit value list ⇒ single-pass conditional aggregation, "
+    "no extra distinct-values job).",
+    tags=("agg", "pivot"),
+)
+def a7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+        .orderBy("user_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations
 # --------------------------------------------------------------------------
