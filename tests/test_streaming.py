@@ -182,6 +182,99 @@ def test_stream_dedup_within_watermark(spark, replay_dir):
         shutil.rmtree(dup_dir, ignore_errors=True)
 
 
+def test_stream_static_join(spark, replay_dir):
+    """Stream-static join (R7/R18): enrich the event stream with a static
+    user dimension; result ≡ batch join."""
+    batch = read_table(spark, SF_SMOKE, "events")
+    dim = batch.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    stream = _stream(spark, replay_dir)
+    joined = stream.join(dim, "user_id").select("event_id", "user_id", "first_seen")
+    got = run_stream_to_memory(joined, "ss_join_out", output_mode="append")
+    want = batch.join(dim, "user_id").select("event_id", "user_id", "first_seen")
+    assert _canon(got).equals(_canon(want))
+
+
+def test_stream_stream_join(spark, replay_dir):
+    """Stream-stream inner join with watermarks + time bound: purchases ⋈
+    clicks of the same user within 1 hour before the purchase."""
+    batch = read_table(spark, SF_SMOKE, "events")
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        return p, c
+
+    sp, sc_ = split(_stream(spark, replay_dir))
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    got = run_stream_to_memory(
+        sp.withWatermark("p_ts", "30 days").join(
+            sc_.withWatermark("c_ts", "30 days"), cond
+        ),
+        "ss2_out",
+        output_mode="append",
+    )
+    bp, bc = split(batch)
+    want = bp.join(bc, cond)
+    assert got.count() == want.count()
+    assert _canon(got.select("p_id", "c_id")).equals(_canon(want.select("p_id", "c_id")))
+
+
+def test_rate_source_smoke(spark):
+    """Rate source (R21's poll-timer analog): produces monotonically
+    increasing rows with timestamps."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_out")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 15
+    n = 0
+    while time.time() < deadline:
+        n = spark.sql("SELECT count(*) c FROM rate_out").first().c
+        if n > 0:
+            break
+        time.sleep(0.3)
+    q.stop()
+    assert n > 0
+    row = spark.sql("SELECT max(value) mv, count(*) c FROM rate_out").first()
+    assert row.mv is not None and row.c == row.mv + 1  # dense 0..mv
+
+
+def test_foreach_batch_sink(spark, replay_dir):
+    """foreachBatch: exactly-once-style custom sink collecting per-batch
+    counts (R24's snapshot-export analog)."""
+    stream = _stream(spark, replay_dir)
+    seen: dict[int, int] = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = df.count()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(seen.values()) == read_table(spark, SF_SMOKE, "events").count()
+    assert len(seen) >= 2  # maxFilesPerTrigger=2 over 8 files ⇒ ≥2 batches
+
+
 # ---------------------------------------------------------------------------
 # R19 retry machine — table-driven transitions from the reference behaviors
 # ---------------------------------------------------------------------------

@@ -62,5 +62,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from tw_etl_spark.queries import dedup  # noqa: F401
     from tw_etl_spark.queries import similarity  # noqa: F401
     from tw_etl_spark.queries import etl  # noqa: F401
+    from tw_etl_spark.queries import udfs  # noqa: F401
 
     return dict(REGISTRY)

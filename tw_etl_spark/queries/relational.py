@@ -677,6 +677,130 @@ def f5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f7_null_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+        FROM customer
+    )
+    SELECT
+        CAST(count(*) AS BIGINT)                   AS n_rows,
+        CAST(count(seg_or_null) AS BIGINT)         AS n_seg_nonnull,
+        CAST(sum(CASE WHEN seg_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_null,
+        CAST(sum(CASE WHEN seg_or_null IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
+        round(coalesce(sum(bal_or_null), 0), 2)    AS sum_bal_skipnull,
+        round(avg(coalesce(bal_or_null, 0)), 6)    AS avg_bal_fillnull
+    FROM t
+    """,
+    doc="NULL semantics: nullif, null-skipping aggregates, null-safe "
+    "equality (eqNullSafe / IS NOT DISTINCT FROM), coalesce fill.",
+    tags=("scalar", "null"),
+)
+def f7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    t = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.when(F.col("c_custkey") % 10 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_or_null"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg_or_null").alias("n_seg_nonnull"),
+        F.sum(F.when(F.col("seg_or_null").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_seg_null"),
+        F.sum(
+            F.when(F.col("seg_or_null").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_null_safe_eq"),
+        F.round(F.coalesce(F.sum("bal_or_null"), F.lit(0.0)), 2).alias(
+            "sum_bal_skipnull"
+        ),
+        F.round(F.avg(F.coalesce("bal_or_null", F.lit(0.0))), 6).alias(
+            "avg_bal_fillnull"
+        ),
+    )
+
+
+@register(
+    "f8_array_functions",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        CAST(len(toks) AS BIGINT)                         AS n,
+        array_to_string(toks[1:3], ',')                   AS first3,
+        list_contains(toks, 'table')                      AS has_table,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+        array_to_string(list_sort(list_distinct(toks)), ',') AS sorted_distinct
+    FROM tok
+    ORDER BY doc_id
+    """,
+    doc="Array family: size/slice/contains/transform+aggregate (HOF)/"
+    "distinct/sort/join.",
+    tags=("scalar", "array"),
+)
+def f8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    t = d.select("doc_id", toks.alias("toks"))
+    return (
+        t.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n"),
+            F.array_join(F.slice("toks", 1, 3), ",").alias("first3"),
+            F.array_contains("toks", "table").alias("has_table"),
+            F.aggregate(
+                F.transform("toks", lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            .cast("bigint")
+            .alias("total_len"),
+            F.array_join(F.array_sort(F.array_distinct("toks")), ",").alias(
+                "sorted_distinct"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "f9_json_struct_roundtrip",
+    oracle="""
+    SELECT
+        event_id,
+        CAST(json_extract(props, '$.k') AS INTEGER)                     AS k,
+        to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER))) AS rebuilt
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="from_json with explicit schema + to_json re-serialization "
+    "(the sidecar write-back path, R4).",
+    tags=("scalar", "json"),
+)
+def f9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return (
+        e.select(
+            "event_id",
+            parsed.getField("k").alias("k"),
+            F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("rebuilt"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "f6_conditional_case",
     oracle="""
     SELECT
