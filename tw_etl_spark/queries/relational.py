@@ -366,6 +366,42 @@ def a5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8_first_last_argminmax",
+    oracle="""
+    SELECT
+        lang,
+        arg_max(doc_id, n_chars * 1000000 + doc_id)  AS longest_doc,
+        arg_min(doc_id, n_chars * 1000000 + doc_id)  AS shortest_doc,
+        CAST(max(n_chars) AS BIGINT) AS max_chars,
+        CAST(min(n_chars) AS BIGINT) AS min_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="first/last-style selection made deterministic: max_by/min_by "
+    "(arg_max/arg_min).",
+    tags=("agg", "argminmax"),
+)
+def a8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            # ties on n_chars broken by doc_id so both engines agree
+            F.max_by(
+                "doc_id", F.col("n_chars") * 1000000 + F.col("doc_id")
+            ).alias("longest_doc"),
+            F.min_by(
+                "doc_id", F.col("n_chars") * 1000000 + F.col("doc_id")
+            ).alias("shortest_doc"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "a6_approx_count_distinct",
     oracle=None,  # HLL sketch is engine-specific; error band unit-tested
     doc="approx_count_distinct (HyperLogLog++) vs exact — the 100 TB "
@@ -424,7 +460,9 @@ def a7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT count(*) FROM (SELECT nk FROM cn UNION SELECT nk FROM sn))     AS n_union,
         (SELECT count(*) FROM (SELECT nk FROM cn UNION ALL SELECT nk FROM sn)) AS n_union_all,
         (SELECT count(*) FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)) AS n_intersect,
-        (SELECT count(*) FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn))    AS n_except
+        (SELECT count(*) FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn))    AS n_except,
+        (SELECT count(*) FROM (SELECT nk FROM cn INTERSECT ALL SELECT nk FROM sn)) AS n_intersect_all,
+        (SELECT count(*) FROM (SELECT nk FROM cn EXCEPT ALL SELECT nk FROM sn))    AS n_except_all
     """,
     doc="union / unionAll / intersect / except cardinalities.",
     tags=("setop",),
@@ -438,7 +476,17 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_except = cn.exceptAll(sn.distinct()).distinct().agg(
         F.count(F.lit(1)).alias("n_except")
     )
-    return n_union.crossJoin(n_union_all).crossJoin(n_intersect).crossJoin(n_except)
+    n_intersect_all = cn.intersectAll(sn).agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    n_except_all = cn.exceptAll(sn).agg(F.count(F.lit(1)).alias("n_except_all"))
+    return (
+        n_union.crossJoin(n_union_all)
+        .crossJoin(n_intersect)
+        .crossJoin(n_except)
+        .crossJoin(n_intersect_all)
+        .crossJoin(n_except_all)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -509,6 +557,83 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w4_range_frame",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour,
+        CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_rank,
+        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="RANGE frame (value/time-based window: events in the trailing "
+    "hour) + dense_rank + row_number.",
+    tags=("window", "frames"),
+)
+def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    # rangeBetween needs a numeric ordering key: seconds since epoch
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w_range).alias("n_last_hour"),
+            F.dense_rank().over(w_type).cast("bigint").alias("type_rank"),
+            F.row_number().over(w_rn).cast("bigint").alias("rn"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "s2_sort_nulls_ordering",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT c_custkey, bal,
+           CAST(row_number() OVER (ORDER BY bal DESC NULLS LAST, c_custkey) AS BIGINT)  AS rank_nulls_last,
+           CAST(row_number() OVER (ORDER BY bal ASC  NULLS FIRST, c_custkey) AS BIGINT) AS rank_nulls_first
+    FROM t
+    ORDER BY c_custkey
+    """,
+    doc="Multi-key sort with explicit NULLS FIRST/LAST placement.",
+    tags=("sort", "null"),
+)
+def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    t = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    w_last = Window.orderBy(F.desc_nulls_last("bal"), "c_custkey")
+    w_first = Window.orderBy(F.asc_nulls_first("bal"), "c_custkey")
+    return (
+        t.select(
+            "c_custkey",
+            "bal",
+            F.row_number().over(w_last).cast("bigint").alias("rank_nulls_last"),
+            F.row_number().over(w_first).cast("bigint").alias("rank_nulls_first"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar function families
 # --------------------------------------------------------------------------
@@ -561,7 +686,9 @@ def f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(month(o_orderdate) AS BIGINT)  AS o_month,
         dayname(o_orderdate)                AS o_dayname,
         o_orderdate + INTERVAL 90 DAY       AS due_date,
-        date_trunc('month', o_orderdate)    AS o_month_start
+        date_trunc('month', o_orderdate)    AS o_month_start,
+        CAST(epoch(o_orderdate) AS BIGINT)  AS epoch_s,
+        CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -579,6 +706,12 @@ def f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "EEEE").alias("o_dayname"),
             (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
             F.date_trunc("month", F.col("o_orderdate")).alias("o_month_start"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            )
+            .cast("bigint")
+            .alias("days_since_95"),
         )
         .orderBy("o_orderkey")
     )
