@@ -60,8 +60,9 @@ def test_whole_stage_codegen_on_agg_path(spark):
     assert "WholeStageCodegen subtrees" in explain_str(df, "codegen")
 
 
-def test_v1_no_shuffle_before_topk(spark):
+def test_v1_no_shuffle_of_pair_space(spark):
     """The broadcast-matmul similarity scan must not shuffle the N×N
-    pair space — only the final top-k exchange is allowed."""
+    pair space — allowed exchanges are the deliberate input spread
+    (N rows) and the final top-k merge, nothing else."""
     df = all_queries()["v1_cosine_top_pairs"].spark(spark, SF_SMOKE)
-    assert count_exchanges(df) <= 1
+    assert count_exchanges(df) <= 2

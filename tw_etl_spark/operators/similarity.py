@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _spread(df: DataFrame, min_partitions: int = 8) -> DataFrame:
+    """Ensure enough partitions that the per-batch matmuls parallelize.
+    A small parquet input often arrives as 1 split; that serializes the
+    whole scan through one Python worker (measured 8× slower at 2k×64d).
+    At real scale inputs already have many splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = min(max(min_partitions, 1), sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Collect (ids, L2-normalized float64 matrix) for broadcasting."""
     pdf = df.select(id_col, vec_col).toPandas()
@@ -101,7 +113,7 @@ def cosine_topk_pairs(
                     }
                 )
 
-    cand = df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    cand = _spread(df.select(id_col, vec_col)).mapInPandas(gen, schema=out_schema)
     return (
         cand.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "id_a", "id_b")
@@ -232,7 +244,7 @@ def cosine_threshold_pairs(
                         }
                     )
 
-    return df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    return _spread(df.select(id_col, vec_col)).mapInPandas(gen, schema=out_schema)
 
 
 def cosine_topk(
@@ -289,4 +301,4 @@ def cosine_topk(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return query_df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    return _spread(query_df.select(id_col, vec_col)).mapInPandas(gen, schema=out_schema)
