@@ -1,0 +1,88 @@
+"""Scale-path operators: salting equals direct aggregation/join, and
+bucketed tables join without a shuffle."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table
+from tw_etl_spark.operators.skew import salted_agg, salted_broadcast_left
+from tw_etl_spark.plans.inspect import explain_str
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_agg_matches_direct(spark):
+    l = read_table(spark, SF_SMOKE, "lineitem")
+    direct = {
+        (r.l_returnflag,): (r.n, round(r.s, 2))
+        for r in l.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag,): (r.n, round(r.s, 2))
+        for r in salted_agg(
+            l,
+            ["l_returnflag"],
+            32,
+            [
+                ("n", F.count(F.lit(1)), F.sum("n")),
+                ("s", F.sum("l_quantity"), F.sum("s")),
+            ],
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_broadcast_left_matches_plain_join(spark):
+    l = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = l.join(o, "l_orderkey").count()
+    salted = salted_broadcast_left(l, o, "l_orderkey", 8).count()
+    assert plain == salted
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key ⇒ sort-merge join with
+    zero Exchange — the co-located-join strategy for repeated fact-fact
+    joins at scale."""
+    l = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    (
+        l.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    # disable broadcast so the (deliberately small) test tables take the
+    # big-table SMJ path the bucketing is designed for
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # buckets align: no shuffle
+        assert joined.count() == l.join(o, l.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

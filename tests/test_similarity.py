@@ -45,3 +45,28 @@ def test_matmul_matches_hof_expression(spark):
     hof_map = {(r.qid, r.nid): r.cos for r in hof}
     for key, sim in fast.items():
         assert abs(hof_map[key] - sim) < 1e-6, key
+
+
+def test_ivf_recall_vs_exact(spark):
+    from tw_etl_spark.operators.similarity import ann_ivf_topk
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    q = v.filter(F.col("vec_id") < 50)
+    exact = cosine_topk(q, v, k=3).collect()
+    approx = ann_ivf_topk(q, v, k=3, n_lists=16, nprobe=6).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall@3 too low: {recall:.3f}"
+
+
+def test_ivf_corpus_row_in_single_list(spark):
+    """IVF invariant: every (query, neighbor) candidate appears at most
+    once — a corpus row lives in exactly one inverted list."""
+    from tw_etl_spark.operators.similarity import ann_ivf_topk
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    q = v.filter(F.col("vec_id") < 10)
+    out = ann_ivf_topk(q, v, k=3).collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in out]
+    assert len(pairs) == len(set(pairs))

@@ -315,6 +315,125 @@ def test_machine_nonempty_continues():
     assert st.active and st.retry_id == 2
 
 
+def test_machine_processing_time_timeout(spark):
+    """Watchdog: an active key with no events in the next batches takes
+    the empty-download transition via ProcessingTimeTimeout."""
+    from tw_etl_spark.streaming.state_machine import TIMEOUT_SEQ
+
+    d = tempfile.mkdtemp(prefix="smt_")
+    try:
+        # b1 starts s1 (poll attempt); b2/b3 only carry other-key events,
+        # so s1's 1 ms deadline has long expired when they process.
+        spark.createDataFrame(
+            [("s1", "online", 0, True, 2, 1, None)], EVENT_SCHEMA
+        ).coalesce(1).write.parquet(os.path.join(d, "b1"))
+        spark.createDataFrame(
+            [("s2", "online", 0, False, 2, 2, None)], EVENT_SCHEMA
+        ).coalesce(1).write.parquet(os.path.join(d, "b2"))
+        spark.createDataFrame(
+            [("s2", "download_done", 5, False, 2, 3, None)], EVENT_SCHEMA
+        ).coalesce(1).write.parquet(os.path.join(d, "b3"))
+        _pin_mtimes(d, ["b1", "b2", "b3"])
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "*"))
+        )
+        # NOT availableNow: a query with ProcessingTimeTimeout schedules
+        # state-cleanup batches indefinitely, so availableNow never
+        # terminates. Watchdog mode pairs with a continuous trigger;
+        # poll the sink for the expected transition, then stop.
+        q = (
+            retry_machine_stream(stream, timeout_ms=1)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("smt_out")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 120
+            s1 = []
+            while time.time() < deadline:
+                s1 = [
+                    (r.seq, r.action)
+                    for r in spark.sql("SELECT * FROM smt_out").collect()
+                    if r.stream_id == "s1"
+                ]
+                if (TIMEOUT_SEQ, STOP_EMPTY_POLL) in s1:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        # started, then timed out: poll attempt + empty ⇒ stop
+        assert (1, START) in s1
+        assert (TIMEOUT_SEQ, STOP_EMPTY_POLL) in s1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_machine_checkpoint_resume(spark):
+    """Kill the stream after batch 1, restart from the checkpoint with a
+    new query — keyed state must survive (the reference's resume path:
+    state.py:59-81 + manager.py:70-76, replaced by the Spark state
+    store)."""
+    d = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        data_dir, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
+        out_dir = os.path.join(d, "out")
+        os.makedirs(data_dir)
+        spark.createDataFrame(
+            [("s1", "online", 0, False, 2, 1, None)], EVENT_SCHEMA
+        ).coalesce(1).write.parquet(os.path.join(data_dir, "b1"))
+
+        def start():
+            stream = (
+                spark.readStream.schema(EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(data_dir, "*"))
+            )
+            # file sink: the one built-in sink that supports checkpoint
+            # recovery (the memory sink does not)
+            return (
+                retry_machine_stream(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q1 = start()
+        q1.awaitTermination()
+        assert {
+            (r.seq, r.action) for r in spark.read.parquet(out_dir).collect()
+        } == {(1, START)}
+
+        # second batch arrives while the query is DOWN
+        spark.createDataFrame(
+            [
+                ("s1", "download_done", 0, False, 2, 2, None),
+                ("s1", "download_done", 0, False, 2, 3, None),
+            ],
+            EVENT_SCHEMA,
+        ).coalesce(1).write.parquet(os.path.join(data_dir, "b2"))
+        _pin_mtimes(data_dir, ["b1", "b2"])
+
+        q2 = start()
+        q2.awaitTermination()
+        got = {
+            r.seq: r.action
+            for r in spark.read.parquet(out_dir).filter(F.col("seq") > 1).collect()
+        }
+        # If state had been lost, these would be DEDUP_SKIP (idle key).
+        assert got == {2: RETRY, 3: EXHAUSTED_COMPLETE}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_machine_end_to_end_streaming(spark):
     """Same machine through applyInPandasWithState over two micro-batches
     — state must persist across batches (the resume behavior,

@@ -198,6 +198,118 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    kmeans_iters: int = 8,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """Approximate nearest neighbors via IVF (inverted-file) partitioning.
+
+    The scale-path complement to ``ann_lsh_topk``: a coarse quantizer
+    (k-means over a bounded, deterministic driver-side sample) splits the
+    corpus into ``n_lists`` inverted lists; each query probes only its
+    ``nprobe`` nearest lists and exact-re-ranks those candidates.
+
+    100 TB shape: centroid training touches only ``train_sample`` rows
+    (constant, never the full corpus); list assignment is one map-side
+    Arrow-batched pass over each side (no shuffle); the candidate join
+    shuffles both sides hash-partitioned on ``list_id`` — candidate
+    volume ≈ |corpus| × nprobe / n_lists per query batch, tuned by the
+    (n_lists, nprobe) knobs exactly as in FAISS-style IVF-Flat. Unlike
+    LSH, a corpus row lives in exactly ONE list, so the candidate join
+    needs no dedup. Recall is asserted vs exact KNN in
+    tests/test_similarity.py (approximate ⇒ not in the oracle hash set).
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    # --- 1. train coarse quantizer on a deterministic bounded sample ---
+    sample = (
+        corpus_df.select(vec_col).orderBy(F.col(id_col)).limit(train_sample).toPandas()
+    )
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(X))
+    cent = X[rng.choice(len(X), n_lists, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ cent.T, axis=1)  # cosine == dot on unit vectors
+        for c in range(n_lists):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    sc = corpus_df.sparkSession.sparkContext
+    bcent = sc.broadcast(cent)
+
+    # --- 2. map-side list assignment (corpus: 1 list, query: nprobe) ---
+    def _normed(vecs: pd.Series) -> np.ndarray:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        return mat / n[:, None]
+
+    @pandas_udf(T.IntegerType())
+    def list_udf(vecs: pd.Series) -> pd.Series:
+        sims = _normed(vecs) @ bcent.value.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    probes = min(nprobe, n_lists)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        sims = _normed(vecs) @ bcent.value.T
+        top = np.argpartition(-sims, probes - 1, axis=1)[:, :probes]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    c = corpus_df.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        list_udf(F.col(vec_col)).alias("list_id"),
+    )
+    q = query_df.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
+    )
+
+    # --- 3. candidate join on list_id + exact re-rank ---
+    @pandas_udf(T.DoubleType())
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        den[den == 0] = 1.0
+        return pd.Series((A * B).sum(axis=1) / den)
+
+    scored = (
+        q.join(c, "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(pair_cos(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def cosine_threshold_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

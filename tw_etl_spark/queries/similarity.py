@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tw_etl_spark.catalog import read_table as _t
-from tw_etl_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from tw_etl_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
 from tw_etl_spark.queries import register
 
 
@@ -58,3 +58,18 @@ def v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _t(spark, sf_dir, "embeddings")
     q = v.filter(F.col("vec_id") < 20)
     return ann_lsh_topk(q, v, k=3).orderBy("query_id", "rank")
+
+
+@register(
+    "v4_ann_ivf",
+    oracle=None,  # approximate; recall vs exact asserted in tests/test_similarity.py
+    doc="IVF-partitioned ANN (k-means coarse quantizer over a bounded "
+    "sample; corpus in one inverted list each; queries probe nprobe "
+    "lists; exact re-rank). The FAISS-style scale path: candidate volume "
+    "is |corpus|·nprobe/n_lists, join hash-partitioned on list_id.",
+    tags=("vector", "ann", "ext"),
+)
+def v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    return ann_ivf_topk(q, v, k=3, n_lists=16, nprobe=4).orderBy("query_id", "rank")

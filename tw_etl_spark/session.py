@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every pandas_udf / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 10k-row default Arrow batches fragment medium results (measured
+        # 1.35× on a 45k-row window query); 100k rows/batch is still only
+        # a few MB per column, cheap at any scale.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # Dimension tables (region/nation/customer/supplier/part at any

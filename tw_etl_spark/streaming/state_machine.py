@@ -118,31 +118,67 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _machine(key, pdfs: Iterator[pd.DataFrame], group_state) -> Iterator[pd.DataFrame]:
-    if group_state.exists:
-        active, retry_id, poll_attempt, retries = group_state.get
-        state = RetryState(active, retry_id, poll_attempt, retries)
-    else:
-        state = RetryState()
-    rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("seq")
-        for ev in pdf.to_dict("records"):
-            state, action = step(state, ev)
-            rows.append((key[0], action, state.retry_id, ev["seq"]))
-    group_state.update((state.active, state.retry_id, state.poll_attempt, state.retries))
-    yield pd.DataFrame(rows, columns=["stream_id", "action", "retry_id", "seq"])
+TIMEOUT_SEQ = -1  # seq marker on timeout-generated actions
 
 
-def retry_machine_stream(events: DataFrame) -> DataFrame:
+def _make_machine(timeout_ms: int | None):
+    def _machine(
+        key, pdfs: Iterator[pd.DataFrame], group_state
+    ) -> Iterator[pd.DataFrame]:
+        if group_state.exists:
+            active, retry_id, poll_attempt, retries = group_state.get
+            state = RetryState(active, retry_id, poll_attempt, retries)
+        else:
+            state = RetryState()
+        rows = []
+        if timeout_ms is not None and getattr(group_state, "hasTimedOut", False):
+            # Watchdog semantics the reference left as a TODO
+            # (manager.py:250-266 healthcheck): a key stuck in an active
+            # attempt past the deadline is treated as a dead download —
+            # same transition as an empty download_done result.
+            if state.active:
+                state, action = step(
+                    state,
+                    {
+                        "event": DOWNLOAD_DONE,
+                        "size": 0,
+                        "poll_attempt": state.poll_attempt,
+                    },
+                )
+                rows.append((key[0], action, state.retry_id, TIMEOUT_SEQ))
+        for pdf in pdfs:
+            pdf = pdf.sort_values("seq")
+            for ev in pdf.to_dict("records"):
+                state, action = step(state, ev)
+                rows.append((key[0], action, state.retry_id, ev["seq"]))
+        group_state.update(
+            (state.active, state.retry_id, state.poll_attempt, state.retries)
+        )
+        if timeout_ms is not None and state.active:
+            group_state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(rows, columns=["stream_id", "action", "retry_id", "seq"])
+
+    return _machine
+
+
+def retry_machine_stream(
+    events: DataFrame, timeout_ms: int | None = None
+) -> DataFrame:
     """Wire the retry machine over a (streaming) events DataFrame with
     EVENT_SCHEMA. State is checkpointed per stream_id; ordering within a
     micro-batch follows the ``seq`` column (cross-batch ordering is the
-    source's responsibility, as in any log-replay design)."""
+    source's responsibility, as in any log-replay design).
+
+    With ``timeout_ms``, an active key that sees no event within the
+    deadline takes the empty-download transition (processing-time
+    watchdog). Watchdog mode requires a continuous trigger
+    (``processingTime``): ``availableNow`` never terminates under
+    ProcessingTimeTimeout because the engine keeps scheduling
+    state-cleanup batches."""
     return events.groupBy("stream_id").applyInPandasWithState(
-        _machine,
+        _make_machine(timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if timeout_ms is not None else "NoTimeout",
     )
