@@ -75,3 +75,39 @@ def test_exact_dedup_keeps_min_id(spark):
     kept = exact_dedup(both, content_col="text", id_col="doc_id")
     assert kept.count() == d.count()
     assert kept.agg(F.max("doc_id")).first()[0] < 1_000_000
+
+
+def test_connected_components_chain_cycle_star(spark):
+    """Min-label propagation: chain, cycle, star, and an isolated pair
+    all collapse to their min member; convergence beats max_iter."""
+    from tw_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+            (10, 11), (11, 12), (12, 10),    # cycle
+            (20, 21), (20, 22), (20, 23),    # star
+            (30, 31),                        # pair
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_dedup_by_components_keeps_singletons(spark):
+    from tw_etl_spark.operators.dedup import dedup_by_components
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 9)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    got = sorted(r.doc_id for r in dedup_by_components(docs, pairs).collect())
+    assert got == [1, 9]  # 2,3 fold into component 1; 9 untouched

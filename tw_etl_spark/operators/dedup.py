@@ -184,3 +184,79 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
     for b, vote in enumerate(bit_votes):
         out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(0)
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components by min-label propagation.
+
+    Returns (id, component) for every id appearing in ``pairs``, where
+    ``component`` is the minimum id reachable through the pair graph —
+    the canonical representative. This is the union-find step that turns
+    pairwise near-dup detection (Jaccard / MinHash-LSH / cosine) into an
+    actual dedup, done entirely with DataFrame joins (no driver-side
+    graph, no external graph library).
+
+    Scale shape: each iteration is one join + one min-aggregate, both
+    hash-partitioned on id — O(E) shuffle per round. Labels move one hop
+    per round, so rounds ≈ cluster diameter; near-dup clusters are
+    near-cliques (diameter ~2-3) since members share most of their
+    content, so convergence is fast regardless of corpus size.
+    ``localCheckpoint`` truncates plan lineage each round — without it
+    the plan doubles per iteration and the driver, not the data, becomes
+    the bottleneck.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels.withColumnRenamed("id", "a"), "a").select(
+            F.col("b").alias("id"), "component"
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Survivor set of a near-dedup: drop every row whose component
+    representative is a different (smaller) id; rows in no pair survive
+    untouched (they never enter the component table)."""
+    losers = connected_components(pairs, src, dst).filter(
+        F.col("id") != F.col("component")
+    )
+    return df.join(
+        losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )

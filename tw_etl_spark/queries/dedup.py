@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from tw_etl_spark.catalog import read_table as _t
 from tw_etl_spark.operators.dedup import (
+    connected_components,
+    dedup_by_components,
     exact_dedup,
     exact_jaccard_pairs,
     minhash_lsh_pairs,
@@ -128,3 +130,83 @@ def dd4(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd5(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _t(spark, sf_dir, "embeddings")
     return cosine_threshold_pairs(v, threshold=0.45).orderBy("id_a", "id_b")
+
+
+# Shared DuckDB fragment: exact-Jaccard near-dup pairs at >= 0.95
+# (identical to dd2's result) as a CTE prelude.
+_PAIRS_CTE = f"""
+    tok AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
+    sizes AS (SELECT doc_id AS doc, len(toks) AS n FROM tok),
+    shared AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS sh
+        FROM ex a JOIN ex b ON a.tk = b.tk AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes sa ON id_a = sa.doc
+        JOIN sizes sb ON id_b = sb.doc
+        WHERE round(sh / (sa.n + sb.n - sh), 6) >= 0.95
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    )
+"""
+
+
+@register(
+    "dd6_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE}
+    SELECT id AS doc_id, component FROM comp ORDER BY doc_id
+    """,
+    doc="Union-find over exact-Jaccard near-dup pairs via iterative "
+    "min-label joins (no graph library, no driver-side graph): "
+    "(doc_id, component=min reachable id). Oracle = DuckDB recursive CTE.",
+    tags=("dedup", "components", "ext"),
+)
+def dd6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(d, threshold=0.95)
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dd7_neardup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE}
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    ORDER BY d.doc_id
+    """,
+    doc="Full near-dedup: keep one document (min id) per Jaccard>=0.95 "
+    "component; untouched singletons pass through. The end-to-end "
+    "training-data dedup pipeline (pairs -> components -> anti-join).",
+    tags=("dedup", "components", "ext"),
+)
+def dd7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(d, threshold=0.95)
+    return (
+        dedup_by_components(d, pairs)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
