@@ -44,13 +44,19 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
-    # Bench-scale tuning: AQE would pick these on a cluster; local[N]
-    # with ~MB inputs wants few shuffle partitions and tight coalescing.
+    # Bench-scale tuning: local[N] with ~MB inputs wants few shuffle
+    # partitions, statically. AQE (the 100 TB default in session.py) is
+    # disabled HERE only: its per-stage runtime re-planning adds fixed
+    # round-trips that cost ~2x on ms-scale queries (measured: w1
+    # 127->56 ms, q1 68->34 ms) while its benefits (skew splitting,
+    # partition coalescing, join re-selection) only materialize when
+    # stage statistics are big enough to act on. Same declarative plans,
+    # different physical-tuning regime per data scale.
     spark = get_spark(
         app_name="tw-etl-spark-bench",
         extra_conf={
             "spark.sql.shuffle.partitions": "8",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+            "spark.sql.adaptive.enabled": "false",
         },
     )
     specs = all_queries()
