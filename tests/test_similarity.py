@@ -70,3 +70,33 @@ def test_ivf_corpus_row_in_single_list(spark):
     out = ann_ivf_topk(q, v, k=3).collect()
     pairs = [(r.query_id, r.neighbor_id) for r in out]
     assert len(pairs) == len(set(pairs))
+
+
+def test_quantized_topk_recall(spark):
+    """int8 candidate pass + exact re-rank: recall@3 vs full-precision
+    exact must be ~1 (quantization error absorbed by over-fetch)."""
+    from tw_etl_spark.operators.similarity import cosine_topk_quantized
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    q = v.filter(F.col("vec_id") < 50)
+    exact = cosine_topk(q, v, k=3).collect()
+    quant = cosine_topk_quantized(q, v, k=3, rerank_factor=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    quant_set = {(r.query_id, r.neighbor_id) for r in quant}
+    recall = len(exact_set & quant_set) / len(exact_set)
+    assert recall >= 0.95, f"quantized recall@3 too low: {recall:.3f}"
+
+
+def test_quantize_embeddings_roundtrip_error(spark):
+    from tw_etl_spark.operators.similarity import quantize_embeddings
+
+    v = read_table(spark, SF_SMOKE, "embeddings").limit(50)
+    q, scale = quantize_embeddings(v)
+    row = q.select("embedding", "q_embedding").first()
+    import numpy as np
+
+    orig = np.array(row.embedding, dtype=np.float64)
+    deq = np.array(row.q_embedding, dtype=np.float64) / scale
+    # max abs error bounded by half a quantization step
+    assert np.abs(orig - deq).max() <= 0.5 / scale + 1e-9
+    assert q.schema["q_embedding"].dataType.simpleString() == "array<tinyint>"

@@ -414,3 +414,111 @@ def cosine_topk(
                 yield pd.concat(out, ignore_index=True)
 
     return _spread(query_df.select(id_col, vec_col)).mapInPandas(gen, schema=out_schema)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+) -> tuple[DataFrame, float]:
+    """Symmetric int8 scalar quantization of an embedding column.
+
+    Returns (df + ``out_col: array<tinyint>``, scale). One aggregate pass
+    finds the global max |x|; each component maps to
+    round(x * 127 / max_abs). Entirely JVM-side (``F.transform``), no
+    Python in the quantization path. At 100 TB this is the
+    shuffle/storage lever SURVEY §7(f) calls for: 4 bytes -> 1 byte per
+    component = 4x less broadcast/shuffle/scan for candidate generation;
+    exactness is recovered by re-ranking survivors against the original
+    float column.
+    """
+    max_abs = df.select(
+        F.max(F.aggregate(vec_col, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))))
+    ).first()[0]
+    scale = 127.0 / max_abs if max_abs else 1.0
+    q = df.withColumn(
+        out_col,
+        F.transform(F.col(vec_col), lambda x: F.round(x * F.lit(scale)).cast("tinyint")),
+    )
+    return q, scale
+
+
+def cosine_topk_quantized(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Exact-rank top-k with an int8-quantized candidate pass.
+
+    The corpus is broadcast as an int8 matrix (4x smaller than float32);
+    each query batch scores candidates with an integer matmul, keeps
+    ``k * rerank_factor`` survivors, and re-ranks only those in float64
+    against the original vectors. Same output contract as
+    ``cosine_topk``; quantization error is confined to the candidate
+    cut, which ``rerank_factor`` over-fetching absorbs (recall asserted
+    in tests).
+    """
+    sc = query_df.sparkSession.sparkContext
+    pdf = corpus_df.select(id_col, vec_col).toPandas()
+    c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+    c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(c_mat, axis=1)
+    norms[norms == 0] = 1.0
+    c_unit = c_mat / norms[:, None]
+    max_abs = np.abs(c_unit).max() or 1.0
+    c_q = np.round(c_unit * (127.0 / max_abs)).astype(np.int8)
+    b = sc.broadcast((c_ids, c_q, c_unit))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    n_cand = k * rerank_factor
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qmat, unit = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            q_unit = q / qn[:, None]
+            # int8 candidate pass: quantize the query side too, integer
+            # matmul (int32 accumulation), coarse scores only for the cut
+            q_q = np.round(q_unit * 127.0).astype(np.int8)
+            coarse = q_q.astype(np.int32) @ qmat.astype(np.int32).T
+            out = []
+            for i, qid in enumerate(q_ids):
+                s = coarse[i].astype(np.float64)
+                s[ids == qid] = -np.inf
+                take = min(n_cand, len(s))
+                cand = np.argpartition(-s, take - 1)[:take]
+                # exact re-rank of survivors only
+                exact = unit[cand] @ q_unit[i]
+                kk = min(k, len(cand))
+                best = np.argpartition(-exact, kk - 1)[:kk]
+                best = best[np.lexsort((ids[cand][best], -exact[best]))]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, qid, dtype=np.int64),
+                            "neighbor_id": ids[cand][best],
+                            "rank": np.arange(1, kk + 1, dtype=np.int32),
+                            "cos_sim": exact[best],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return _spread(query_df.select(id_col, vec_col)).mapInPandas(gen, schema=out_schema)

@@ -73,3 +73,24 @@ def v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _t(spark, sf_dir, "embeddings")
     q = v.filter(F.col("vec_id") < 20)
     return ann_ivf_topk(q, v, k=3, n_lists=16, nprobe=4).orderBy("query_id", "rank")
+
+
+@register(
+    "v5_knn_quantized",
+    oracle=None,  # int8 candidate cut is approximate; recall unit-tested
+    doc="Top-k with an int8-quantized candidate pass (4x smaller "
+    "broadcast, integer matmul) and exact float re-rank of the "
+    "k*rerank_factor survivors. The shuffle/memory lever for vector "
+    "search at 100 TB (SURVEY hard-part f).",
+    tags=("vector", "knn", "quantized", "ext"),
+)
+def v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.similarity import cosine_topk_quantized
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    return (
+        cosine_topk_quantized(q, v, k=3, rerank_factor=4)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+        .orderBy("query_id", "rank")
+    )
