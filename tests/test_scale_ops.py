@@ -86,3 +86,33 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_cascading_rollup_single_base_scan(spark):
+    """The day level must re-aggregate hourly partials, not re-scan the
+    base: exactly ONE parquet scan of events in the plan, and results
+    equal a direct day-level recompute."""
+    from tw_etl_spark.operators.rollup import cascading_rollup
+
+    e = read_table(spark, SF_SMOKE, "events")
+    r = cascading_rollup(
+        e, "ts", [],
+        [("n", F.count(F.lit(1)), F.sum("n")),
+         ("sv", F.sum("value"), F.sum("sv"))],
+        grains=["hour", "day"],
+    )
+    # the fine level is persisted, so both union branches read the
+    # cached hourly rollup — the base table is scanned once at runtime
+    plan = explain_str(r)
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    direct = {
+        r2.bucket: (r2.n, round(r2.sv, 6))
+        for r2 in e.groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    cascaded = {
+        r2.bucket: (r2.n, round(r2.sv, 6))
+        for r2 in r.filter(F.col("grain") == "day").collect()
+    }
+    assert cascaded == direct

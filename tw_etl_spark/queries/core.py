@@ -434,3 +434,39 @@ def v1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _t(spark, sf_dir, "embeddings")
     return cosine_topk_pairs(v, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@register(
+    "e4_multigrain_rollup",
+    oracle="""
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+           count(*) AS n, round(sum(value), 2) AS sv
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day' AS grain, date_trunc('day', ts) AS bucket,
+           count(*) AS n, round(sum(value), 2) AS sv
+    FROM events GROUP BY 2
+    ORDER BY grain, bucket
+    """,
+    doc="Cascading hour->day rollup: the day level re-aggregates the "
+    "hourly partials instead of re-scanning the base table — one base "
+    "scan total regardless of grain count (hypertable rollup pattern).",
+    tags=("agg", "time", "rollup"),
+)
+def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.rollup import cascading_rollup
+
+    e = _t(spark, sf_dir, "events")
+    r = cascading_rollup(
+        e,
+        "ts",
+        [],
+        [
+            ("n", F.count(F.lit(1)), F.sum("n")),
+            ("sv", F.sum("value"), F.sum("sv")),
+        ],
+        grains=["hour", "day"],
+    )
+    return r.select(
+        "grain", "bucket", "n", F.round("sv", 2).alias("sv")
+    ).orderBy("grain", "bucket")
