@@ -196,3 +196,89 @@ def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("storage_class", "suffix")
     )
+
+
+@register(
+    "x1_training_data_pipeline",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+        WHERE n_chars BETWEEN 20 AND 100000 AND lang IN ('en', 'de', 'fr')
+    ),
+    keep_exact AS (
+        SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)
+    ),
+    b2 AS (
+        SELECT b.doc_id, b.lang, list_distinct(b.toks) AS toks, len(b.toks) AS n_tok
+        FROM base b JOIN keep_exact k ON b.doc_id = k.doc_id
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM b2),
+    sizes AS (SELECT doc_id AS doc, len(toks) AS n FROM b2),
+    shared AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS sh
+        FROM ex a JOIN ex b ON a.tk = b.tk AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes sa ON id_a = sa.doc
+        JOIN sizes sb ON id_b = sb.doc
+        WHERE round(sh / (sa.n + sb.n - sh), 6) >= 0.95
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    ),
+    survivors AS (
+        SELECT * FROM b2
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM survivors GROUP BY lang ORDER BY lang
+    """,
+    doc="End-to-end training-data curation: quality/lang gate -> exact "
+    "dedup (keep min id per md5) -> near-dup collapse (Jaccard>=0.95 "
+    "pairs -> connected components -> survivor anti-join) -> per-lang "
+    "corpus stats. One composed DataFrame plan; every stage is the "
+    "library operator it demos.",
+    tags=("pipeline", "dedup", "ext"),
+)
+def x1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import (
+        dedup_by_components,
+        exact_dedup,
+        exact_jaccard_pairs,
+    )
+    from tw_etl_spark.operators.text import tokens_expr
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").between(20, 100000))
+        .filter(F.col("lang").isin("en", "de", "fr"))
+    )
+    d = exact_dedup(d, content_col="text", id_col="doc_id")
+    pairs = exact_jaccard_pairs(d, threshold=0.95)
+    survivors = dedup_by_components(d, pairs).withColumn(
+        "n_tok", F.size(tokens_expr(F.col("text")))
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
