@@ -531,3 +531,30 @@ def test_machine_tws_matches_apply_in_pandas(spark):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_update_mode_converges_to_batch(spark, replay_dir):
+    """Update output mode (SURVEY §2.2 streaming sinks): applying each
+    micro-batch's updated rows over the previous state must converge to
+    the batch aggregate — the sink-side contract of update mode."""
+    batch = read_table(spark, SF_SMOKE, "events")
+    stream = _stream(spark, replay_dir)
+    agg = tumbling_agg(stream, "ts", "1 hour", ["event_type"], AGGS())
+    state = {}
+
+    def apply_updates(bdf, _bid):
+        for r in bdf.collect():
+            state[(r.win.start, r.event_type)] = (r.n, round(r.sv, 2))
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(apply_updates)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = {
+        (r.win.start, r.event_type): (r.n, round(r.sv, 2))
+        for r in tumbling_agg(batch, "ts", "1 hour", ["event_type"], AGGS()).collect()
+    }
+    assert state == want
