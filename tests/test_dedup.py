@@ -111,3 +111,21 @@ def test_dedup_by_components_keeps_singletons(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
     got = sorted(r.doc_id for r in dedup_by_components(docs, pairs).collect())
     assert got == [1, 9]  # 2,3 fold into component 1; 9 untouched
+
+
+def test_jaccard_max_df_guard(spark):
+    """Stop-token cap: a generous cap changes nothing; max_df=1 leaves
+    no shared tokens, hence no pairs."""
+    from tw_etl_spark.operators.dedup import exact_jaccard_pairs
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in exact_jaccard_pairs(d, threshold=0.95).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in exact_jaccard_pairs(d, threshold=0.95, max_df=10**9).collect()
+    }
+    assert base == capped and base  # identical, and non-trivial
+    assert exact_jaccard_pairs(d, threshold=0.0, max_df=1).count() == 0

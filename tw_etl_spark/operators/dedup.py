@@ -51,13 +51,31 @@ def exact_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.95,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over all pairs sharing ≥1 token.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     rounded to 6 for oracle comparison.
+
+    ``max_df`` is the skew guard for scale: the token self-join blows up
+    quadratically in documents-per-token, and the hottest tokens (stop
+    words, boilerplate) carry ~zero Jaccard signal while causing all of
+    the skew. With ``max_df`` set, tokens appearing in more than that
+    many documents are dropped from BOTH the pair candidates and the
+    per-doc set sizes, so the result is the exact Jaccard over the
+    retained token space. Default ``None`` = fully exact (the oracle
+    contract).
     """
     ex = token_set_df(df, id_col, text_col)
+    if max_df is not None:
+        hot = (
+            ex.groupBy("tk")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("tk")
+        )
+        ex = ex.join(hot, "tk", "left_anti")
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
