@@ -129,3 +129,36 @@ def test_jaccard_max_df_guard(spark):
     }
     assert base == capped and base  # identical, and non-trivial
     assert exact_jaccard_pairs(d, threshold=0.0, max_df=1).count() == 0
+
+
+def test_deterministic_split_properties(spark):
+    """Split is a pure function of (id, salt): stable across calls,
+    proportions roughly honored, different salt ⇒ different draw."""
+    from tw_etl_spark.operators.sampling import deterministic_split
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r.doc_id: r.split for r in deterministic_split(d, "doc_id", w).collect()}
+    s2 = {r.doc_id: r.split for r in deterministic_split(d, "doc_id", w).collect()}
+    assert s1 == s2  # reproducible
+    n = len(s1)
+    frac_train = sum(v == "train" for v in s1.values()) / n
+    assert 0.7 < frac_train < 0.9
+    s3 = {
+        r.doc_id: r.split
+        for r in deterministic_split(d, "doc_id", w, salt="v2").collect()
+    }
+    assert s1 != s3  # independent draw under a new salt
+
+
+def test_component_split_no_leakage(spark):
+    """Every near-dup pair must land in the same split."""
+    from tw_etl_spark.operators.dedup import exact_jaccard_pairs
+    from tw_etl_spark.operators.sampling import component_split
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    pairs = exact_jaccard_pairs(d, threshold=0.95)
+    s = component_split(d, pairs, "doc_id", {"train": 0.5, "test": 0.5})
+    lab = {r.doc_id: r.split for r in s.collect()}
+    for p in pairs.collect():
+        assert lab[p.id_a] == lab[p.id_b], (p.id_a, p.id_b)

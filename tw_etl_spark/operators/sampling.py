@@ -1,0 +1,78 @@
+"""Deterministic dataset splitting / sampling for training pipelines.
+
+`df.randomSplit` is seed- and partitioning-dependent: the same row can
+land in different splits across runs, cluster sizes, or engine versions
+— unacceptable for train/test membership at 100 TB where splits must be
+reproducible forever. These operators derive the split from a content
+hash instead: map-only (no shuffle, no sample+subtract double-scan),
+identical in every engine that agrees on md5 (the DuckDB oracle does).
+
+`component_split` additionally closes the near-dup leakage hole: if two
+near-duplicate documents land in train and test, the split is
+contaminated. Hashing the *component representative* (from
+`dedup.connected_components`) instead of the row id puts every member
+of a near-dup cluster in the same split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tw_etl_spark.operators.dedup import connected_components
+
+_BUCKETS = 10_000
+
+
+def split_bucket_expr(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from md5 of the (salted) key —
+    engine-portable: Spark `conv(hex,16,10)` ≡ DuckDB `'0x…'::BIGINT`."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BUCKETS).alias(
+        "bucket"
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label with proportions ``weights``
+    (e.g. {'train': .8, 'val': .1, 'test': .1}), decided solely by
+    md5(id + salt). Change ``salt`` to draw an independent split."""
+    total = sum(weights.values())
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    bucket = split_bucket_expr(F.col(id_col), salt)
+    for name in names[:-1]:
+        acc += weights[name] / total * _BUCKETS
+        cond = bucket < int(round(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def component_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-aware split: rows connected through near-dup ``pairs``
+    (id_a, id_b) always share a split, because the hash key is the
+    component representative (min reachable id; rows in no pair
+    represent themselves)."""
+    comp = connected_components(pairs).select(
+        F.col("id").alias(id_col), "component"
+    )
+    with_comp = df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+    out = deterministic_split(with_comp, "component", weights, salt, split_col)
+    return out.drop("component")

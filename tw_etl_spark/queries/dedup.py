@@ -210,3 +210,50 @@ def dd7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x2_leakage_aware_split",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    comp_all AS (
+        SELECT d.doc_id, d.lang,
+               coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    labeled AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS bucket
+        FROM comp_all
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM labeled GROUP BY 1 ORDER BY split
+    """,
+    doc="Deterministic leakage-aware 80/10/10 split: hash the near-dup "
+    "component representative (not the row id) so every member of a "
+    "Jaccard>=0.95 cluster shares a split; membership is a pure function "
+    "of md5, reproducible across engines/runs/cluster sizes (no "
+    "randomSplit nondeterminism).",
+    tags=("pipeline", "split", "ext"),
+)
+def x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sampling import component_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(d, threshold=0.95)
+    s = component_split(
+        d, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
