@@ -43,3 +43,35 @@ def test_lang_id_total_and_in_domain(spark):
         .collect()
     )
     assert {r.p for r in preds} <= {"en", "de", "es", "fr", "zh", "und"}
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing: every doc appears once; no pack exceeds the budget
+    (except single oversized docs); deterministic; waste bounded."""
+    from tw_etl_spark.operators.packing import pack_sequences
+    from tw_etl_spark.operators.text import token_count_expr
+
+    d = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tok")
+    )
+    budget = 256
+    packed = pack_sequences(d, "doc_id", "n_tok", budget).toPandas()
+    # completeness: every doc exactly once
+    assert sorted(packed["doc_id"]) == sorted(
+        r.doc_id for r in d.collect()
+    )
+    # budget respected per pack unless the pack is a single oversized doc
+    g = packed.groupby("pack_id").agg(total=("n_tok", "sum"), n=("doc_id", "count"))
+    bad = g[(g["total"] > budget) & (g["n"] > 1)]
+    assert bad.empty, bad
+    # deterministic
+    again = pack_sequences(d, "doc_id", "n_tok", budget).toPandas()
+    a = packed.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "pack_id"]].equals(b[["doc_id", "pack_id"]])
+    # waste bound: packs <= FFD bound + one underfull pack per bucket
+    total_tok = int(packed["n_tok"].sum())
+    lower = -(-total_tok // budget)  # ceil
+    n_packs = packed["pack_id"].nunique()
+    n_buckets = packed["bucket"].nunique()
+    assert n_packs <= (11 * lower) // 9 + 1 + n_buckets, (n_packs, lower, n_buckets)

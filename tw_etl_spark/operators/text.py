@@ -113,3 +113,32 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id_expr(toks))
         .withColumn("fingerprint", fingerprint_expr(F.col(text_col)))
     )
+
+
+def trigrams_expr(toks: Column) -> Column:
+    """Token trigrams as strings (empty array when <3 tokens)."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio_expr(text: Column) -> Column:
+    """Fraction of repeated token trigrams: 1 - distinct/total (0 for
+    short docs). The repeated-n-gram quality rule used by large-corpus
+    curation pipelines: high ratio flags boilerplate/spam/looping text.
+    Pure JVM higher-order functions — no UDF in the scan path."""
+    tri = trigrams_expr(tokens_expr(text))
+    total = F.size(tri)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(tri)) / total.cast("double"),
+    ).otherwise(F.lit(0.0))

@@ -16,6 +16,7 @@ from tw_etl_spark.operators.text import (
     LANG_PROFILES,
     bpe_token_count_expr,
     fingerprint_expr,
+    token_count_expr,
     lang_id_expr,
     quality_score_expr,
     rolling_hash_expr,
@@ -217,4 +218,80 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", rolling_hash_expr(F.col("text")).alias("rhash"))
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "t7_repetition_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    tri AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END AS tg
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(tg) > 0
+                    THEN 1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)
+                    ELSE 0.0 END AS rep
+        FROM tri
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (rep > 0.2) AS BIGINT) AS n_repetitive,
+           round(avg(rep), 6) AS avg_rep
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    doc="Repeated-trigram quality rule (corpus-curation style): per-doc "
+    "1 - distinct/total trigram ratio, rolled up per language with a "
+    ">0.2 repetitive-doc count. Entirely JVM-side higher-order "
+    "functions; the trigram construction never leaves the scan stage.",
+    tags=("text", "quality", "ext"),
+)
+def t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.text import repetition_ratio_expr
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("lang", repetition_ratio_expr(F.col("text")).alias("rep"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("rep") > 0.2).cast("bigint").alias("n_repetitive"),
+            F.round(F.avg("rep"), 6).alias("avg_rep"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x3_sequence_packing",
+    oracle=None,  # per-group imperative assignment; invariants unit-tested
+    doc="First-fit-decreasing sequence packing of documents into "
+    "256-token packs, hash-bucketed for parallelism (one shuffle + "
+    "Arrow-batched per-bucket packing). Summary: packs, docs, fill "
+    "rate. Invariants (completeness, budget, determinism, FFD waste "
+    "bound) in tests/test_text.py.",
+    tags=("pipeline", "packing", "ext"),
+)
+def x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.packing import pack_sequences
+
+    budget = 256
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tok")
+    )
+    packed = pack_sequences(d, "doc_id", "n_tok", budget)
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_tok").alias("tok"), F.count(F.lit(1)).alias("docs"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+            F.sum("docs").cast("bigint").alias("n_docs"),
+            F.round(F.avg(F.col("tok") / budget), 4).alias("avg_fill"),
+        )
     )
