@@ -75,3 +75,17 @@ def test_pack_sequences_invariants(spark):
     n_packs = packed["pack_id"].nunique()
     n_buckets = packed["bucket"].nunique()
     assert n_packs <= (11 * lower) // 9 + 1 + n_buckets, (n_packs, lower, n_buckets)
+
+
+def test_tfidf_invariants(spark):
+    from tw_etl_spark.operators.text import tf_idf
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    out = tf_idf(d, stopwords=["the", "a"]).toPandas()
+    # stopwords never survive into the scored terms
+    assert not set(out["tk"]) & {"the", "a"}
+    # smooth idf >= 1 (ln >= 0), tf >= 1 => tfidf >= tf > 0
+    assert (out["tfidf"] >= out["tf"] - 1e-12).all()
+    assert (out["tf"] >= 1.0).all()
+    # one row per (doc, token)
+    assert not out.duplicated(["doc", "tk"]).any()

@@ -115,6 +115,49 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def remove_stopwords_expr(toks: Column, stopwords: list[str]) -> Column:
+    """Drop stopword tokens from a token array (JVM-side higher-order
+    filter; the stopword list is a literal array, so it ships inside the
+    serialized plan — no join, no UDF)."""
+    lit_set = F.array(*[F.lit(w) for w in stopwords])
+    return F.filter(toks, lambda t: ~F.array_contains(lit_set, t))
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Per-(doc, token) TF-IDF over a corpus: smooth-idf variant
+    ``tf * (ln((N+1)/(df+1)) + 1)`` (the scikit-learn formula), tf = raw
+    in-doc term count.
+
+    Returns (doc, tk, tf, tfidf). Scale shape: one explode -> two
+    map-side-combinable aggregations (term counts per doc; document
+    frequency per token) -> the per-token idf table joins back
+    broadcast (the aggregated vocabulary is tiny next to the corpus —
+    one row per distinct token, not per occurrence); corpus size N is a
+    1-row broadcast cross join, so the whole plan has exactly one wide
+    shuffle (the explode->groupBy) regardless of corpus size.
+    """
+    toks = tokens_expr(F.col(text_col))
+    if stopwords:
+        toks = remove_stopwords_expr(toks, stopwords)
+    ex = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tk"))
+    tf = ex.groupBy("doc", "tk").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = ex.groupBy("tk").agg(
+        F.count_distinct("doc").cast("double").alias("dfq")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("dfq") + 1)) + 1
+    return (
+        tf.join(F.broadcast(dfreq), "tk")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc", "tk", "tf", (F.col("tf") * idf).alias("tfidf"))
+    )
+
+
 def trigrams_expr(toks: Column) -> Column:
     """Token trigrams as strings (empty array when <3 tokens)."""
     return F.when(

@@ -268,6 +268,66 @@ def t7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORDS = ["the", "a"]
+
+
+@register(
+    "t8_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tk FROM documents
+    ), kept AS (
+        SELECT doc_id, tk FROM toks
+        WHERE tk NOT IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})
+    ), tf AS (
+        SELECT doc_id, tk, CAST(count(*) AS DOUBLE) AS tf
+        FROM kept GROUP BY doc_id, tk
+    ), dfreq AS (
+        SELECT tk, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfq
+        FROM kept GROUP BY tk
+    ), n AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+        SELECT doc_id, tf.tk,
+               tf * (ln((n_docs + 1) / (dfq + 1)) + 1) AS tfidf
+        FROM tf JOIN dfreq USING (tk) CROSS JOIN n
+    )
+    SELECT doc_id, tk, round(tfidf, 6) AS tfidf, rnk
+    FROM (
+        SELECT doc_id, tk, tfidf,
+               rank() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tk) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk, tk
+    """,
+    doc="TF-IDF (smooth-idf, sklearn formula) with stopword removal; "
+    "top-3 terms per document. One wide shuffle; idf table and corpus "
+    "size join back broadcast.",
+    tags=("text", "ext", "tfidf"),
+)
+def t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.operators.text import tf_idf
+
+    d = _t(spark, sf_dir, "documents")
+    scored = tf_idf(d, stopwords=_STOPWORDS)
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("tk"))
+    return (
+        scored.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "tk",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rnk",
+        )
+        .orderBy("doc_id", "rnk", "tk")
+    )
+
+
 @register(
     "x3_sequence_packing",
     oracle=None,  # per-group imperative assignment; invariants unit-tested
