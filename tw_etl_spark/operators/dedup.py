@@ -168,12 +168,19 @@ def minhash_lsh_pairs(
     some band of the signatures collides, then is kept iff the estimated
     Jaccard (fraction of agreeing signature positions) ≥ threshold.
     Returns (id_a, id_b, est_jaccard).
+
+    Shuffle discipline for scale: the band self-join and the pair
+    de-duplication move ONLY (band, bucket, id) / (id_a, id_b) — never
+    the signatures. On dup-heavy corpora a bucket with d docs emits
+    O(d^2) pairs, and each band membership multiplies that; carrying
+    two num_hashes-long arrays through those stages multiplies shuffle
+    bytes by ~2*num_hashes. Signatures re-attach AFTER the distinct, so
+    verification touches each surviving pair once.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes).cache()
     banded = sig.select(
-        F.col(id_col),
-        F.col("signature"),
+        F.col(id_col).alias("doc"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -191,7 +198,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "signature", F.col("bb.band"), F.col("bb.bucket"))
+    ).select("doc", F.col("bb.band"), F.col("bb.bucket"))
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -199,25 +206,25 @@ def minhash_lsh_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
     )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
     )
     est = agree / F.lit(num_hashes)
-    return cand.select(
-        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= threshold)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
 
 
 def simhash_expr(text: Column, bits: int = 32) -> Column:
