@@ -162,3 +162,43 @@ def test_component_split_no_leakage(spark):
     lab = {r.doc_id: r.split for r in s.collect()}
     for p in pairs.collect():
         assert lab[p.id_a] == lab[p.id_b], (p.id_a, p.id_b)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from tw_etl_spark.operators.sampling import stratified_sample
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    rates = {"en": 0.5, "de": 0.25}
+    kept = stratified_sample(d, "lang", rates, id_col="doc_id")
+    pdf = kept.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    tot = d.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, r in rates.items():
+        got = pdf.get(lang, 0) / tot[lang]
+        assert abs(got - r) < 0.1, (lang, got, r)
+    # strata without a configured rate are kept in full
+    others = [l for l in tot.index if l not in rates]
+    for lang in others:
+        assert pdf.get(lang, 0) == tot[lang], lang
+    # deterministic: second run keeps the identical id set
+    again = stratified_sample(d, "lang", rates, id_col="doc_id")
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(r.doc_id for r in again.select("doc_id").collect())
+    assert a == b
+
+
+def test_ngram_decontaminate_modes_agree(spark):
+    from tw_etl_spark.operators.dedup import ngram_decontaminate
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    clean = ngram_decontaminate(corpus, bench, n=3)
+    marked = ngram_decontaminate(corpus, bench, n=3, mark_only=True)
+    clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    flags = {r.doc_id: r.contaminated for r in marked.select("doc_id", "contaminated").collect()}
+    # drop-mode == mark-mode's unflagged set; every corpus row is marked
+    assert clean_ids == {i for i, c in flags.items() if not c}
+    assert set(flags) == {r.doc_id for r in corpus.select("doc_id").collect()}
+    # a doc that IS a benchmark doc's duplicate must be contaminated
+    # (the fixture has exact dup clusters crossing the %97 boundary)
+    assert any(flags.values())

@@ -325,3 +325,46 @@ def dedup_by_components(
     return df.join(
         losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop (or, with ``mark_only``, flag)
+    corpus documents that share ANY token n-gram with a benchmark/eval
+    corpus — the standard guard against test-set contamination in
+    training data.
+
+    Scale shape: the benchmark side reduces to its DISTINCT n-gram
+    64-bit hashes — eval sets are MBs next to a 100 TB corpus, so that
+    set broadcasts, and the corpus-side semi-join happens map-side
+    inside the scan stage with NO shuffle of the exploded corpus
+    n-grams. Only the contaminated id set (tiny) is shuffled for the
+    final anti/left join.
+    """
+    from tw_etl_spark.operators.text import ngrams_expr, tokens_expr
+
+    def grams(df: DataFrame) -> DataFrame:
+        g = F.explode(ngrams_expr(tokens_expr(F.col(text_col)), n))
+        return df.select(F.col(id_col).alias("doc"), g.alias("g")).select(
+            "doc", F.xxhash64("g").alias("gh")
+        )
+
+    bench = F.broadcast(grams(benchmark).select("gh").distinct())
+    dirty = (
+        grams(corpus)
+        .join(bench, "gh", "left_semi")
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
+    if mark_only:
+        flag = dirty.withColumn("contaminated", F.lit(True))
+        return corpus.join(flag, id_col, "left").withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False))
+        )
+    return corpus.join(dirty, id_col, "left_anti")

@@ -56,6 +56,32 @@ def deterministic_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (domain mixing): keep a
+    row iff its md5 bucket falls under its stratum's keep rate. The
+    standard way to hit a target corpus mixture (e.g. re-weight
+    languages or sources before training). Map-only — no shuffle, no
+    sample()+subtract double scan — and reproducible forever: membership
+    depends only on (id, salt), never on partitioning or engine version.
+    Strata absent from ``rates`` keep ``default_rate``."""
+    bucket = split_bucket_expr(F.col(id_col), salt)
+    cut: Column | None = None
+    for name, r in rates.items():
+        lim = F.lit(int(round(r * _BUCKETS)))
+        cond = F.col(stratum_col) == name
+        cut = F.when(cond, lim) if cut is None else cut.when(cond, lim)
+    default_lim = F.lit(int(round(default_rate * _BUCKETS)))
+    cut = default_lim if cut is None else cut.otherwise(default_lim)
+    return df.filter(bucket < cut)
+
+
 def component_split(
     df: DataFrame,
     pairs: DataFrame,

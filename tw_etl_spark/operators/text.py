@@ -158,20 +158,23 @@ def tf_idf(
     )
 
 
-def trigrams_expr(toks: Column) -> Column:
-    """Token trigrams as strings (empty array when <3 tokens)."""
+def ngrams_expr(toks: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings (empty array when <n
+    tokens). Pure higher-order functions — never leaves the scan stage."""
     return F.when(
-        F.size(toks) >= 3,
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def trigrams_expr(toks: Column) -> Column:
+    """Token trigrams as strings (empty array when <3 tokens)."""
+    return ngrams_expr(toks, 3)
 
 
 def repetition_ratio_expr(text: Column) -> Column:

@@ -282,3 +282,96 @@ def x1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_MIX_RATES = {"en": 0.5, "de": 0.25}
+_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 10000"
+)
+
+
+@register(
+    "x4_stratified_mix",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(count(*) FILTER (bucket <
+               CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                         ELSE 10000 END) AS BIGINT) AS n_kept
+    FROM (SELECT lang, {_BUCKET_SQL} AS bucket FROM documents)
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Deterministic stratified downsampling (domain mixing): keep "
+    "50% of en, 25% of de, 100% of other languages, decided by "
+    "md5(doc_id) bucket — map-only, reproducible across engines and "
+    "partitionings. Output: per-language in/kept counts.",
+    tags=("pipeline", "sampling", "ext"),
+)
+def x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(d, "lang", _MIX_RATES, id_col="doc_id")
+    tot = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+    k = kept.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    return (
+        tot.join(k, "lang", "left")
+        .select("lang", "n_in", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x5_benchmark_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END AS tg
+        FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(tg) AS g FROM grams WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+    dirty AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(tg) AS g FROM corpus)
+        WHERE g IN (SELECT g FROM bench)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM dirty))
+                AS BIGINT) AS n_contaminated
+    FROM corpus GROUP BY lang ORDER BY lang
+    """,
+    doc="Benchmark decontamination: flag corpus docs sharing any token "
+    "trigram with a held-out benchmark slice (doc_id %% 97 == 0). The "
+    "benchmark reduces to a broadcast set of distinct n-gram hashes, so "
+    "the corpus-side membership test runs inside the scan stage with no "
+    "shuffle of exploded n-grams.",
+    tags=("pipeline", "dedup", "contamination", "ext"),
+)
+def x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import ngram_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    marked = ngram_decontaminate(corpus, bench, n=3, mark_only=True)
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("contaminated")).cast("bigint").alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
