@@ -66,3 +66,20 @@ def test_v1_no_shuffle_of_pair_space(spark):
     (N rows) and the final top-k merge, nothing else."""
     df = all_queries()["v1_cosine_top_pairs"].spark(spark, SF_SMOKE)
     assert count_exchanges(df) <= 2
+
+
+def test_t8_idf_join_is_broadcast(spark):
+    """TF-IDF's vocabulary (idf) and corpus-size joins must broadcast —
+    the per-doc TF table is the only side allowed to shuffle."""
+    df = all_queries()["t8_tfidf_top_terms"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus-count cross join
+
+
+def test_x5_benchmark_set_is_broadcast(spark):
+    """Decontamination must broadcast the benchmark n-gram hash set so
+    the corpus-side membership test needs no shuffle of exploded grams."""
+    df = all_queries()["x5_benchmark_decontaminate"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
