@@ -202,3 +202,33 @@ def test_ngram_decontaminate_modes_agree(spark):
     # a doc that IS a benchmark doc's duplicate must be contaminated
     # (the fixture has exact dup clusters crossing the %97 boundary)
     assert any(flags.values())
+
+
+def test_exact_jaccard_matches_bruteforce_on_random_corpora(spark):
+    """PPJoin prefix+length filtering must be EXACT: compare against an
+    all-pairs python brute force on randomized corpora with both
+    realistic (large-vocab) and degenerate (tiny-vocab) shapes."""
+    import itertools
+    import random
+
+    from tw_etl_spark.operators.dedup import exact_jaccard_pairs
+
+    for seed, vocab_n, n_docs, thr in [(1, 500, 60, 0.5), (2, 8, 60, 0.8), (3, 2000, 40, 0.3)]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(vocab_n)]
+        docs = {
+            i: " ".join(rng.choices(vocab, k=rng.randint(1, 30)))
+            for i in range(n_docs)
+        }
+        expected = set()
+        sets = {i: set(t.split()) for i, t in docs.items()}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= thr:
+                expected.add((a, b))
+        df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b)
+            for r in exact_jaccard_pairs(df, threshold=thr).collect()
+        }
+        assert got == expected, (seed, got ^ expected)
