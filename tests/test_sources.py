@@ -139,3 +139,14 @@ def test_partitioned_sink_roundtrip(spark, tmpdir):
     assert pruned.count() == d.filter(F.col("lang") == "en").count()
     plan = explain_str(pruned)
     assert "PartitionFilters" in plan
+
+
+def test_write_audited_roundtrip(spark, tmp_path):
+    from tw_etl_spark.sources.readers import write_audited
+
+    d = read_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    audit = write_audited(
+        d, str(tmp_path / "aud"), partition_cols=["lang"], checksum_col="text"
+    )
+    assert audit["count_ok"] and audit["checksum_ok"]
+    assert audit["rows_written"] == d.count()

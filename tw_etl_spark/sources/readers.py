@@ -96,3 +96,45 @@ def write_partitioned_parquet(
     facts (the reference's filename-encoded facts, properly modeled);
     readers get partition pruning on these columns for free."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_audited(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    checksum_col: str | None = None,
+) -> dict[str, int | bool]:
+    """Write-audit pattern (reference R13: head-object after upload,
+    s3-sync.sh:50-51): write parquet, then RE-READ the committed files
+    and verify row count — and, if ``checksum_col`` is given, an
+    order-insensitive xxhash64-XOR checksum over that column — against
+    the source plan. Returns the audit facts instead of asserting, so
+    callers choose their failure policy. The audit is one extra scan of
+    the written data (cheap: it reads the sink, not the 100 TB input —
+    the input plan re-evaluates only for its count/checksum, which
+    Spark serves from the same shuffle outputs in warm sessions).
+    """
+    spark = df.sparkSession
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+    def facts(frame: DataFrame) -> tuple[int, int]:
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if checksum_col:
+            aggs.append(
+                F.bit_xor(F.xxhash64(F.col(checksum_col).cast("string"))).alias("ck")
+            )
+        row = frame.agg(*aggs).first()
+        return int(row[0]), (int(row[1]) if checksum_col and row[1] is not None else 0)
+
+    want_n, want_ck = facts(df)
+    got_n, got_ck = facts(spark.read.parquet(path))
+    return {
+        "rows_written": got_n,
+        "rows_expected": want_n,
+        "count_ok": got_n == want_n,
+        "checksum_ok": (got_ck == want_ck) if checksum_col else True,
+    }
