@@ -51,3 +51,24 @@ def test_real_decoder_is_stubbed(spark):
     media = synthesize_media_df(docs)
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         extract_features(media, decoder="real").collect()
+
+
+def test_resize_images_plumbing(spark):
+    from tw_etl_spark.operators.multimodal import resize_images, synthesize_media_df
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    media = synthesize_media_df(docs)
+    out = resize_images(media, 64, 64).toPandas()
+    src = media.toPandas()
+    # row-preserving, schema-preserving
+    assert len(out) == len(src)
+    imgs = out[out["media_type"] == "image"]
+    others = out[out["media_type"] != "image"]
+    # every image re-dimensioned and re-encoded to the target byte budget
+    assert (imgs["meta"].map(lambda m: (m["width"], m["height"])) == (64, 64)).all()
+    assert imgs["payload"].map(len).eq(64 * 64 // 64).all()
+    # non-images untouched
+    merged = others.merge(
+        src[["media_id", "payload"]], on="media_id", suffixes=("", "_src")
+    )
+    assert merged.apply(lambda r: bytes(r.payload) == bytes(r.payload_src), axis=1).all()

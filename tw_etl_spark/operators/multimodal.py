@@ -138,3 +138,62 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_offset_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """Image-resize plumbing over mapInPandas: images are re-encoded to
+    (width, height); non-image rows pass through untouched. The pixel
+    transform is stubbed (``fake``: payload truncated/padded to
+    width*height//64 bytes, deterministically) — the Spark contract
+    (schema preservation, Arrow batching, partition-parallel, no
+    shuffle) is the real, tested part; ``decoder="real"`` is the
+    integration point for an actual image library."""
+
+    target_bytes = max(width * height // 64, 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resizing requires codec libraries not "
+                    "present in this environment; use decoder='fake'"
+                )
+            out = pdf.copy()
+            is_img = out["media_type"] == "image"
+
+            def fake_resize(p: bytes | None) -> bytes:
+                b = bytes(p) if p is not None else b""
+                return (b * (target_bytes // max(len(b), 1) + 1))[:target_bytes]
+
+            out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(fake_resize)
+            out["meta"] = [
+                {**m, "width": width, "height": height} if i else m
+                for m, i in zip(out["meta"], is_img)
+            ]
+            yield out[["media_id", "media_type", "payload", "meta"]]
+
+    return media.select(
+        "media_id", "media_type", "payload", "meta"
+    ).mapInPandas(gen, schema=RESIZED_SCHEMA)
