@@ -64,3 +64,44 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Cluster posture for a ~1000-executor / ~100 TB deployment. Not used by
+# the local tests (no cluster here) — this is the documented, reviewed
+# config the same code ships with. Everything above (AQE, broadcast
+# threshold, zstd, Arrow) carries over unchanged; these are the knobs
+# that only exist/matter on a real cluster.
+CLUSTER_CONF: dict[str, str] = {
+    # 5-core executors: the long-standing sweet spot between HDFS/S3
+    # client throughput and task-level parallelism.
+    "spark.executor.cores": "5",
+    "spark.executor.memory": "20g",
+    # Pandas-UDF / mapInPandas stages fork python workers per core;
+    # reserve headroom outside the JVM heap for them.
+    "spark.executor.memoryOverhead": "4g",
+    # Scale with load instead of static sizing; shuffle tracking lets
+    # executors retire without losing shuffle files.
+    "spark.dynamicAllocation.enabled": "true",
+    "spark.dynamicAllocation.maxExecutors": "1000",
+    "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+    # ~128 MB scan splits: big enough to amortize task startup, small
+    # enough that AQE statistics stay fine-grained.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Initial shuffle width for ~100 TB stages; AQE coalesces down per
+    # stage, so oversizing here only costs tiny empty partitions.
+    "spark.sql.shuffle.partitions": "8192",
+    # Off-heap shuffle/agg buffers reduce GC pressure at wide stages.
+    "spark.memory.offHeap.enabled": "true",
+    "spark.memory.offHeap.size": "8g",
+    # Retries/speculation: at 1000 executors, stragglers and spot-node
+    # loss are routine, not exceptional.
+    "spark.task.maxFailures": "8",
+    "spark.speculation": "true",
+    "spark.stage.maxConsecutiveAttempts": "8",
+}
+
+
+def cluster_conf(overrides: dict[str, str] | None = None) -> dict[str, str]:
+    """The 100 TB cluster posture as an ``extra_conf`` dict (see
+    ``CLUSTER_CONF``); pass to ``get_spark`` on a real cluster master."""
+    return {**CLUSTER_CONF, **(overrides or {})}
