@@ -188,3 +188,42 @@ def repetition_ratio_expr(text: Column) -> Column:
         total > 0,
         F.lit(1.0) - F.size(F.array_distinct(tri)) / total.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def token_entropy_expr(text: Column) -> Column:
+    """Shannon entropy (nats) of the per-document token frequency
+    distribution — low entropy flags degenerate/looping text that the
+    distinct-trigram rule (repetition_ratio_expr) can miss (e.g. "a b
+    a b a b ..." has high trigram diversity=0 but entropy ~0.69 vs a
+    normal doc's 3+). Pure higher-order functions; O(unique·total)
+    comparisons per doc, all inside codegen."""
+    toks = tokens_expr(text)
+    n = F.size(toks).cast("double")
+    uniq = F.array_distinct(toks)
+    probs = F.transform(
+        uniq, lambda d: F.size(F.filter(toks, lambda t: t == d)) / n
+    )
+    return F.when(
+        n > 0,
+        -F.aggregate(
+            probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+# Dialect-portable PII patterns (same semantics in Java regex and RE2):
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii_expr(text: Column) -> Column:
+    """Chained regexp_replace redaction of emails, phone numbers, and
+    IPv4 literals — the standard pre-training scrub. Entirely JVM-side;
+    at 100 TB this is a map-only pass fused into the scan stage."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

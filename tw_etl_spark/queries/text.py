@@ -355,3 +355,120 @@ def x3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("tok") / budget), 4).alias("avg_fill"),
         )
     )
+
+
+@register(
+    "t9_token_entropy",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOKS} AS toks,
+               CAST(len({_TOKS}) AS DOUBLE) AS n
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN n > 0 THEN
+                   -list_sum(list_transform(list_distinct(toks),
+                       d -> (len(list_filter(toks, t -> t = d)) / n)
+                            * ln(len(list_filter(toks, t -> t = d)) / n)))
+               ELSE 0.0 END AS ent
+        FROM t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (ent < 1.0) AS BIGINT) AS n_low_entropy,
+           round(avg(ent), 6) AS avg_entropy
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    doc="Shannon entropy of per-doc token distribution, rolled up per "
+    "language with a low-entropy (<1 nat) degenerate-doc count. "
+    "Complements t7: catches 'a b a b a b' loops that have zero "
+    "repeated trigrams.",
+    tags=("text", "quality", "ext"),
+)
+def t9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.text import token_entropy_expr
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("lang", token_entropy_expr(F.col("text")).alias("ent"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("ent") < 1.0).cast("bigint").alias("n_low_entropy"),
+            F.round(F.avg("ent"), 6).alias("avg_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Inject deterministic synthetic PII into a slice of docs so the
+# redaction path actually fires on the fixture corpus (both engines
+# apply the identical injection, so the oracle still binds).
+_PII_INJECT_SQL = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || doc_id"
+    " || '@example.com or 555-867-530' || (doc_id % 10) || ' at 10.0.0.'"
+    " || (doc_id % 256) ELSE text END"
+)
+
+
+@register(
+    "t10_pii_redaction",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id, lang, {_PII_INJECT_SQL} AS text FROM documents
+    ),
+    red AS (
+        SELECT doc_id, lang, text,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')
+               AS redacted
+        FROM injected
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (redacted <> text) AS BIGINT) AS n_redacted,
+           CAST(sum(len(text) - len(redacted)) AS BIGINT) AS chars_removed
+    FROM red GROUP BY lang ORDER BY lang
+    """,
+    doc="PII scrub: chained regexp_replace of emails/phones/IPv4 with "
+    "typed placeholders over a deterministically PII-injected corpus "
+    "slice; per-language redaction counts. Map-only, fused into the "
+    "scan stage.",
+    tags=("text", "pii", "ext"),
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.text import redact_pii_expr
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-530"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(" at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = injected.select(
+        "lang",
+        "text",
+        redact_pii_expr(F.col("text")).alias("redacted"),
+    )
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("redacted") != F.col("text")).cast("bigint").alias("n_redacted"),
+            F.sum(F.length("text") - F.length("redacted")).cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("lang")
+    )
