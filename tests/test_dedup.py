@@ -232,3 +232,37 @@ def test_exact_jaccard_matches_bruteforce_on_random_corpora(spark):
             for r in exact_jaccard_pairs(df, threshold=thr).collect()
         }
         assert got == expected, (seed, got ^ expected)
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup (k-means + within-cluster cosine): survivors are a
+    subset keeping the min id per near-dup component, no two survivors
+    in the SAME cluster remain >= threshold-similar, and the whole
+    operator is deterministic (fixed seed)."""
+    import numpy as np
+
+    from tw_etl_spark.operators.dedup import kmeans_assign, semantic_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    thr = 0.4
+    surv = semantic_dedup(df, threshold=thr, k=8)
+    ids_in = {r.vec_id for r in df.select("vec_id").collect()}
+    ids_out = {r.vec_id for r in surv.select("vec_id").collect()}
+    assert ids_out <= ids_in and len(ids_out) < len(ids_in)
+
+    # brute-force within-cluster check on the survivors
+    assigned = kmeans_assign(df, k=8).select("vec_id", "embedding", "cluster")
+    rows = [r for r in assigned.collect() if r.vec_id in ids_out]
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        mat = np.array([m.embedding for m in members], dtype=np.float64)
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(norm == 0, 1, norm)
+        sims = np.round(unit @ unit.T, 6)
+        np.fill_diagonal(sims, 0)
+        assert (sims < thr).all(), "two survivors in one cluster still near-dup"
+
+    ids_out2 = {r.vec_id for r in semantic_dedup(df, threshold=thr, k=8).select("vec_id").collect()}
+    assert ids_out2 == ids_out, "semantic dedup not deterministic"

@@ -116,3 +116,57 @@ def test_cascading_rollup_single_base_scan(spark):
         for r2 in r.filter(F.col("grain") == "day").collect()
     }
     assert cascaded == direct
+
+
+def test_merge_upsert_semantics_and_broadcast_plan(spark):
+    """merge_upsert: updates win on key collision, unmatched updates
+    insert, base keys stay unique; with broadcast_updates the snapshot
+    side is never shuffled (BroadcastHashJoin LeftAnti, no Exchange)."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.merge import merge_upsert
+    from tw_etl_spark.plans.inspect import count_exchanges, explain_str
+
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")
+    )
+    updates = spark.createDataFrame(
+        [(5, "new"), (999, "new"), (5000, "ins")], "k long, v string"
+    )
+    out = merge_upsert(base, updates, ["k"])
+    got = {r.k: r.v for r in out.collect()}
+    assert len(got) == 1001  # 1000 base keys + 1 insert, no dup keys
+    assert got[5] == "new" and got[999] == "new" and got[5000] == "ins"
+    assert got[0] == "old"
+
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert count_exchanges(out) == 0, "base side must not shuffle"
+
+
+def test_deterministic_shuffle_is_partitioning_invariant(spark):
+    """The permutation is a pure function of (id, salt): identical
+    whether computed as a global sort or as a range-partitioned sort at
+    any partition count, and a different salt draws a different order."""
+    from tw_etl_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    global_order = [
+        r.doc_id for r in deterministic_shuffle(df, "doc_id", salt="s").collect()
+    ]
+    for nparts in (2, 7):
+        ranged = deterministic_shuffle(
+            df, "doc_id", salt="s", num_partitions=nparts
+        )
+        # reading range partitions in partition order yields the same
+        # global permutation (contiguous, internally sorted key ranges)
+        via_parts = [
+            r.doc_id
+            for r in ranged.select("doc_id", "shuffle_key")
+            .toLocalIterator()
+        ]
+        assert via_parts == global_order, nparts
+    other = [
+        r.doc_id for r in deterministic_shuffle(df, "doc_id", salt="t").collect()
+    ]
+    assert other != global_order and sorted(other) == sorted(global_order)

@@ -127,3 +127,35 @@ def test_pii_redaction_patterns(spark):
     assert out[0] == "mail me at <EMAIL> now"
     assert out[1] == "call <PHONE> or visit <IP> today"
     assert out[2] == "no pii here"
+
+
+def test_chunk_documents_reconstructs_and_counts(spark):
+    """Chunking invariants: non-overlap prefixes concatenate back to the
+    original text, every chunk is <= size chars, chunk count is
+    ceil(len/stride) (one chunk for empty docs), overlap is size-stride."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.text import chunk_documents
+
+    docs = [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "short"), (3, ""), (4, "x" * 450)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    size, stride = 10, 7
+    out = chunk_documents(df, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        assert len(chunks) == max(1, math.ceil(len(text) / stride))
+        assert all(len(c.chunk_text) <= size for c in chunks)
+        # stride-prefixes reconstruct the document
+        rebuilt = "".join(c.chunk_text[:stride] for c in chunks[:-1])
+        rebuilt += chunks[-1].chunk_text
+        assert rebuilt == text, doc_id
+        # consecutive chunks overlap by size - stride
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.chunk_text[stride:] == b.chunk_text[: size - stride] or len(
+                a.chunk_text
+            ) < size

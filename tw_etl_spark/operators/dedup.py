@@ -368,3 +368,74 @@ def ngram_decontaminate(
             "contaminated", F.coalesce("contaminated", F.lit(False))
         )
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 7,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Assign each embedding to one of ``k`` k-means clusters (fixed
+    seed → deterministic). Vectors are L2-normalized first so Euclidean
+    k-means approximates cosine clustering. Keeps all input columns and
+    appends ``cluster_col``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from tw_etl_spark.functions.vectors import l2_norm_expr
+
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.greatest(l2_norm_expr(v), F.lit(1e-12))
+    unit = F.transform(v, lambda x: x / norm)
+    feats = df.withColumn("_f", array_to_vector(unit))
+    model = KMeans(
+        k=k, seed=seed, featuresCol="_f", predictionCol=cluster_col, maxIter=20
+    ).fit(feats)
+    return model.transform(feats).drop("_f")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.97,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, compare cosine
+    similarity only WITHIN each cluster, and keep one representative
+    per near-dup component (min id). Returns the survivor rows of
+    ``df``.
+
+    Scale shape: clustering reduces the O(n²) all-pairs problem to
+    sum-of-squares over cluster sizes — the within-cluster pair join is
+    an equi-join on the cluster id, hash-partitioned, so no executor
+    ever sees more than one cluster's candidates. Cross-cluster
+    near-dups are the accepted approximation (as in the paper); raise
+    ``k`` to trade recall for cost. The pair filter is a JVM
+    higher-order-function cosine — no Python in the join path.
+    """
+    from tw_etl_spark.functions.vectors import cosine_similarity_expr
+
+    assigned = kmeans_assign(df, id_col, vec_col, k=k, seed=seed, cluster_col="_c")
+    lhs = assigned.select(
+        F.col("_c"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    rhs = assigned.select(
+        F.col("_c"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        lhs.join(rhs, "_c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_similarity_expr(F.col("_va"), F.col("_vb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dedup_by_components(df, pairs, id_col=id_col)

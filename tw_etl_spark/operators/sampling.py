@@ -102,3 +102,31 @@ def component_split(
     )
     out = deterministic_split(with_comp, "component", weights, salt, split_col)
     return out.drop("component")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    key_col: str = "shuffle_key",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global permutation of a corpus (the training-data
+    "shuffle" step): order rows by md5(id + salt). Changing ``salt``
+    draws an independent permutation; the order is a pure function of
+    content, so it reproduces across runs, engines, and cluster sizes.
+
+    Scale path: a total sort at 100 TB is a range-partitioned sort —
+    ``repartitionByRange`` samples key quantiles so each output file
+    holds one contiguous, internally-sorted key range; downstream
+    sequential readers stream the permutation without any global
+    coordination (no global row-number, no single reducer). The key is
+    8 hex chars → uniform, so ranges are balanced by construction.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    out = df.withColumn(key_col, key)
+    if num_partitions:
+        return out.repartitionByRange(num_partitions, key_col, id_col).sortWithinPartitions(
+            key_col, id_col
+        )
+    return out.orderBy(key_col, id_col)

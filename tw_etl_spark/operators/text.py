@@ -227,3 +227,40 @@ def redact_pii_expr(text: Column) -> Column:
     for pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    ``size - stride`` characters of overlap (training-context windowing
+    for LLM data prep).
+
+    Pure JVM-side expressions: the chunk-start array is
+    ``sequence(1, length, stride)`` and each chunk is a ``substring``
+    — one generate + explode inside the scan stage, no shuffle, no
+    Python. Output rows: (id, chunk_id, chunk_start, chunk_text).
+    Empty documents yield one empty chunk so no document silently
+    disappears from the corpus.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)), F.lit(stride)
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(starts).alias("chunk_start"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        ((F.col("chunk_start") - 1) / stride).cast("bigint").alias("chunk_id"),
+        "chunk_start",
+        F.substring(F.col(text_col), F.col("chunk_start"), F.lit(size)).alias(
+            "chunk_text"
+        ),
+    )

@@ -257,3 +257,26 @@ def x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "dd8_semantic_dedup",
+    oracle=None,  # k-means step has no SQL twin; invariants in tests/test_dedup.py
+    doc="SemDeDup-style semantic dedup (arXiv:2303.09540): k-means over "
+    "L2-normalized embeddings (k=8, fixed seed), within-cluster cosine "
+    "pairs >= 0.4, keep the min-id representative per component. "
+    "Returns (n_in, n_survivors, n_removed).",
+    tags=("dedup", "semantic", "ext"),
+)
+def dd8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    surv = semantic_dedup(e, id_col="vec_id", vec_col="embedding", k=8, threshold=0.4)
+    n_in = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+    n_s = surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_survivors"))
+    return n_in.crossJoin(n_s).select(
+        "n_in",
+        "n_survivors",
+        (F.col("n_in") - F.col("n_survivors")).alias("n_removed"),
+    )

@@ -375,3 +375,135 @@ def x5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "x6_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id,
+           md5(concat(CAST(doc_id AS VARCHAR), 'r1')) AS shuffle_key,
+           CAST(row_number() OVER (
+                ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'r1')), doc_id)
+                AS BIGINT) AS pos
+    FROM documents
+    ORDER BY pos
+    """,
+    doc="Deterministic global corpus permutation (the training-data "
+    "shuffle): order = md5(doc_id + salt), a pure function of content — "
+    "reproducible across engines, runs, and cluster sizes. Scale path is "
+    "a range-partitioned sort (repartitionByRange on the uniform hash "
+    "key), not a global row_number; pos here exists to hash-verify the "
+    "permutation against the oracle.",
+    tags=("pipeline", "shuffle", "ext"),
+)
+def x6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tw_etl_spark.operators.sampling import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(d, "doc_id", salt="r1")
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return out.select(
+        "doc_id",
+        "shuffle_key",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    ).orderBy("pos")
+
+
+@register(
+    "x7_document_chunking",
+    oracle="""
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text), 1), 150))
+                   AS chunk_start
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 150 AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           md5(substring(text, CAST(chunk_start AS INTEGER), 200)) AS chunk_md5,
+           CAST(length(substring(text, CAST(chunk_start AS INTEGER), 200))
+                AS BIGINT) AS chunk_len
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Context-window chunking for LLM training: 200-char chunks, "
+    "stride 150 (50 overlap), via sequence()+explode+substring — one "
+    "generate inside the scan stage, no shuffle, no Python. Chunks are "
+    "md5'd so the oracle hash-verifies every chunk's exact content.",
+    tags=("pipeline", "text", "ext"),
+)
+def x7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    c = chunk_documents(d, id_col="doc_id", text_col="text", size=200, stride=150)
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.length("chunk_text").cast("bigint").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "x8_merge_upsert",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    updates AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="SCD-1 merge/upsert: fold a CDC-style delta (every 3rd order, "
+    "repriced +1000 — an IEEE-exact update so both engines agree "
+    "bit-for-bit; x*1.1 would land on half-cent midpoints where "
+    "Spark's string-based and DuckDB's binary-based decimal casts "
+    "disagree — status 'U') into a snapshot (orders minus every 7th). "
+    "Implemented as broadcast ANTI JOIN + UNION so the 100 TB snapshot "
+    "side never shuffles (operators/merge.py); verified by per-status "
+    "row/key/price totals.",
+    tags=("pipeline", "merge", "etl"),
+)
+def x8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(base, updates, ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
