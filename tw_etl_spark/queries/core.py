@@ -470,3 +470,77 @@ def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "grain", "bucket", "n", F.round("sv", 2).alias("sv")
     ).orderBy("grain", "bucket")
+
+
+@register(
+    "e5_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*) AS n, sum(value) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    j AS (
+        SELECT sp.event_type, sp.h,
+               coalesce(hy.n, 0) AS n_events, hy.s AS s
+        FROM spine sp LEFT JOIN hourly hy
+          ON sp.event_type = hy.event_type AND sp.h = hy.h
+    )
+    SELECT event_type, h,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(last_value(s IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS sum_locf
+    FROM j ORDER BY event_type, h
+    """,
+    doc="Time-spine gap filling with last-observation-carried-forward "
+    "(the hypertable/time_bucket_gapfill + locf capability): per "
+    "event_type, generate the full hourly spine between that type's "
+    "first and last hour (sequence + explode), left-join the hourly "
+    "rollup, fill missing hours with count 0 and the carried-forward "
+    "running sum. Spine generation is per-group sequence() — no "
+    "driver-side loop; the locf is one window over the spine, which is "
+    "orders of magnitude smaller than the raw events.",
+    tags=("events", "timeseries", "gapfill"),
+)
+def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        "s",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "h",
+        "n_events",
+        F.round(F.last("s", ignorenulls=True).over(w), 2).alias("sum_locf"),
+    ).orderBy("event_type", "h")

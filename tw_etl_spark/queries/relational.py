@@ -967,3 +967,61 @@ def f6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_J7_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT 1.5 * avg(i.o_totalprice)
+        FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@register(
+    "j7_correlated_scalar_subquery",
+    oracle=_J7_SQL,
+    doc="Correlated scalar subquery: orders priced above 1.5x their own "
+    "customer's average, by priority. Runs through spark.sql — Catalyst "
+    "decorrelates the subquery into an aggregate + join (SURVEY §4.2's "
+    "'subquery decorrelation' claim, exercised), so execution is one "
+    "shuffle on o_custkey, not a per-row re-scan.",
+    tags=("relational", "subquery", "sql"),
+)
+def j7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_J7_SQL)
+
+
+_J8_SQL = """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_quiet_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    AND EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+
+@register(
+    "j8_exists_subqueries",
+    oracle=_J8_SQL,
+    doc="EXISTS / NOT EXISTS subqueries via spark.sql: customers with "
+    "at least one order but none above 300k, by segment. Catalyst "
+    "rewrites the pair into left-semi + left-anti joins — the SQL "
+    "surface over the same join machinery j2/j3 verify via the "
+    "DataFrame API.",
+    tags=("relational", "subquery", "sql"),
+)
+def j8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_J8_SQL)
