@@ -83,3 +83,18 @@ def test_x5_benchmark_set_is_broadcast(spark):
     df = all_queries()["x5_benchmark_decontaminate"].spark(spark, SF_SMOKE)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_j7_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must decorrelate into an
+    aggregate + equi-join on o_custkey — never a per-row re-scan
+    (no nested-loop / cartesian join in the physical plan)."""
+    from tw_etl_spark.queries import all_queries
+
+    df = all_queries()["j7_correlated_scalar_subquery"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan and "Join" in plan
