@@ -42,16 +42,35 @@ _NANO_TS_COLUMNS = {"events": ["ts"]}
 # Resolved-DataFrame memo: re-listing files + reading parquet footers on
 # every query call costs ~40 ms each. Caching the *plan* (schema +
 # file index) is catalog-metadata caching — the data itself is still
-# scanned from parquet on every execution.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# scanned from parquet on every execution. Keyed on applicationId (a
+# fresh UUID per SparkContext) rather than id(spark): a stopped session's
+# id() can be reused by a new session, which would hand out DataFrames
+# bound to a dead JVM context.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_token(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # stopped context — don't cache against it
+        return f"dead-{id(spark)}"
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table with timestamp normalization applied."""
-    key = (id(spark), sf_dir, name)
+    """Read one synthetic table with timestamp normalization applied.
+
+    Self-sufficient on a *stock* SparkSession: the fixture's
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark 4 rejects outright unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is set. That conf is runtime-settable, so set it here (idempotent)
+    instead of relying on the session factory — callers may hand us any
+    session they built themselves.
+    """
+    key = (_session_token(spark), sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANO_TS_COLUMNS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):
