@@ -71,6 +71,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Catalog timestamp semantics are UTC (matches the DuckDB oracle's
+    # UTC-naive timestamps) regardless of the host/session timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANO_TS_COLUMNS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):
