@@ -47,3 +47,21 @@ def test_asof_join_no_match_yields_null(spark):
         for r in asof_join(left, right, on="t", by="k", right_payload=["rv"]).collect()
     }
     assert out == {"L0": None, "L1": "R7"}  # L0 precedes the only right row
+
+
+def test_asof_join_null_payload_survives(spark):
+    # A matched right row whose payload is genuinely NULL must surface
+    # that NULL (DuckDB ASOF LEFT JOIN semantics), not an older row's
+    # non-NULL value.
+    left = spark.createDataFrame(
+        [("k", 10, "L@10"), ("k", 4, "L@4")], ["k", "t", "lv"]
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", 3, "R3"), ("k", 8, None)], ["k", "t", "rv"]
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    res = asof_join(left, right, on="t", by="k", right_payload=["rv"]).collect()
+    out = {r.lv: (r.rv_asof, r.t_asof) for r in res}
+    # L@10 matches the t=8 row -> NULL payload but non-NULL matched time
+    assert out["L@10"][0] is None
+    assert out["L@10"][1] is not None and out["L@10"][1].second == 8
+    assert out["L@4"][0] == "R3"

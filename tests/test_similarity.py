@@ -100,3 +100,31 @@ def test_quantize_embeddings_roundtrip_error(spark):
     # max abs error bounded by half a quantization step
     assert np.abs(orig - deq).max() <= 0.5 / scale + 1e-9
     assert q.schema["q_embedding"].dataType.simpleString() == "array<tinyint>"
+
+
+def test_exact_tier_broadcast_budget_guard(spark):
+    """Exact-tier functions refuse corpora above the broadcast budget
+    with a pointer to the ANN scale tier, instead of collecting them."""
+    import pytest
+
+    from tw_etl_spark.operators.similarity import (
+        BroadcastBudgetExceeded,
+        cosine_threshold_pairs,
+        cosine_topk_pairs,
+        cosine_topk_quantized,
+    )
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    q = v.limit(5)
+    calls = [
+        lambda: cosine_topk(q, v, k=3, broadcast_row_budget=10),
+        lambda: cosine_topk_quantized(q, v, k=3, broadcast_row_budget=10),
+        lambda: cosine_topk_pairs(v, k=3, broadcast_row_budget=10),
+        lambda: cosine_threshold_pairs(v, broadcast_row_budget=10),
+    ]
+    for call in calls:
+        with pytest.raises(BroadcastBudgetExceeded, match="ann_lsh_topk or ann_ivf_topk"):
+            call()
+    # budget=None disables the guard; a generous budget passes through
+    assert cosine_topk(q, v, k=3, broadcast_row_budget=None).count() > 0
+    assert cosine_topk(q, v, k=3, broadcast_row_budget=10**9).count() > 0

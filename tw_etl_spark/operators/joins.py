@@ -33,27 +33,37 @@ def asof_join(
     ``right`` must be unique per (by, on) — pre-aggregate if not, else
     which peer wins is nondeterministic.
 
-    Implementation: tag sides, union, and take ``last(payload,
-    ignorenulls=True)`` over a window ordered by (on, tag) with the right
-    side sorting first at equal timestamps. Single shuffle on ``by``;
-    streams through sorted partitions (no per-key buffering).
+    Implementation: tag sides, union, and take ``last(struct(on,
+    *payload), ignorenulls=True)`` over a window ordered by (on, tag)
+    with the right side sorting first at equal timestamps. The payload
+    travels as ONE struct per right row, so a matched right row whose
+    payload value is genuinely NULL surfaces that NULL (DuckDB ASOF
+    semantics) instead of an older row's value. Single shuffle on
+    ``by``; streams through sorted partitions (no per-key buffering).
     """
+    from pyspark.sql import types as T
+
     by = [by] if isinstance(by, str) else list(by)
     left_cols = left.columns
     out_payload = {c: f"{c}{suffix}" for c in right_payload + [on]}
 
+    asof_type = T.StructType(
+        [T.StructField(out_payload[c], right.schema[c].dataType) for c in right_payload]
+        + [T.StructField(out_payload[on], right.schema[on].dataType)]
+    )
     l_tagged = left.select(
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_payload[c]) for c in right_payload],
-        F.lit(None).cast(left.schema[on].dataType).alias(out_payload[on]),
+        F.lit(None).cast(asof_type).alias("__asof"),
         F.lit(1).alias("__tag"),
     )
     r_tagged = right.select(
         *[F.col(c) for c in by],
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by + [on]],
-        *[F.col(c).alias(out_payload[c]) for c in right_payload],
-        F.col(on).alias(out_payload[on]),
+        F.struct(
+            *[F.col(c).alias(out_payload[c]) for c in right_payload],
+            F.col(on).alias(out_payload[on]),
+        ).alias("__asof"),
         F.lit(0).alias("__tag"),
     ).select(*[F.col(c) for c in l_tagged.columns])  # align column order
 
@@ -63,9 +73,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l_tagged.unionByName(r_tagged)
-    for c in out_payload.values():
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("__tag") == 1).drop("__tag")
+    matched = unioned.withColumn("__asof", F.last("__asof", ignorenulls=True).over(w))
+    return (
+        matched.filter(F.col("__tag") == 1)
+        .select(
+            *[F.col(c) for c in left_cols],
+            *[F.col(f"__asof.{out_payload[c]}").alias(out_payload[c]) for c in right_payload + [on]],
+        )
+    )
 
 
 def interval_join(

@@ -44,6 +44,35 @@ def _spread(df: DataFrame, min_partitions: int = 8) -> DataFrame:
     return df
 
 
+# Exact-tier ceiling: the brute-force functions collect + broadcast the
+# corpus, so they are memory-bound by design. 2M rows × 64-dim float64
+# ≈ 1 GiB broadcast — comfortably inside one executor; beyond that the
+# ANN tiers are the path. Callers can raise the budget explicitly when
+# they know the corpus fits.
+DEFAULT_BROADCAST_ROW_BUDGET = 2_000_000
+
+
+class BroadcastBudgetExceeded(ValueError):
+    """Corpus too large for the exact (collect+broadcast) similarity tier."""
+
+
+def _check_broadcast_budget(df: DataFrame, budget: int | None, caller: str) -> None:
+    if budget is None:
+        return
+    # limit(budget+1).count() stops scanning once the limit is reached —
+    # cheap even on a huge corpus, unlike a full count().
+    n = df.limit(budget + 1).count()
+    if n > budget:
+        raise BroadcastBudgetExceeded(
+            f"{caller}: corpus exceeds the exact-tier broadcast budget "
+            f"(>{budget} rows). The exact tier collects and broadcasts the "
+            f"corpus matrix (executor-memory bound, like a broadcast join). "
+            f"Use the scale tier instead — ann_lsh_topk or ann_ivf_topk — "
+            f"or pass broadcast_row_budget=<rows> (or None) if the corpus "
+            f"genuinely fits in memory."
+        )
+
+
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Collect (ids, L2-normalized float64 matrix) for broadcasting."""
     pdf = df.select(id_col, vec_col).toPandas()
@@ -60,6 +89,7 @@ def cosine_topk_pairs(
     vec_col: str = "embedding",
     k: int = 10,
     local_k: int = 32,
+    broadcast_row_budget: int | None = DEFAULT_BROADCAST_ROW_BUDGET,
 ) -> DataFrame:
     """Global top-k most-similar distinct pairs (id_a < id_b) by cosine.
 
@@ -67,6 +97,7 @@ def cosine_topk_pairs(
     global TakeOrderedAndProject so boundary ties can't drop a true
     top-k pair.
     """
+    _check_broadcast_budget(df, broadcast_row_budget, "cosine_topk_pairs")
     sc = df.sparkSession.sparkContext
     ids, mat = _collect_matrix(df, id_col, vec_col)
     b = sc.broadcast((ids, mat))
@@ -315,10 +346,12 @@ def cosine_threshold_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    broadcast_row_budget: int | None = DEFAULT_BROADCAST_ROW_BUDGET,
 ) -> DataFrame:
     """All distinct pairs (id_a < id_b) with rounded cosine ≥ threshold —
     the embedding-near-dup primitive. Same broadcast-matmul shape as
     cosine_topk_pairs but threshold-filtered instead of top-k."""
+    _check_broadcast_budget(df, broadcast_row_budget, "cosine_threshold_pairs")
     sc = df.sparkSession.sparkContext
     ids, mat = _collect_matrix(df, id_col, vec_col)
     b = sc.broadcast((ids, mat))
@@ -365,10 +398,12 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    broadcast_row_budget: int | None = DEFAULT_BROADCAST_ROW_BUDGET,
 ) -> DataFrame:
     """Exact per-query top-k nearest neighbors (cosine) vs a corpus that
     fits in executor memory (broadcast). Returns (query_id, neighbor_id,
     rank, cos_sim); self-matches excluded when ids collide."""
+    _check_broadcast_budget(corpus_df, broadcast_row_budget, "cosine_topk")
     sc = query_df.sparkSession.sparkContext
     ids, mat = _collect_matrix(corpus_df, id_col, vec_col)
     b = sc.broadcast((ids, mat))
@@ -451,6 +486,7 @@ def cosine_topk_quantized(
     vec_col: str = "embedding",
     k: int = 10,
     rerank_factor: int = 4,
+    broadcast_row_budget: int | None = DEFAULT_BROADCAST_ROW_BUDGET,
 ) -> DataFrame:
     """Exact-rank top-k with an int8-quantized candidate pass.
 
@@ -462,6 +498,7 @@ def cosine_topk_quantized(
     cut, which ``rerank_factor`` over-fetching absorbs (recall asserted
     in tests).
     """
+    _check_broadcast_budget(corpus_df, broadcast_row_budget, "cosine_topk_quantized")
     sc = query_df.sparkSession.sparkContext
     pdf = corpus_df.select(id_col, vec_col).toPandas()
     c_ids = pdf[id_col].to_numpy(dtype=np.int64)
