@@ -1,5 +1,6 @@
-"""Multimodal plumbing: schema, Arrow batch shapes, deterministic fake
-decode, frame sampling, and the real-decoder stub contract."""
+"""Multimodal plumbing and the real byte-level decode tier: schema,
+Arrow batch shapes, deterministic fake decode, frame sampling, PPM/BMP/
+WAV codec round-trips, real feature extraction / resize / probe."""
 
 from __future__ import annotations
 
@@ -46,11 +47,108 @@ def test_frame_sampling_counts(spark):
     assert got == expect
 
 
-def test_real_decoder_is_stubbed(spark):
+def test_real_decoder_rejects_opaque_payloads(spark):
+    # synthesize_media_df payloads are raw text bytes — not a supported
+    # container; the real tier must refuse, not silently hash-fake.
     docs = read_table(spark, SF_SMOKE, "documents")
     media = synthesize_media_df(docs)
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+    with pytest.raises(Exception, match="PPM/BMP/WAV"):
         extract_features(media, decoder="real").collect()
+
+
+# ---------------------------------------------------------------- codecs
+# Pure byte-level, no Spark session needed.
+
+
+def test_codec_roundtrips():
+    import numpy as np
+
+    from tw_etl_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+    assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+
+    samples = rng.integers(-(2**15), 2**15, (1000, 2), dtype=np.int16)
+    rate, back = codecs.decode_wav(codecs.encode_wav(16000, samples))
+    assert rate == 16000 and (back == samples).all()
+
+    assert codecs.sniff(codecs.encode_ppm(img)) == "ppm"
+    assert codecs.sniff(codecs.encode_bmp(img)) == "bmp"
+    assert codecs.sniff(codecs.encode_wav(8000, samples)) == "wav"
+    assert codecs.sniff(b"plain text") is None
+
+
+def test_codec_resize_and_probe():
+    import numpy as np
+
+    from tw_etl_spark.operators import codecs
+
+    # resize: exact block-replication case is checkable bit-for-bit
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = codecs.resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[0, 0] == img[0, 0]).all() and (up[3, 3] == img[1, 1]).all()
+
+    p = codecs.probe(codecs.encode_bmp(np.zeros((6, 8, 3), dtype=np.uint8)))
+    assert (p["codec"], p["width"], p["height"]) == ("bmp", 8, 6)
+    samples = np.zeros(8000, dtype=np.int16)
+    p = codecs.probe(codecs.encode_wav(8000, samples))
+    assert (p["codec"], p["sample_rate"], p["duration_ms"]) == ("wav", 8000, 1000)
+
+
+def test_real_decode_end_to_end(spark):
+    """decoder='real' runs true byte-level decodes over Spark: features
+    are content-derived (uniform image ⇒ uniform thumbnail), stable
+    under repartitioning."""
+    from tw_etl_spark.operators.multimodal import synthesize_real_media_df
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(60)
+    media = synthesize_real_media_df(docs)
+    feats = extract_features(media, decoder="real")
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r.features) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.features)
+    again = {
+        r.media_id: tuple(r.features)
+        for r in extract_features(media.repartition(7), decoder="real").collect()
+    }
+    assert again == {r.media_id: tuple(r.features) for r in rows}
+
+
+def test_real_resize_and_probe_end_to_end(spark):
+    from tw_etl_spark.operators import codecs
+    from tw_etl_spark.operators.multimodal import (
+        probe_media,
+        resize_images,
+        synthesize_real_media_df,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(45)
+    media = synthesize_real_media_df(docs)
+
+    resized = resize_images(media, 16, 12, decoder="real").toPandas()
+    imgs = resized[resized["media_type"] == "image"]
+    assert len(imgs) > 0
+    for _, r in imgs.iterrows():
+        b = bytes(r.payload)
+        kind = codecs.sniff(b)
+        decoded = codecs.decode_ppm(b) if kind == "ppm" else codecs.decode_bmp(b)
+        assert decoded.shape == (12, 16, 3)  # true pixel dims, not metadata
+        assert (r.meta["width"], r.meta["height"]) == (16, 12)
+
+    probed = probe_media(media).toPandas().set_index("media_id")
+    src = media.toPandas().set_index("media_id")
+    for mid, r in probed.iterrows():
+        meta = src.loc[mid, "meta"]
+        assert r.codec == meta["codec"]
+        if r.codec in ("ppm", "bmp"):
+            assert (r.width, r.height) == (meta["width"], meta["height"])
+        else:
+            assert r.duration_ms == meta["duration_ms"]
 
 
 def test_resize_images_plumbing(spark):
