@@ -558,3 +558,95 @@ def test_update_mode_converges_to_batch(spark, replay_dir):
         for r in tumbling_agg(batch, "ts", "1 hour", ["event_type"], AGGS()).collect()
     }
     assert state == want
+
+
+# ------------------------------------------------------------------ R22
+# Push source: the socket analog of the reference's POST /online/{stream}
+# entry point (manager.py:163-176), feeding the retry machine.
+
+
+def test_parse_push_lines_batch(spark):
+    from tw_etl_spark.streaming.sources import parse_push_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("online/twitch_abc",),
+            ("/online/kick_9",),
+            ('{"stream_id":"s7","event":"download_done","size":42,"seq":5}',),
+            ("GET /state",),  # unrelated route -> dropped
+            ("{malformed json",),  # -> dropped
+        ],
+        ["value"],
+    )
+    rows = {r.stream_id: r for r in parse_push_lines(lines, default_retries=4).collect()}
+    assert set(rows) == {"twitch_abc", "kick_9", "s7"}
+    # bare push signal == online_handler defaults: push (not poll), config retries
+    assert rows["twitch_abc"].event == "online"
+    assert rows["twitch_abc"].poll_attempt is False
+    assert rows["twitch_abc"].retries == 4
+    assert rows["twitch_abc"].ts is not None
+    # JSON event carries its own fields
+    assert (rows["s7"].event, rows["s7"].size, rows["s7"].seq) == ("download_done", 42, 5)
+
+
+def test_push_socket_drives_machine_to_exhaustion(spark):
+    """online -> retry -> retry -> exhausted over a real socket: a local
+    TCP server plays the pusher role; Spark's socket source connects and
+    the retry machine consumes the signals."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from tw_etl_spark.streaming.sources import push_events_stream
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    lines = [
+        "online/s1",  # push signal -> START (retries defaults to 3)
+        json.dumps({"stream_id": "s1", "event": "download_done", "size": 0, "seq": 1}),
+        json.dumps({"stream_id": "s1", "event": "download_done", "size": 0, "seq": 2}),
+        json.dumps({"stream_id": "s1", "event": "download_done", "size": 0, "seq": 3}),
+    ]
+    holder: dict = {}
+
+    def serve():
+        conn, _ = server.accept()
+        holder["conn"] = conn
+        conn.sendall(("\n".join(lines) + "\n").encode())
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    d = tempfile.mkdtemp(prefix="push_ck_")
+    q = (
+        retry_machine_stream(push_events_stream(spark, port=port))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("push_sm")
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM push_sm").collect()
+            if len(rows) >= 4:
+                break
+            time.sleep(0.3)
+        assert len(rows) >= 4, f"only {len(rows)} actions arrived: {rows}"
+        actions = [r.action for r in sorted(rows, key=lambda r: r.seq)]
+        # retries=3: start(1) -> empty done x2 retries -> 4th attempt > cap
+        assert actions == [START, RETRY, RETRY, EXHAUSTED_COMPLETE]
+    finally:
+        q.stop()
+        if "conn" in holder:
+            holder["conn"].close()
+        server.close()
+        shutil.rmtree(d, ignore_errors=True)
