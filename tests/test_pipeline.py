@@ -73,6 +73,33 @@ def test_encrypt_decrypt_roundtrip(spark):
     assert all(r.back == r.name for r in dec.collect())
 
 
+def test_aes_fips197_known_answer(spark):
+    """Independent oracle for the AES tier: DuckDB ships no AES, so the
+    external check is the published FIPS-197 appendix-C vector —
+    AES-128(key=000102..0f, block=00112233..ff) = 69c4e0d8..c55a.
+    Spark's ECB+PKCS output on a one-block input must start with exactly
+    that block (block 2 is the PKCS#7 pad block)."""
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = (
+        spark.range(1)
+        .select(F.hex(F.aes_encrypt(F.lit(pt), F.lit(key), F.lit("ECB"))).alias("ct"))
+        .first()
+        .ct.lower()
+    )
+    assert ct[:32] == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    # and the pad block decrypts away: full round-trip via the same path
+    back = (
+        spark.range(1)
+        .select(
+            F.aes_decrypt(F.unhex(F.lit(ct.upper())), F.lit(key), F.lit("ECB")).alias("pt")
+        )
+        .first()
+        .pt
+    )
+    assert bytes(back) == pt
+
+
 def test_external_transform_with_stub_binary(spark):
     # stub external tool: byte-count like wc -c (deterministic, tiny)
     docs = read_table(spark, SF_SMOKE, "documents").limit(20)
