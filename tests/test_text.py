@@ -159,3 +159,72 @@ def test_chunk_documents_reconstructs_and_counts(spark):
             assert a.chunk_text[stride:] == b.chunk_text[: size - stride] or len(
                 a.chunk_text
             ) < size
+
+
+# ---------------------------------------------------------- quality [EXT]
+# The documents fixture is single-line, so the line-level Gopher/C4 rules
+# are exercised here with crafted multi-line docs (the arithmetic rules
+# are oracle-gated in t11/t12).
+
+
+def test_gopher_line_rules(spark):
+    from tw_etl_spark.operators.quality import gopher_flags
+
+    good_body = ("the quick brown fox jumps over the lazy dog and runs off " * 6).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good_body),  # passes everything
+            (2, "\n".join(["- bullet point here we go again"] * 10)),  # all bullets
+            (3, "\n".join(["this line trails off into nothing..."] * 10)),  # ellipsis
+            (4, "\n".join(["the same line of and that to be have with" ] * 10)),  # dup lines
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_flags(docs, min_words=5).collect()}
+    assert rows[1].gopher_keep
+    assert not rows[2].g_bullet_ok and not rows[2].gopher_keep
+    assert not rows[3].g_ellipsis_ok
+    assert not rows[4].g_dup_line_ok
+
+
+def test_gopher_word_rules(spark):
+    from tw_etl_spark.operators.quality import gopher_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "too short to keep"),  # word count
+            (2, " ".join(["supercalifragilistic"] * 60)),  # mean word len high
+            (3, " ".join(["#"] * 30 + ["the be to of and words here ok fine"] * 6)),  # symbols
+            (4, " ".join(["123"] * 60) + " the be"),  # alpha fraction low
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_flags(docs).collect()}
+    assert not rows[1].g_word_count_ok
+    assert not rows[2].g_word_len_ok
+    assert not rows[3].g_symbol_ok
+    assert not rows[4].g_alpha_ok
+    assert all(not r.gopher_keep for r in rows.values())
+
+
+def test_c4_clean_line_semantics(spark):
+    from tw_etl_spark.operators.quality import c4_clean
+
+    text = "\n".join(
+        [
+            "This is a proper sentence with enough words.",  # kept
+            "Too short.",  # < 5 words
+            "this line has many words but no terminal punctuation",  # no punct
+            "Another good sentence appears right here!",  # kept
+            "And a third good sentence closes it out?",  # kept
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, text), (2, "Code doc { return 1; }"), (3, "lorem ipsum dolor sit amet.")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in c4_clean(docs).collect()}
+    assert rows[1].c4_n_lines == 3 and rows[1].c4_keep
+    assert rows[1].c4_text.splitlines()[0] == "This is a proper sentence with enough words."
+    assert not rows[2].c4_keep  # curly brace
+    assert not rows[3].c4_keep  # lorem ipsum

@@ -1,0 +1,151 @@
+"""Document-quality filter batteries [EXT]: the Gopher rules and
+C4-style line cleaning, as pure JVM expressions.
+
+Both filter sets are from public literature — the Gopher quality
+heuristics (Rae et al. 2021, "Scaling Language Models", table A1) and
+the C4 cleaning pipeline (Raffel et al. 2020, "Exploring the Limits of
+Transfer Learning", §2.2). They are the standard pre-training corpus
+gates; at 100 TB they must run as expression-only narrow maps — no
+Python per row, no shuffle — which is exactly how both are built here
+(split / filter / transform / aggregate higher-order functions, all
+inside whole-stage codegen).
+
+Thresholds are parameterized with the published defaults. Rules that
+need corpus-level state (Gopher's top-2-gram fraction, C4's
+three-sentence-span dedup) live in the dedup/tf_idf operators instead —
+this module is strictly the per-document narrow-map battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tw_etl_spark.operators.text import tokens_expr
+
+# A compact English stopword set for the "≥ N distinct stopwords" rule
+# (Gopher uses a similar small must-occur list).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _lines_expr(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """Attach the Gopher rule battery as one boolean column per rule
+    plus a conjunction ``gopher_keep``.
+
+    Every rule is a deterministic arithmetic expression over the
+    document alone (narrow map — no shuffle), so the whole battery is
+    DuckDB-oracle-verifiable. Defaults are the published Gopher
+    thresholds where the paper states one.
+    """
+    toks = tokens_expr(F.col(text_col))
+    lines = _lines_expr(F.col(text_col))
+    n_words = F.size(toks).cast("double")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1.0))
+
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        .cast("double")
+        / safe_words
+    )
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(#|\.\.\.|…)"), 0)).cast("double")
+        / safe_words
+    )
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))).cast("double") / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / safe_words
+    )
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.transform(F.array_distinct(toks), F.lower), stop_lit)
+    )
+    dup_line_frac = F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
+
+    out = (
+        df.withColumn("g_n_words", n_words.cast("bigint"))
+        .withColumn("g_mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("g_word_count_ok", (n_words >= min_words) & (n_words <= max_words))
+        .withColumn(
+            "g_word_len_ok",
+            (mean_word_len >= min_mean_word_len) & (mean_word_len <= max_mean_word_len),
+        )
+        .withColumn("g_symbol_ok", symbol_ratio <= max_symbol_word_ratio)
+        .withColumn("g_bullet_ok", bullet_frac <= max_bullet_line_frac)
+        .withColumn("g_ellipsis_ok", ellipsis_frac <= max_ellipsis_line_frac)
+        .withColumn("g_alpha_ok", alpha_frac >= min_alpha_word_frac)
+        .withColumn("g_stopword_ok", n_stop >= min_distinct_stopwords)
+        .withColumn("g_dup_line_ok", dup_line_frac <= max_dup_line_frac)
+    )
+    keep = (
+        F.col("g_word_count_ok")
+        & F.col("g_word_len_ok")
+        & F.col("g_symbol_ok")
+        & F.col("g_bullet_ok")
+        & F.col("g_ellipsis_ok")
+        & F.col("g_alpha_ok")
+        & F.col("g_stopword_ok")
+        & F.col("g_dup_line_ok")
+    )
+    return out.withColumn("gopher_keep", keep)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleanup: keep only lines that end in terminal
+    punctuation AND have ≥ ``min_line_words`` words; drop documents with
+    fewer than ``min_kept_lines`` surviving lines, a curly brace (code),
+    or the string "lorem ipsum". Adds:
+
+    - ``c4_text``   — the cleaned text (kept lines re-joined)
+    - ``c4_n_lines``— surviving line count
+    - ``c4_keep``   — document-level keep flag
+
+    Narrow map only — the line splitting, filtering, and re-joining all
+    happen inside one projection.
+    """
+    lines = _lines_expr(F.col(text_col))
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike("[.!?\"']$")
+        & (F.size(F.filter(F.split(l, " "), lambda t: t != "")) >= min_line_words),
+    )
+    out = (
+        df.withColumn("c4_text", F.array_join(kept, "\n"))
+        .withColumn("c4_n_lines", F.size(kept).cast("bigint"))
+    )
+    doc_ok = (
+        (F.col("c4_n_lines") >= min_kept_lines)
+        & ~F.col(text_col).contains("{")
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+    )
+    return out.withColumn("c4_keep", doc_ok)

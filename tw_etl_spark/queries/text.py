@@ -472,3 +472,116 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# DuckDB fragments shared by the quality-battery oracles
+_QLINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), "
+    "l -> l <> '')"
+)
+
+
+@register(
+    "t11_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_TOKS} AS toks,
+               {_QLINES} AS lines,
+               text
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS DOUBLE) AS n_words,
+               GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS safe_words,
+               GREATEST(CAST(len(lines) AS DOUBLE), 1.0) AS n_lines,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS sum_len,
+               CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.|…)')) AS DOUBLE) AS n_sym,
+               CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) AS n_bullet,
+               CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE) AS n_ellipsis,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) AS n_alpha,
+               len(list_intersect(list_transform(list_distinct(toks), t -> lower(t)),
+                   ['the','be','to','of','and','that','have','with'])) AS n_stop,
+               CAST(len(list_distinct(lines)) AS DOUBLE) AS n_distinct_lines
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT)                          AS g_n_words,
+           round(sum_len / safe_words, 6)                   AS g_mean_word_len,
+           (n_words >= 50 AND n_words <= 100000)            AS g_word_count_ok,
+           (sum_len / safe_words >= 3.0 AND sum_len / safe_words <= 10.0) AS g_word_len_ok,
+           (n_sym / safe_words <= 0.1)                      AS g_symbol_ok,
+           (n_bullet / n_lines <= 0.9)                      AS g_bullet_ok,
+           (n_ellipsis / n_lines <= 0.3)                    AS g_ellipsis_ok,
+           (n_alpha / safe_words >= 0.8)                    AS g_alpha_ok,
+           (n_stop >= 2)                                    AS g_stopword_ok,
+           (1.0 - n_distinct_lines / n_lines <= 0.3)        AS g_dup_line_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (sum_len / safe_words >= 3.0 AND sum_len / safe_words <= 10.0)
+            AND (n_sym / safe_words <= 0.1)
+            AND (n_bullet / n_lines <= 0.9)
+            AND (n_ellipsis / n_lines <= 0.3)
+            AND (n_alpha / safe_words >= 0.8)
+            AND (n_stop >= 2)
+            AND (1.0 - n_distinct_lines / n_lines <= 0.3))  AS gopher_keep
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="Gopher quality-rule battery (Rae et al. 2021 table A1) as "
+    "per-document boolean flags + conjunction keep — expression-only "
+    "narrow map, no shuffle.",
+    tags=("text", "quality", "ext"),
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.quality import gopher_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_flags(d).select(
+        "doc_id",
+        "g_n_words",
+        "g_mean_word_len",
+        "g_word_count_ok",
+        "g_word_len_ok",
+        "g_symbol_ok",
+        "g_bullet_ok",
+        "g_ellipsis_ok",
+        "g_alpha_ok",
+        "g_stopword_ok",
+        "g_dup_line_ok",
+        "gopher_keep",
+    ).orderBy("doc_id")
+
+
+@register(
+    "t12_c4_clean",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {_QLINES} AS lines FROM documents
+    ), k AS (
+        SELECT doc_id, text,
+               list_filter(lines, l ->
+                   regexp_matches(l, '[.!?"'']$')
+                   AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+               ) AS kept
+        FROM t
+    )
+    SELECT doc_id,
+           COALESCE(list_aggregate(kept, 'string_agg', chr(10)), '') AS c4_text,
+           CAST(len(kept) AS BIGINT)                   AS c4_n_lines,
+           (len(kept) >= 3
+            AND NOT contains(text, '{{')
+            AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+    FROM k
+    ORDER BY doc_id
+    """,
+    doc="C4-style line cleanup (Raffel et al. 2020 §2.2): terminal-"
+    "punctuation + min-word lines kept, short/code/lorem docs dropped.",
+    tags=("text", "quality", "ext"),
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.quality import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    return c4_clean(d).select(
+        "doc_id", "c4_text", "c4_n_lines", "c4_keep"
+    ).orderBy("doc_id")
