@@ -150,3 +150,42 @@ def test_write_audited_roundtrip(spark, tmp_path):
     )
     assert audit["count_ok"] and audit["checksum_ok"]
     assert audit["rows_written"] == d.count()
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from tw_etl_spark.sources.readers import read_orc, write_orc
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path, partition_cols=["l_returnflag"])
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)
+
+    # partition pruning + predicate pushdown must reach the ORC scan
+    plan = (
+        back.filter((F.col("l_returnflag") == "A") & (F.col("l_quantity") > 30))
+        .select("l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # partition filter must NOT appear as a data filter (pruned at listing)
+    assert back.filter(F.col("l_returnflag") == "A").count() > 0
+
+
+def test_avro_reader_degrades_clearly(spark, tmp_path):
+    import pytest
+
+    from tw_etl_spark.sources.readers import read_avro
+
+    try:
+        df = read_avro(spark, str(tmp_path / "nope.avro"))
+        df.count()
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
+    except Exception:
+        pytest.skip("avro present but path empty — environment-specific")

@@ -138,3 +138,41 @@ def write_audited(
         "count_ok": got_n == want_n,
         "checksum_ok": (got_ck == want_ck) if checksum_col else True,
     }
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC reader — same columnar scan contract as parquet (predicate
+    pushdown + column pruning via the vectorized ORC source)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned ORC sink (interop with ORC-based warehouses)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro reader. Spark's Avro support lives in the external
+    ``spark-avro`` package; absent that jar this raises a clear error
+    naming the dependency instead of a cryptic ClassNotFound at
+    action time."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: FAILED_TO_LOAD_DATA_SOURCE
+        raise RuntimeError(
+            "Avro support requires the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        ) from e
