@@ -359,8 +359,8 @@ def a40(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag(event_type)  OVER w AS prev_type,
         lead(event_type) OVER w AS next_type,
         CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS quartile,
-        CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
-                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour,
+        CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour,
         CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_rank,
         CAST(row_number() OVER w AS BIGINT) AS rn
     FROM events
@@ -380,8 +380,8 @@ def w20(spark: SparkSession, sf_dir: str) -> DataFrame:
     wv = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
     w_range = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     w_type = Window.partitionBy("user_id").orderBy("event_type")
     return (

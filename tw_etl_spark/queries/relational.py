@@ -563,8 +563,8 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         user_id,
         event_id,
-        CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
-                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour,
+        CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour,
         CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_rank,
         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
     FROM events
@@ -576,11 +576,13 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    # rangeBetween needs a numeric ordering key: seconds since epoch
+    # rangeBetween needs a numeric ordering key: MICROseconds since epoch —
+    # seconds truncation diverges from the oracle's INTERVAL arithmetic on
+    # sub-second boundary collisions (observed at sf0.1)
     w_range = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     w_type = Window.partitionBy("user_id").orderBy("event_type")
     w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
