@@ -98,3 +98,38 @@ def test_j7_subquery_is_decorrelated(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan and "Join" in plan
+
+
+def test_quality_batteries_are_narrow_maps(spark):
+    """t11/t12 (Gopher + C4) must compile to shuffle-free narrow maps —
+    the only acceptable 100 TB shape for per-document filters. (Their
+    final orderBy exists for oracle determinism; exclude it the way a
+    pipeline would by asserting on the unsorted operator itself.)"""
+    from tw_etl_spark.operators.quality import c4_clean, gopher_flags
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    assert count_exchanges(gopher_flags(d)) == 0
+    assert count_exchanges(c4_clean(d)) == 0
+
+
+def test_w20_shares_one_exchange_across_window_specs(spark):
+    """The window gauntlet evaluates four differently-ordered window
+    specs, all partitioned by user_id: one hash Exchange, re-Sorts only.
+    A plan that re-exchanges per spec would shuffle events 4x at scale."""
+    df = all_queries()["w20_window_gauntlet"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    # exchanges: 1 hash partition on user_id + the final orderBy's range
+    # exchange for oracle determinism; nothing per-window-spec
+    n_hash = plan.count("hashpartitioning")
+    assert n_hash == 1, f"expected one hash exchange, got {n_hash}"
+    assert plan.count("rangepartitioning") == 1  # the deterministic orderBy only
+
+
+def test_probe_media_is_shuffle_free(spark):
+    from tw_etl_spark.operators.multimodal import (
+        probe_media,
+        synthesize_real_media_df,
+    )
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    assert count_exchanges(probe_media(synthesize_real_media_df(d))) == 0
