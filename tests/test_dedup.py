@@ -266,3 +266,29 @@ def test_semantic_dedup_invariants(spark):
 
     ids_out2 = {r.vec_id for r in semantic_dedup(df, threshold=thr, k=8).select("vec_id").collect()}
     assert ids_out2 == ids_out, "semantic dedup not deterministic"
+
+
+def test_temperature_mix_rebalances_toward_uniform(spark):
+    from tw_etl_spark.operators.sampling import temperature_mix, temperature_rates
+
+    # rate math: alpha=1 natural (all rates 1), alpha->0 uniform counts
+    rates = temperature_rates({"en": 400, "fr": 100}, alpha=1.0)
+    assert rates == {"en": 1.0, "fr": 1.0}
+    rates0 = temperature_rates({"en": 400, "fr": 100}, alpha=0.0)
+    assert rates0["fr"] == 1.0 and abs(rates0["en"] - 0.25) < 1e-12
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    kept, rates = temperature_mix(d, "lang", id_col="doc_id", alpha=0.5)
+    before = {r.lang: r.n for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    after = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the rarest language is untouched; the dominant one is downsampled
+    rare = min(before, key=before.get)
+    dom = max(before, key=before.get)
+    assert after[rare] == before[rare]
+    assert after[dom] < before[dom]
+    # mixture is flatter: dominant/rare ratio strictly shrinks
+    assert after[dom] / after[rare] < before[dom] / before[rare]
+    # deterministic: re-running yields identical membership
+    kept2, _ = temperature_mix(d, "lang", id_col="doc_id", alpha=0.5)
+    assert kept.select("doc_id").subtract(kept2.select("doc_id")).count() == 0
+    assert kept2.count() == kept.count()

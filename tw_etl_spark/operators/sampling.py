@@ -130,3 +130,48 @@ def deterministic_shuffle(
             key_col, id_col
         )
     return out.orderBy(key_col, id_col)
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-domain keep rates for temperature-based re-mixing: sampling
+    probability p_d ∝ n_d^alpha (the standard multilingual/domain
+    re-balancing rule — alpha=1 keeps the natural mixture, alpha→0
+    approaches uniform). Downsampling-only form: the rarest domain
+    keeps rate 1.0, every other domain keeps (n_min/n_d)^(1-alpha)."""
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    return {d: (n_min / n) ** (1.0 - alpha) for d, n in counts.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Temperature-based domain mixing: downsample common domains so the
+    corpus mixture follows p_d ∝ n_d^alpha, decided per row by the same
+    md5 bucket as every other sampler here (reproducible forever,
+    map-only after one counting aggregate).
+
+    100 TB shape: the only corpus-level state is the per-domain count —
+    one partial-aggregated groupBy on a low-cardinality column, whose
+    result (#domains rows) is collected and folded into the filter plan
+    as literals. The filter itself is a narrow map; no join, no second
+    shuffle. Returns (filtered df, rates) so callers can log the
+    realized mixture."""
+    counts = {r[0]: r[1] for r in df.groupBy(stratum_col).count().collect()}
+    rates = temperature_rates(counts, alpha)
+    bucket = split_bucket_expr(F.col(id_col), salt)
+    cut: Column | None = None
+    for d, r in rates.items():
+        lim = F.lit(int(r * _BUCKETS))  # floor — mirrors the oracle SQL
+        cond = F.col(stratum_col) == d
+        cut = F.when(cond, lim) if cut is None else cut.when(cond, lim)
+    if cut is None:
+        return df, rates
+    return df.filter(bucket < cut), rates

@@ -507,3 +507,50 @@ def x8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "x9_temperature_mix",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ), r AS (
+        SELECT lang, n, pow((SELECT min(n) FROM c) / n, 0.5) AS rate FROM c
+    )
+    SELECT d.lang,
+           CAST(r.n AS BIGINT)                                  AS n_in,
+           CAST(count(*) FILTER ({_BUCKET_SQL} <
+                CAST(floor(r.rate * 10000) AS BIGINT)) AS BIGINT) AS n_kept,
+           round(r.rate, 6)                                      AS keep_rate
+    FROM documents d JOIN r ON d.lang = r.lang
+    GROUP BY d.lang, r.n, r.rate
+    ORDER BY d.lang
+    """,
+    doc="Temperature-based domain re-mixing (p_d ∝ n_d^0.5): the rarest "
+    "language keeps everything, dominant languages are md5-bucket "
+    "downsampled toward uniform. One bounded counting aggregate + a "
+    "literal-folded narrow-map filter; alpha=0.5 keeps the rate "
+    "arithmetic (sqrt of a quotient) bit-identical across engines.",
+    tags=("pipeline", "sampling", "ext"),
+)
+def x9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept, rates = temperature_mix(d, "lang", id_col="doc_id", alpha=0.5)
+    tot = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+    k = kept.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    rate_col: F.Column | None = None
+    for lang, r in rates.items():
+        c = F.col("lang") == lang
+        rate_col = F.when(c, F.lit(r)) if rate_col is None else rate_col.when(c, F.lit(r))
+    return (
+        tot.join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_in",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(rate_col, 6).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
