@@ -128,3 +128,52 @@ def test_exact_tier_broadcast_budget_guard(spark):
     # budget=None disables the guard; a generous budget passes through
     assert cosine_topk(q, v, k=3, broadcast_row_budget=None).count() > 0
     assert cosine_topk(q, v, k=3, broadcast_row_budget=10**9).count() > 0
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """IVF-PQ: 8-byte codes in the candidate shuffle, ADC scoring, exact
+    re-rank — recall@3 vs exact must stay high at generous probe/rerank
+    settings on the fixture corpus."""
+    from tw_etl_spark.operators.similarity import ann_ivfpq_topk
+
+    from tw_etl_spark.operators.similarity import ann_ivf_topk
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    q = v.filter(F.col("vec_id") < 40)
+    exact = cosine_topk(q, v, k=3).collect()
+    approx = ann_ivfpq_topk(
+        q, v, k=3, n_lists=8, nprobe=4, m_subspaces=8, n_codewords=64,
+        rerank_factor=16,
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"IVF-PQ recall@3 too low: {recall:.3f}"
+    # the PQ cut must not lose candidates the IVF ceiling admits: recall
+    # matches plain IVF at the same (n_lists, nprobe)
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(q, v, k=3, n_lists=8, nprobe=4).collect()
+    }
+    ivf_recall = len(exact_set & ivf) / len(exact_set)
+    assert recall >= ivf_recall - 1e-9
+    # the exact re-rank means every reported cos_sim is the true cosine
+    truth = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in truth:
+            # both paths round to 6 decimals -> tolerance one ulp of that
+            assert abs(r.cos_sim - truth[(r.query_id, r.neighbor_id)]) <= 1e-6
+
+
+def test_pq_codebook_shapes():
+    import numpy as np
+
+    from tw_etl_spark.operators.similarity import train_pq_codebooks
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((200, 64))
+    X = X / np.linalg.norm(X, axis=1)[:, None]
+    books = train_pq_codebooks(X, m_subspaces=8, n_codewords=16, seed=1)
+    assert books.shape == (8, 16, 8)
+    # codewords live in the subspace's data range
+    assert np.isfinite(books).all()

@@ -94,3 +94,21 @@ def v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", F.round("cos_sim", 6))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "v6_ann_ivfpq",
+    oracle=None,  # approximate; recall-vs-IVF-ceiling asserted in tests
+    doc="IVF-PQ ANN: inverted-list pruning + product-quantized candidate "
+    "scoring (8 uint8 codes per corpus row in the candidate shuffle — "
+    "64x less shuffle volume than the full 64-dim float vector) + ADC "
+    "table-lookup scoring + exact re-rank of the top survivors. At the "
+    "default settings the end recall equals the plain-IVF ceiling.",
+    tags=("vector", "ann", "pq", "ext"),
+)
+def v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.similarity import ann_ivfpq_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    return ann_ivfpq_topk(q, v, k=3, n_lists=16, nprobe=4).orderBy("query_id", "rank")
