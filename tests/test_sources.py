@@ -189,3 +189,30 @@ def test_avro_reader_degrades_clearly(spark, tmp_path):
         assert "spark-avro" in str(e)
     except Exception:
         pytest.skip("avro present but path empty — environment-specific")
+
+
+def test_compact_parquet_sizes_files(spark, tmp_path):
+    import glob
+    import os
+
+    from tw_etl_spark.sources.readers import compact_parquet
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(li, out, target_file_mb=1, sample_rows=5000)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) == stats["n_files"] and stats["n_files"] >= 1
+    # every file lands in a sane band around the 1 MiB target (parquet
+    # framing overhead dominates below ~100 KiB, so only bound above)
+    for f in files:
+        assert os.path.getsize(f) <= 2 * 1024 * 1024, f
+    # round-trip preserved
+    assert spark.read.parquet(out).count() == li.count()
+    # sizing scratch cleaned up
+    assert not os.path.exists(out + "__sizing")
+
+    # a huge target collapses to a single file
+    out2 = str(tmp_path / "one_file")
+    stats2 = compact_parquet(li, out2, target_file_mb=1024)
+    assert stats2["n_files"] == 1
+    assert len(glob.glob(os.path.join(out2, "*.parquet"))) == 1

@@ -650,3 +650,37 @@ def test_push_socket_drives_machine_to_exhaustion(spark):
             holder["conn"].close()
         server.close()
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_quality_battery_streams_equals_batch(spark):
+    """The Gopher/C4 batteries are narrow maps, so they must compose
+    with readStream unchanged and produce exactly the batch result —
+    stream/batch unification for the curation path."""
+    from tw_etl_spark.operators.quality import c4_clean, gopher_flags
+
+    d = tempfile.mkdtemp(prefix="docs_replay_")
+    try:
+        docs = read_table(spark, SF_SMOKE, "documents")
+        docs.repartition(4).write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        streamed = run_stream_to_memory(
+            c4_clean(gopher_flags(stream)).select(
+                "doc_id", "gopher_keep", "c4_keep", "c4_n_lines"
+            ),
+            "quality_stream",
+            output_mode="append",
+        ).collect()
+        batch = {
+            r.doc_id: (r.gopher_keep, r.c4_keep, r.c4_n_lines)
+            for r in c4_clean(gopher_flags(docs))
+            .select("doc_id", "gopher_keep", "c4_keep", "c4_n_lines")
+            .collect()
+        }
+        got = {r.doc_id: (r.gopher_keep, r.c4_keep, r.c4_n_lines) for r in streamed}
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -176,3 +176,71 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             "Avro support requires the spark-avro package "
             "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
         ) from e
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Recursive byte size of a directory via the Hadoop FileSystem API —
+    works on HDFS/S3A/local alike (no driver-side os.walk assumption)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_parquet(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    sample_rows: int = 10_000,
+    mode: str = "overwrite",
+) -> dict[str, int]:
+    """Small-files compaction sink: write ``df`` as parquet files sized
+    near ``target_file_mb``.
+
+    The small-files problem is the classic 100 TB sink failure: a
+    1000-executor job writing per-task files produces millions of KB
+    files that throttle every downstream scan (footer reads + task
+    scheduling dominate). This sink sizes output deterministically:
+
+    1. write a bounded ``sample_rows`` slice to a sizing scratch dir and
+       measure true parquet-encoded bytes/row (encoders + compression
+       make a-priori row-size guesses wrong by 10x);
+    2. rows_per_file = target_bytes / bytes_per_row, file count =
+       ceil(total_rows / rows_per_file);
+    3. one round-robin repartition to the file count, with
+       ``maxRecordsPerFile`` as the hard per-file bound.
+
+    Costs one bounded sample write + one count + the real write.
+    Returns the sizing facts for observability.
+    """
+    spark = df.sparkSession
+    scratch = path.rstrip("/") + "__sizing"
+    sample = df.limit(sample_rows)
+    sample.write.mode("overwrite").parquet(scratch)
+    n_sample = spark.read.parquet(scratch).count()
+    sample_bytes = _dir_bytes(spark, scratch)
+
+    bytes_per_row = max(sample_bytes / max(n_sample, 1), 1.0)
+    target_bytes = target_file_mb * 1024 * 1024
+    rows_per_file = max(int(target_bytes / bytes_per_row), 1)
+    total_rows = df.count()
+    n_files = max(-(-total_rows // rows_per_file), 1)  # ceil
+
+    (
+        df.repartition(n_files)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(path)
+    )
+    # drop the sizing scratch
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(scratch)
+    p.getFileSystem(hconf).delete(p, True)
+    return {
+        "rows": total_rows,
+        "bytes_per_row": int(bytes_per_row),
+        "rows_per_file": rows_per_file,
+        "n_files": int(n_files),
+    }
