@@ -264,3 +264,63 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def unigram_lm(
+    ref_df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    smoothing_k: float = 0.5,
+) -> tuple[DataFrame, float]:
+    """Train an add-k-smoothed unigram language model from a reference
+    corpus: one explode + count aggregate, vocabulary capped at the
+    ``vocab_size`` most frequent tokens. Returns (model df of
+    (token, logprob), oov_logprob).
+
+    This is the CCNet-style quality signal (Wenzek et al. 2020): score
+    documents by LM likelihood under a clean reference corpus and gate
+    on the score. The unigram tier keeps the whole model a (token,
+    logprob) table — broadcastable at any realistic vocabulary."""
+    toks = ref_df.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.desc("c"), "token").limit(vocab_size)
+    total_row = top.agg(F.sum("c"), F.count(F.lit(1))).first()
+    total, v = int(total_row[0]), int(total_row[1])
+    denom = total + smoothing_k * (v + 1)  # +1: one shared OOV bucket
+    model = top.select(
+        "token", F.log((F.col("c") + F.lit(smoothing_k)) / F.lit(denom)).alias("logprob")
+    )
+    import math
+
+    oov_logprob = math.log(smoothing_k / denom)
+    return model, oov_logprob
+
+
+def lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    oov_logprob: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean token logprob per document under a unigram model (higher =
+    more reference-like; gate with a threshold as in CCNet head/middle/
+    tail buckets).
+
+    100 TB shape: explode tokens, BROADCAST-join the (token, logprob)
+    model (vocab-bounded), re-aggregate per document — the only shuffle
+    is the per-document mean, hash-partitioned on ``id_col``; the model
+    never shuffles."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+    )
+    joined = exploded.join(F.broadcast(model), "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.coalesce("logprob", F.lit(oov_logprob))), 6).alias(
+                "avg_logprob"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )

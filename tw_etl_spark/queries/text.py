@@ -585,3 +585,43 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(d).select(
         "doc_id", "c4_text", "c4_n_lines", "c4_keep"
     ).orderBy("doc_id")
+
+
+@register(
+    "t13_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token
+    ), top AS (
+        SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 50000
+    ), consts AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+        FROM top
+    ), model AS (
+        SELECT token, ln((c + 0.5) / (total + 0.5 * (v + 1))) AS logprob
+        FROM top, consts
+    )
+    SELECT t.doc_id,
+           round(avg(COALESCE(m.logprob,
+               (SELECT ln(0.5 / (total + 0.5 * (v + 1))) FROM consts))), 6)
+               AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks t LEFT JOIN model m USING (token)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="CCNet-style unigram LM quality signal (Wenzek et al. 2020): "
+    "train add-k-smoothed token logprobs from the corpus (one explode + "
+    "count agg, vocab-capped), score each document by mean token "
+    "logprob via a broadcast model join. The model never shuffles; the "
+    "only shuffle is the per-document mean.",
+    tags=("text", "quality", "lm", "ext"),
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.text import lm_score, unigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    model, oov = unigram_lm(d)
+    return lm_score(d, model, oov).orderBy("doc_id")
