@@ -170,3 +170,61 @@ def test_deterministic_shuffle_is_partitioning_invariant(spark):
         r.doc_id for r in deterministic_shuffle(df, "doc_id", salt="t").collect()
     ]
     assert other != global_order and sorted(other) == sorted(global_order)
+
+
+def test_scd2_merge_semantics_and_plan(spark):
+    """scd2_merge: changed keys close the current version and append a
+    replacement; no-op updates vanish; new keys insert as first
+    versions; historical rows pass through; the base side never
+    hash-partitions."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.merge import scd2_merge
+    from tw_etl_spark.plans.inspect import explain_str
+
+    d0 = datetime.date(2020, 1, 1)
+    d1 = datetime.date(2021, 6, 1)
+    base = spark.createDataFrame(
+        [
+            # k=1: one historical + one current version
+            (1, 10.0, d0, d1, False),
+            (1, 11.0, d1, None, True),
+            # k=2: current, will get a no-op update
+            (2, 20.0, d0, None, True),
+            # k=3: current, untouched by updates
+            (3, 30.0, d0, None, True),
+        ],
+        "k long, price double, effective_from date, effective_to date, is_current boolean",
+    )
+    ch = datetime.date(2024, 3, 15)
+    upd = spark.createDataFrame(
+        [(1, 12.0, ch), (2, 20.0, ch), (9, 90.0, ch)],
+        "k long, price double, effective_from date",
+    )
+    out = scd2_merge(base, upd, keys=["k"], payload_cols=["price"])
+    rows = sorted(
+        ((r.k, r.price, r.effective_from, r.effective_to, r.is_current)
+         for r in out.collect())
+    )
+    assert rows == sorted([
+        (1, 10.0, d0, d1, False),       # history untouched
+        (1, 11.0, d1, ch, False),       # old current closed at change date
+        (1, 12.0, ch, None, True),      # replacement current
+        (2, 20.0, d0, None, True),      # no-op update dropped
+        (3, 30.0, d0, None, True),      # untouched
+        (9, 90.0, ch, None, True),      # new key inserted
+    ])
+
+    # exactly one current row per live key, histories ordered
+    cur = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+    # base side shuffle-free: the ONLY hash exchange is the tiny
+    # matched-keys distinct (<= |updates| rows); everything touching the
+    # base is a broadcast join
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning") <= 1
+    assert plan.count("BroadcastExchange") >= 2

@@ -49,3 +49,96 @@ def merge_upsert(
         probe = F.broadcast(probe)
     kept = base.join(probe, on=list(keys), how="left_anti")
     return kept.unionByName(updates)
+
+
+def scd2_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    payload_cols: Sequence[str],
+    eff_from: str = "effective_from",
+    eff_to: str = "effective_to",
+    current_col: str = "is_current",
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """SCD-2 merge: history-preserving upsert. ``base`` carries
+    (keys, payload, eff_from, eff_to, current_col); ``updates`` carries
+    (keys, payload, eff_from = the change timestamp).
+
+    Semantics per update row:
+    - key exists with a *different* payload → the current version is
+      closed (``eff_to`` = change ts, ``current_col`` = false) AND a new
+      current version is appended;
+    - key exists with an *equal* payload → no-op (dropped);
+    - new key → inserted as the first current version.
+    Historical (non-current) base rows always pass through untouched.
+
+    Scale shape (100 TB base, bounded delta): the base streams through
+    exactly two shuffle-free scans — a broadcast LEFT join against the
+    delta (which emits pass-throughs, and for changed keys *both* the
+    closed row and its replacement via one array+explode, no second
+    pass), and a broadcast LEFT SEMI join that reduces matched keys to
+    a tiny set so new-key detection is a delta-vs-delta anti join.
+    Nothing ever hash-partitions the base.
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    base_cols = base.columns
+
+    cur = base.filter(F.col(current_col))
+    hist = base.filter(~F.col(current_col))
+
+    u = updates.select(
+        *keys,
+        *[F.col(c).alias(f"__u_{c}") for c in payload_cols],
+        F.col(eff_from).alias("__u_from"),
+    )
+    ub = F.broadcast(u) if broadcast_updates else u
+
+    j = cur.join(ub, on=keys, how="left")
+    payload_changed = F.lit(False)
+    for c in payload_cols:
+        payload_changed = payload_changed | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    is_change = F.col("__u_from").isNotNull() & payload_changed
+
+    def _ver(field: str, closed: bool):
+        if field == eff_to:
+            return (F.col("__u_from") if closed else F.lit(None).cast(
+                base.schema[eff_to].dataType
+            )).alias(field)
+        if field == current_col:
+            return F.lit(not closed).alias(field)
+        if not closed and field in payload_cols:
+            return F.col(f"__u_{field}").alias(field)
+        if not closed and field == eff_from:
+            return F.col("__u_from").alias(field)
+        return F.col(field).alias(field)
+
+    closed_struct = F.struct(*[_ver(c, closed=True) for c in base_cols])
+    new_struct = F.struct(*[_ver(c, closed=False) for c in base_cols])
+    changed_rows = (
+        j.filter(is_change)
+        .select(F.explode(F.array(closed_struct, new_struct)).alias("r"))
+        .select("r.*")
+    )
+    untouched = j.filter(~is_change).select(*base_cols)
+
+    # new keys: shrink matched keys to <= |updates| rows via broadcast
+    # semi join (base side shuffle-free), then anti join delta-vs-delta
+    matched_keys = (
+        cur.join(F.broadcast(u.select(*keys).distinct()), keys, "left_semi")
+        .select(*keys)
+        .distinct()
+    )
+    inserts = (
+        u.join(matched_keys, keys, "left_anti")
+        .select(
+            *keys,
+            *[F.col(f"__u_{c}").alias(c) for c in payload_cols],
+            F.col("__u_from").alias(eff_from),
+            F.lit(None).cast(base.schema[eff_to].dataType).alias(eff_to),
+            F.lit(True).alias(current_col),
+        )
+        .select(*base_cols)
+    )
+    return untouched.unionByName(hist).unionByName(changed_rows).unionByName(inserts)

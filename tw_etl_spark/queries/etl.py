@@ -554,3 +554,87 @@ def x9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "x10_scd2_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate AS effective_from,
+               CAST(NULL AS DATE) AS effective_to, true AS is_current
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ), upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice
+                    ELSE o_totalprice + 1000.0 END AS o_totalprice,
+               DATE '1998-12-01' AS effective_from
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), changed AS (
+        SELECT b.o_orderkey, b.o_totalprice AS old_p, b.effective_from AS old_f,
+               u.o_totalprice AS new_p, u.effective_from AS ch
+        FROM base b JOIN upd u USING (o_orderkey)
+        WHERE b.o_totalprice <> u.o_totalprice
+    ), final AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+        UNION ALL
+        SELECT o_orderkey, old_p, old_f, ch, false FROM changed
+        UNION ALL
+        SELECT o_orderkey, new_p, ch, CAST(NULL AS DATE), true FROM changed
+        UNION ALL
+        SELECT u.o_orderkey, u.o_totalprice, u.effective_from,
+               CAST(NULL AS DATE), true
+        FROM upd u WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    )
+    SELECT is_current,
+           (effective_to IS NOT NULL)                      AS closed,
+           CAST(count(*) AS BIGINT)                        AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT)      AS n_keys,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM final
+    GROUP BY is_current, closed
+    ORDER BY is_current, closed
+    """,
+    doc="SCD-2 history-preserving merge: changed keys get their current "
+    "version closed (effective_to = change date) plus a new current "
+    "version; equal-payload updates are no-ops; unseen keys insert as "
+    "first versions. The 100 TB base streams through two shuffle-free "
+    "broadcast joins (operators/merge.py scd2_merge; closed+replacement "
+    "rows emitted in ONE pass via array+explode). Update prices use "
+    "+1000.0 (IEEE-exact) per the cross-engine decimal-cast contract.",
+    tags=("pipeline", "merge", "scd2", "etl"),
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.merge import scd2_merge
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 9 == 0, F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice") + 1000.0)
+        .alias("o_totalprice"),
+        F.lit("1998-12-01").cast("date").alias("effective_from"),
+    )
+    merged = scd2_merge(
+        base, upd, keys=["o_orderkey"], payload_cols=["o_totalprice"]
+    )
+    return (
+        merged.groupBy(
+            "is_current", F.col("effective_to").isNotNull().alias("closed")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("is_current", "closed")
+    )
