@@ -223,8 +223,13 @@ def test_scd2_merge_semantics_and_plan(spark):
 
     # base side shuffle-free: the ONLY hash exchange is the tiny
     # matched-keys distinct (<= |updates| rows); everything touching the
-    # base is a broadcast join
-    plan = explain_str(out)
+    # base is a broadcast join. Assert on a FRESH plan in simple mode —
+    # a collected AQE plan prints Final+Initial trees and double-counts.
+    fresh = scd2_merge(base, upd, keys=["k"], payload_cols=["price"])
+    plan = explain_str(fresh, "simple")
     assert "BroadcastHashJoin" in plan
-    assert plan.count("hashpartitioning") <= 1
-    assert plan.count("BroadcastExchange") >= 2
+    # the only hash exchanges are the two defensive key-dedups on the
+    # DELTA side (u.distinct + matched_keys.distinct, each <= |updates|
+    # rows); every join against the base is a broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("BroadcastExchange") >= 3

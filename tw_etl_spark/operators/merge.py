@@ -131,7 +131,7 @@ def scd2_merge(
         .distinct()
     )
     inserts = (
-        u.join(matched_keys, keys, "left_anti")
+        u.join(F.broadcast(matched_keys), keys, "left_anti")
         .select(
             *keys,
             *[F.col(f"__u_{c}").alias(c) for c in payload_cols],
