@@ -233,3 +233,47 @@ def test_scd2_merge_semantics_and_plan(spark):
     # rows); every join against the base is a broadcast
     assert plan.count("Exchange hashpartitioning") <= 2
     assert plan.count("BroadcastExchange") >= 3
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB skew posture: session.py enables AQE skew-join; this
+    proves it actually fires. A 97%-one-key fact joined to a non-
+    broadcastable side, with thresholds scaled down to fixture size,
+    must show OptimizeSkewedJoin splits (skew=true / more partitions
+    after AQE than the static shuffle would have)."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 97, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), F.lit("d").alias("dv")
+        )
+        joined = fact.join(dim, "k")
+        # collect() runs THIS DataFrame's QueryExecution, so its AQE
+        # plan finalizes (count()/write() plan separate executions)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

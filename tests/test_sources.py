@@ -216,3 +216,31 @@ def test_compact_parquet_sizes_files(spark, tmp_path):
     stats2 = compact_parquet(li, out2, target_file_mb=1024)
     assert stats2["n_files"] == 1
     assert len(glob.glob(os.path.join(out2, "*.parquet"))) == 1
+
+
+def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
+    from tw_etl_spark.sources.readers import overwrite_partitions
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "part_table")
+    li.write.partitionBy("l_returnflag").parquet(path)
+    flags = sorted(r.l_returnflag for r in li.select("l_returnflag").distinct().collect())
+    assert len(flags) >= 2
+    target, keep = flags[0], flags[1:]
+
+    before_keep = (
+        spark.read.parquet(path)
+        .filter(F.col("l_returnflag").isin(keep))
+        .count()
+    )
+    # backfill ONE partition with halved rows
+    patch = li.filter(F.col("l_returnflag") == target).limit(10)
+    overwrite_partitions(patch, path, ["l_returnflag"])
+
+    after = spark.read.parquet(path)
+    # target partition replaced...
+    assert after.filter(F.col("l_returnflag") == target).count() == 10
+    # ...siblings byte-for-byte untouched
+    assert after.filter(F.col("l_returnflag").isin(keep)).count() == before_keep

@@ -244,3 +244,24 @@ def compact_parquet(
         "rows_per_file": rows_per_file,
         "n_files": int(n_files),
     }
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving sibling partitions untouched.
+
+    This is the idempotent-backfill primitive at 100 TB: re-running one
+    day/hour of a pipeline rewrites that day's directories and nothing
+    else (static overwrite mode would truncate the whole table first).
+    Scoped via ``partitionOverwriteMode=dynamic`` on this write only —
+    no session-global config mutation."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
