@@ -63,3 +63,13 @@ class TokenPositionsUDTF:
             if tok:
                 pos += 1
                 yield tok, pos
+
+
+# --- Arrow-optimized Python UDF (Spark 3.5+/4 useArrow) -------------------
+@udf(returnType=T.StringType(), useArrow=True)
+def slug_arrow_udf(s: str) -> str:
+    """Same row-wise semantics as ``slug_udf`` but with Arrow transport:
+    the per-row Python function is unchanged while (de)serialization is
+    Arrow-columnar — the drop-in accelerator for legacy row UDFs that
+    can't be rewritten as vectorized Pandas UDFs."""
+    return None if s is None else s.strip().lower().replace(" ", "-")
