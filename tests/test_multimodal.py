@@ -170,3 +170,43 @@ def test_resize_images_plumbing(spark):
         src[["media_id", "payload"]], on="media_id", suffixes=("", "_src")
     )
     assert merged.apply(lambda r: bytes(r.payload) == bytes(r.payload_src), axis=1).all()
+
+
+def test_codec_roundtrips_property():
+    """Hypothesis: every (h, w) uint8 image round-trips PPM and BMP
+    bit-exactly; every PCM16 sample block round-trips WAV."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tw_etl_spark.operators import codecs
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def img_case(h, w, seed):
+        img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+        assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+        p = codecs.probe(codecs.encode_bmp(img))
+        assert (p["width"], p["height"]) == (w, h)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        ch=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_case(n, ch, rate, seed):
+        s = np.random.default_rng(seed).integers(
+            -(2**15), 2**15, (n, ch), dtype=np.int16
+        )
+        r, back = codecs.decode_wav(codecs.encode_wav(rate, s))
+        assert r == rate and (back == s).all()
+
+    img_case()
+    wav_case()
