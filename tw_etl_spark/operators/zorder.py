@@ -1,0 +1,76 @@
+"""Z-order clustering for multi-column data skipping.
+
+Parquet scans prune row groups / files by min-max statistics; a linear
+sort tightens stats for the leading column only. Interleaving the bits
+of several key columns (Morton / Z-order) makes every file a small
+hyper-rectangle in key space, so min-max pruning works on ALL the
+z-columns at once — the standard layout optimization for multi-
+dimensional point/range query tables (the public technique behind
+Delta/Iceberg OPTIMIZE ZORDER BY).
+
+Scale shape: per-column normalization comes from a bounded
+``approxQuantile`` sketch (Greenwald-Khanna — one pass, driver holds
+only the 2^bits boundaries) folded into the plan as a literal array;
+the z-value itself is shifts/masks inside whole-stage codegen; the
+layout costs exactly one range shuffle (quantile-sampled, balanced
+files). No global window, no UDF, no driver data proportional to rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 10 bits/dimension = 1024 quantile buckets — far finer than any
+# realistic file count, so file-level pruning loses nothing.
+_BITS = 10
+
+
+def _quantile_index(df: DataFrame, col: str, out: str, bits: int = _BITS) -> DataFrame:
+    """Map a numeric column onto [0, 2^bits) by its empirical quantiles
+    (scale-free: wildly different column ranges get equal resolution)."""
+    n = 1 << bits
+    qs = df.stat.approxQuantile(col, [i / n for i in range(1, n)], 0.001)
+    arr = F.array(*[F.lit(float(q)) for q in qs])
+    idx = F.size(F.filter(arr, lambda b: b <= F.col(col).cast("double")))
+    return df.withColumn(out, idx.cast("long"))
+
+
+def zvalue_expr(a: Column, b: Column, bits: int = _BITS) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative longs:
+    z = ... b1 a1 b0 a0. Expression-only (shiftleft/shiftright/&)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``num_files`` parquet files z-ordered on
+    (col_a, col_b): range-partition by z-value (quantile-sampled, so
+    files are balanced), sort within each partition, drop the helpers.
+
+    At 100 TB the one range shuffle is the entire cost; every
+    subsequent selective scan on EITHER column prunes most files by
+    footer stats alone (asserted against real parquet metadata in
+    tests/test_zorder.py)."""
+    ranked = _quantile_index(_quantile_index(df, col_a, "__ra"), col_b, "__rb")
+    z = ranked.withColumn("__z", zvalue_expr(F.col("__ra"), F.col("__rb")))
+    (
+        z.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__ra", "__rb", "__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
