@@ -228,3 +228,40 @@ def test_c4_clean_line_semantics(spark):
     assert rows[1].c4_text.splitlines()[0] == "This is a proper sentence with enough words."
     assert not rows[2].c4_keep  # curly brace
     assert not rows[3].c4_keep  # lorem ipsum
+
+
+def test_c4_sentence_span_dedup(spark):
+    from tw_etl_spark.operators.quality import dedup_sentence_spans
+
+    shared = "First shared one. Second shared two. Third shared three."
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " Unique tail of doc one."),
+            (2, "Own opening sentence here. " + shared),
+            (3, "Totally unrelated. Nothing here repeats. Honest!"),
+            (4, "Too short to span."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.deduped_text for r in dedup_sentence_spans(docs).collect()}
+    # doc 1 owns the first occurrence -> untouched
+    assert out[1] == docs.filter("doc_id = 1").first().text
+    # doc 2 loses the duplicated span: its three shared sentences vanish,
+    # its own sentence survives
+    assert "shared" not in out[2]
+    assert out[2] == "Own opening sentence here."
+    # non-duplicated and short docs untouched
+    assert out[3] == docs.filter("doc_id = 3").first().text
+    assert out[4] == docs.filter("doc_id = 4").first().text
+
+
+def test_c4_span_dedup_is_deterministic_under_partitioning(spark):
+    from tw_etl_spark.operators.quality import dedup_sentence_spans
+
+    d = read_table(spark, SF_SMOKE, "documents").limit(100)
+    a = {r.doc_id: r.deduped_text for r in dedup_sentence_spans(d).collect()}
+    b = {
+        r.doc_id: r.deduped_text
+        for r in dedup_sentence_spans(d.repartition(7)).collect()
+    }
+    assert a == b

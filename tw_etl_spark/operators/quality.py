@@ -149,3 +149,103 @@ def c4_clean(
         & ~F.lower(F.col(text_col)).contains("lorem ipsum")
     )
     return out.withColumn("c4_keep", doc_ok)
+
+
+# ------------------------------------------------------- C4 span dedup
+
+SENTENCE_SPLIT_RE = r"(?<=[.!?])\s+"
+
+
+def sentences_expr(text: Column) -> Column:
+    """Regex sentence segmentation (C4's heuristic: split after
+    terminal punctuation + whitespace), empty fragments dropped."""
+    return F.filter(
+        F.transform(F.split(text, SENTENCE_SPLIT_RE), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def dedup_sentence_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+    out_col: str = "deduped_text",
+) -> DataFrame:
+    """C4's corpus-level dedup rule (Raffel et al. 2020 §2.2): any
+    ``span``-sentence window that occurs more than once in the corpus is
+    kept ONCE (first occurrence by (id, position)) and removed everywhere
+    else. A losing occurrence removes its ``span`` sentences; the
+    document text is rebuilt from the surviving sentences.
+
+    Scale shape: sentences explode to spans (fan-out ×span), the only
+    wide stages are the min-winner aggregation on span hash and the
+    per-doc regroup — both hash shuffles on narrow (hash, id, idx) rows;
+    span text never shuffles (md5 only). Docs with fewer than ``span``
+    sentences pass through untouched.
+    """
+    sents = F.col("__sents")
+    with_sents = df.withColumn("__sents", sentences_expr(F.col(text_col)))
+
+    spans = (
+        with_sents.select(
+            F.col(id_col),
+            F.posexplode(
+                # sequence(0, -1) would count DOWN — short docs need an
+                # explicitly empty span list
+                F.when(
+                    F.size(sents) >= span,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(sents) - span),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice(sents, i + 1, span))
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            ).alias("span_idx", "span_hash"),
+        )
+    )
+    # winner of each duplicated span: smallest (id, span_idx)
+    winners = spans.groupBy("span_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("w"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    losers = (
+        spans.join(winners.filter(F.col("n") > 1), "span_hash")
+        .filter(
+            (F.col(id_col) != F.col(f"w.{id_col}"))
+            | (F.col("span_idx") != F.col("w.span_idx"))
+        )
+        .select(F.col(id_col), F.col("span_idx"))
+    )
+    # sentence indices to drop per doc = union of losing spans' windows
+    drops = losers.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("span_idx"), F.col("span_idx") + span - 1))
+            )
+        ).alias("__drop")
+    )
+    rebuilt = (
+        with_sents.join(drops, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__drop").isNull(), F.col(text_col)).otherwise(
+                F.array_join(
+                    F.filter(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(sents) - 1),
+                            lambda i: F.when(
+                                ~F.array_contains(F.col("__drop"), i),
+                                F.element_at(sents, i + 1),
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                    " ",
+                )
+            ),
+        )
+        .drop("__sents", "__drop")
+    )
+    return rebuilt
