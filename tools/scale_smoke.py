@@ -1,0 +1,86 @@
+"""Scale smoke: heavy operators at ~10x the bench fixture (sf1-ish).
+
+Not part of the test suite (minutes, writes /tmp); run manually:
+
+    PYTHONPATH=. python tools/scale_smoke.py 2>/dev/null
+
+Measured on local[32] (round 2): window gauntlet 3.6M rows 1.6s,
+sessionization 5.1s, quality battery 200k docs 2.1s, LM train+score
+2.4s, temperature mix 1.0s, IVF-PQ 100q x 80k corpus 15.3s.
+"""
+import time
+from pyspark.sql import functions as F
+from tw_etl_spark.session import get_spark
+
+spark = get_spark(app_name="scale-smoke")
+
+t0 = time.time()
+# events x10 of sf0.1: 3.6M rows
+ev = (spark.range(0, 3_600_000)
+      .select(
+          F.col("id").alias("event_id"),
+          (F.col("id") % 50_000).alias("user_id"),
+          F.timestamp_micros((F.lit(1700000000_000_000) + F.col("id") * 1_000_000 + (F.xxhash64("id") % 900_000_000)).cast("long")).alias("ts"),
+          F.element_at(F.array(F.lit("view"), F.lit("click"), F.lit("buy")), (F.col("id") % 3 + 1).cast("int")).alias("event_type"),
+          (F.rand(7) * 100).alias("value"),
+      ))
+ev.write.mode("overwrite").parquet("/tmp/smoke_events")
+print(f"gen events: {time.time()-t0:.1f}s")
+
+e = spark.read.parquet("/tmp/smoke_events")
+
+from pyspark.sql.window import Window
+t0 = time.time()
+w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+wr = Window.partitionBy("user_id").orderBy(F.unix_micros("ts")).rangeBetween(-3_600_000_000, 0)
+gauntlet = e.select(
+    "user_id", "event_id",
+    F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+    F.lag("event_type").over(w).alias("prev"),
+    F.count(F.lit(1)).over(wr).alias("n_hr"),
+)
+n = gauntlet.count()
+print(f"window gauntlet 3.6M rows: {time.time()-t0:.1f}s ({n} rows)")
+
+t0 = time.time()
+sess = (e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_sess", (F.col("prev_ts").isNull() | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1_800_000_000)).cast("int"))
+        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n")))
+print(f"sessionization: {sess.count()} sessions in {time.time()-t0:.1f}s")
+
+# docs x40: 200k docs for quality battery + LM + temperature mix
+t0 = time.time()
+docs = (spark.range(0, 200_000)
+        .select(F.col("id").alias("doc_id"),
+                F.concat(F.lit("the quick brown fox doc "), F.col("id").cast("string"),
+                         F.lit(" with some repeated filler tokens of and that to be have ")).alias("text"),
+                F.element_at(F.array(*[F.lit(l) for l in ["en","en","en","de","fr"]]), (F.col("id") % 5 + 1).cast("int")).alias("lang")))
+from tw_etl_spark.operators.quality import gopher_flags, c4_clean
+q = c4_clean(gopher_flags(docs))
+print(f"quality battery 200k docs: kept={q.filter('gopher_keep').count()} in {time.time()-t0:.1f}s")
+
+t0 = time.time()
+from tw_etl_spark.operators.text import unigram_lm, lm_score
+model, oov = unigram_lm(docs)
+print(f"LM train+score 200k docs: {lm_score(docs, model, oov).count()} in {time.time()-t0:.1f}s")
+
+t0 = time.time()
+from tw_etl_spark.operators.sampling import temperature_mix
+kept, rates = temperature_mix(docs, "lang", id_col="doc_id", alpha=0.5)
+print(f"temperature mix: {kept.count()} kept in {time.time()-t0:.1f}s, rates={ {k: round(v,3) for k,v in rates.items()} }")
+
+# embeddings x40: 80k vectors through IVF-PQ
+t0 = time.time()
+import numpy as np
+from pyspark.sql import types as T
+emb = (spark.range(0, 80_000)
+       .select(F.col("id").alias("vec_id"),
+               F.transform(F.sequence(F.lit(1), F.lit(64)),
+                           lambda i: F.sin(F.col("id") * i * 0.001)).alias("embedding")))
+emb.write.mode("overwrite").parquet("/tmp/smoke_emb")
+v = spark.read.parquet("/tmp/smoke_emb")
+from tw_etl_spark.operators.similarity import ann_ivfpq_topk
+qdf = v.filter(F.col("vec_id") < 100)
+res = ann_ivfpq_topk(qdf, v, k=3, n_lists=64, nprobe=4)
+print(f"IVF-PQ 100q x 80k corpus: {res.count()} results in {time.time()-t0:.1f}s")
