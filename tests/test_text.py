@@ -265,3 +265,25 @@ def test_c4_span_dedup_is_deterministic_under_partitioning(spark):
         for r in dedup_sentence_spans(d.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_top_bigram_fraction(spark):
+    from tw_etl_spark.operators.quality import top_bigram_fraction_expr
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # 'a b' x3 of 5 bigrams, 6 tokens
+            (2, "all words differ here completely"),  # every bigram unique
+            (3, "solo"),                  # no bigram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id", top_bigram_fraction_expr(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert out[1] == 1.0          # 3*2/6 capped at 1
+    assert out[2] == round(2 / 5, 6)
+    assert out[3] == 0.0

@@ -10,10 +10,12 @@ Python per row, no shuffle — which is exactly how both are built here
 (split / filter / transform / aggregate higher-order functions, all
 inside whole-stage codegen).
 
-Thresholds are parameterized with the published defaults. Rules that
-need corpus-level state (Gopher's top-2-gram fraction, C4's
-three-sentence-span dedup) live in the dedup/tf_idf operators instead —
-this module is strictly the per-document narrow-map battery.
+Thresholds are parameterized with the published defaults. The module
+also carries the two rules beyond the per-document battery: Gopher's
+top-bigram fraction (``top_bigram_fraction_expr`` — still a narrow map,
+a run-length fold over the sorted bigram array) and C4's corpus-level
+three-sentence-span dedup (``dedup_sentence_spans`` — the one rule that
+genuinely shuffles, on span hashes only).
 """
 
 from __future__ import annotations
@@ -249,3 +251,43 @@ def dedup_sentence_spans(
         .drop("__sents", "__drop")
     )
     return rebuilt
+
+
+def top_bigram_fraction_expr(text: Column) -> Column:
+    """Gopher's remaining corpus rule, per-document form: the fraction
+    of tokens covered by the document's most frequent bigram (docs
+    dominated by one repeated phrase are boilerplate). Expression-only:
+    sort the bigram array, fold a (prev, run, best) struct through it —
+    max run length of the sorted array IS the top multiplicity. Narrow
+    map, no shuffle, whole-stage codegen."""
+    toks = tokens_expr(text)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.sort_array(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(bigrams, init, step)["best"]
+    # a bigram of multiplicity c covers c+1 tokens at most; Gopher uses
+    # the token-coverage fraction — approximate with 2c/n (disjoint
+    # occurrences), capped at 1
+    frac = F.least(
+        best.cast("double") * 2 / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+        F.lit(1.0),
+    )
+    return F.round(frac, 6)

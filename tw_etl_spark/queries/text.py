@@ -625,3 +625,51 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     model, oov = unigram_lm(d)
     return lm_score(d, model, oov).orderBy("doc_id")
+
+
+@register(
+    "t14_top_bigram_fraction",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    mx AS (
+        SELECT doc_id, max(c) AS top_cnt
+        FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(mx.top_cnt, 0) AS BIGINT) AS top_cnt,
+           round(least(COALESCE(mx.top_cnt, 0) * 2.0
+                       / greatest(len(t.toks), 1), 1.0), 6) AS top_frac
+    FROM t LEFT JOIN mx USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Gopher top-bigram-fraction rule: tokens covered by the most "
+    "frequent bigram per document. Spark side is an expression-only "
+    "narrow map (sorted-array run-length fold); the oracle recomputes "
+    "it relationally (explode + group + max).",
+    tags=("text", "quality", "ext"),
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.quality import top_bigram_fraction_expr
+    from tw_etl_spark.operators.text import tokens_expr as _toks_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks_expr(F.col("text"))
+    frac = top_bigram_fraction_expr(F.col("text"))
+    # recover the count from the fraction's definition for the output
+    top_cnt = F.round(
+        frac * F.greatest(F.size(toks), F.lit(1)).cast("double") / 2.0
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            top_cnt.alias("top_cnt"),
+            frac.alias("top_frac"),
+        ).orderBy("doc_id")
+    )
