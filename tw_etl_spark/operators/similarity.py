@@ -576,7 +576,8 @@ def train_pq_codebooks(
         k = min(n_codewords, len(S))
         cent = S[rng.choice(len(S), k, replace=False)]
         for _ in range(iters):
-            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # |s-c|² argmin via the matmul identity (|s|² constant/row)
+            d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (S @ cent.T)
             assign = np.argmin(d2, axis=1)
             for c in range(k):
                 members = S[assign == c]
