@@ -292,3 +292,23 @@ def test_temperature_mix_rebalances_toward_uniform(spark):
     kept2, _ = temperature_mix(d, "lang", id_col="doc_id", alpha=0.5)
     assert kept.select("doc_id").subtract(kept2.select("doc_id")).count() == 0
     assert kept2.count() == kept.count()
+
+
+def test_temperature_mix_null_stratum_gets_rate(spark):
+    """NULL strata are a groupBy key like any other: the computed rate
+    must be applied to them (eqNullSafe), not silently drop every
+    null-stratum row through the CASE chain."""
+    from tw_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(f"d{i:03d}", "en" if i < 80 else None) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id string, lang string")
+    kept, rates = temperature_mix(d, "lang", id_col="doc_id", alpha=0.5)
+    assert None in rates
+    after = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the NULL stratum is the dominant one (120 rows) -> downsampled but
+    # decidedly non-empty; the rare 'en' stratum keeps rate 1.0
+    assert after.get("en") == 80
+    n_null = after.get(None, 0)
+    assert 0 < n_null < 120
+    # realized rate tracks the computed one within md5-bucket noise
+    assert abs(n_null / 120 - rates[None]) < 0.15

@@ -210,3 +210,32 @@ def test_codec_roundtrips_property():
 
     img_case()
     wav_case()
+
+
+def test_decode_wav_malformed_fmt_raises_valueerror():
+    """A RIFF with a data chunk but unusable fmt fields must raise a
+    clean ValueError, not TypeError/ZeroDivisionError from the
+    trailing-byte modulo."""
+    import struct
+
+    import pytest
+
+    from tw_etl_spark.operators.codecs import decode_wav
+
+    def riff(chunks: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    data = chunk(b"data", b"\x01\x00" * 8)
+    # no fmt chunk at all
+    with pytest.raises(ValueError):
+        decode_wav(riff(data))
+    # fmt present but truncated (too short for the bits field)
+    with pytest.raises(ValueError):
+        decode_wav(riff(chunk(b"fmt ", struct.pack("<HHI", 1, 1, 8000)) + data))
+    # fmt with zero channels
+    fmt0 = struct.pack("<HHIIHH", 1, 0, 8000, 16000, 2, 16)
+    with pytest.raises(ValueError):
+        decode_wav(riff(chunk(b"fmt ", fmt0) + data))

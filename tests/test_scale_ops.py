@@ -228,10 +228,11 @@ def test_scd2_merge_semantics_and_plan(spark):
     fresh = scd2_merge(base, upd, keys=["k"], payload_cols=["price"])
     plan = explain_str(fresh, "simple")
     assert "BroadcastHashJoin" in plan
-    # the only hash exchanges are the two defensive key-dedups on the
-    # DELTA side (u.distinct + matched_keys.distinct, each <= |updates|
-    # rows); every join against the base is a broadcast
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # the only hash exchanges are DELTA-side (the latest-row-per-key
+    # reduction subtree, re-planned under each of u's three uses, plus
+    # the matched-keys distinct — each <= |updates| rows); every join
+    # against the base is a broadcast
+    assert plan.count("Exchange hashpartitioning") <= 4
     assert plan.count("BroadcastExchange") >= 3
 
 
@@ -277,3 +278,34 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_merge_duplicate_update_keys_reduced(spark):
+    """Duplicate-keyed updates reduce to the latest row per key (max
+    eff_from, payload tiebreak) so one pass still yields exactly one
+    current row per key."""
+    import datetime
+
+    from tw_etl_spark.operators.merge import scd2_merge
+
+    d0 = datetime.date(2020, 1, 1)
+    ch1 = datetime.date(2024, 3, 15)
+    ch2 = datetime.date(2024, 9, 1)
+    base = spark.createDataFrame(
+        [(1, 10.0, d0, None, True)],
+        "k long, price double, effective_from date, effective_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, 11.0, ch1), (1, 12.0, ch2), (1, 11.5, ch1), (7, 70.0, ch1), (7, 71.0, ch2)],
+        "k long, price double, effective_from date",
+    )
+    out = scd2_merge(base, upd, keys=["k"], payload_cols=["price"]).collect()
+    cur = {r.k: r for r in out if r.is_current}
+    assert set(cur) == {1, 7}
+    # latest eff_from wins for both keys
+    assert (cur[1].price, cur[1].effective_from) == (12.0, ch2)
+    assert (cur[7].price, cur[7].effective_from) == (71.0, ch2)
+    # k=1: history row + closed row + replacement = 3 rows total
+    k1 = sorted((r.price, r.is_current) for r in out if r.k == 1)
+    assert k1 == [(10.0, False), (12.0, True)]
+    assert len(out) == 3

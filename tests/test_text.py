@@ -287,3 +287,31 @@ def test_top_bigram_fraction(spark):
     assert out[1] == 1.0          # 3*2/6 capped at 1
     assert out[2] == round(2 / 5, 6)
     assert out[3] == 0.0
+
+
+def test_top_bigram_count_survives_fraction_cap(spark):
+    """The raw top-bigram multiplicity must come from the fold itself,
+    not from inverting the rounded/capped fraction: for 'a a a a'
+    (best=3, n=4) the capped fraction is 1.0 and inversion would yield
+    round(4/2)=2 — the count expr must report the true 3."""
+    from tw_etl_spark.operators.quality import (
+        top_bigram_count_expr,
+        top_bigram_fraction_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b a b a b"), (3, "solo"), (4, "x y z")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.c, r.f)
+        for r in docs.select(
+            "doc_id",
+            top_bigram_count_expr(F.col("text")).alias("c"),
+            top_bigram_fraction_expr(F.col("text")).alias("f"),
+        ).collect()
+    }
+    assert out[1] == (3, 1.0)
+    assert out[2] == (3, 1.0)
+    assert out[3] == (0, 0.0)
+    assert out[4] == (1, round(2 / 3, 6))

@@ -138,6 +138,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt_tag != 1 or bits != 16:
@@ -145,8 +147,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         elif chunk_id == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or data is None:
-        raise ValueError("WAV missing fmt/data chunk")
+    if rate is None or data is None or channels is None or channels < 1:
+        raise ValueError("WAV missing usable fmt/data chunk")
     samples = np.frombuffer(data[: len(data) - len(data) % (2 * channels)], dtype="<i2")
     return rate, samples.reshape(-1, channels)
 

@@ -73,6 +73,14 @@ def scd2_merge(
     - new key → inserted as the first current version.
     Historical (non-current) base rows always pass through untouched.
 
+    The merge applies AT MOST ONE update row per key per pass (the
+    SCD-2 invariant is one current row per key; two versions from one
+    batch would need an intra-batch ordering this operator does not
+    model). Duplicate-keyed updates are therefore reduced up front to
+    the latest row per key — max ``eff_from``, payload-lexicographic
+    tiebreak, deterministic. Callers with genuinely ordered multi-row
+    histories per key should apply the merge once per change batch.
+
     Scale shape (100 TB base, bounded delta): the base streams through
     exactly two shuffle-free scans — a broadcast LEFT join against the
     delta (which emits pass-throughs, and for changed keys *both* the
@@ -92,6 +100,22 @@ def scd2_merge(
         *keys,
         *[F.col(c).alias(f"__u_{c}") for c in payload_cols],
         F.col(eff_from).alias("__u_from"),
+    )
+    # one update per key per pass: keep the latest (max eff_from,
+    # payload tiebreak — struct comparison is lexicographic, so this is
+    # deterministic and a no-op for already-unique deltas). Delta-side
+    # shuffle only; the base never sees it.
+    u = (
+        u.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__u_from"),
+                    *[F.col(f"__u_{c}") for c in payload_cols],
+                )
+            ).alias("__m")
+        )
+        .select(*keys, "__m.*")
     )
     ub = F.broadcast(u) if broadcast_updates else u
 
@@ -116,17 +140,29 @@ def scd2_merge(
 
     closed_struct = F.struct(*[_ver(c, closed=True) for c in base_cols])
     new_struct = F.struct(*[_ver(c, closed=False) for c in base_cols])
-    changed_rows = (
-        j.filter(is_change)
-        .select(F.explode(F.array(closed_struct, new_struct)).alias("r"))
+    pass_struct = F.struct(*[F.col(c).alias(c) for c in base_cols])
+    # one pass over the joined base emits pass-throughs AND (for changed
+    # keys) both the closed row and its replacement — a single base scan
+    # instead of two filtered branches
+    cur_rows = (
+        j.select(
+            F.explode(
+                F.when(is_change, F.array(closed_struct, new_struct)).otherwise(
+                    F.array(pass_struct)
+                )
+            ).alias("r")
+        )
         .select("r.*")
     )
-    untouched = j.filter(~is_change).select(*base_cols)
 
     # new keys: shrink matched keys to <= |updates| rows via broadcast
-    # semi join (base side shuffle-free), then anti join delta-vs-delta
+    # semi join (base side shuffle-free), then anti join delta-vs-delta.
+    # u is key-unique after the latest-row reduction, so no distinct on
+    # the probe side; the matched-keys distinct stays (cur may carry a
+    # key many times only in malformed bases, but it bounds the
+    # broadcast regardless).
     matched_keys = (
-        cur.join(F.broadcast(u.select(*keys).distinct()), keys, "left_semi")
+        cur.join(F.broadcast(u.select(*keys)), keys, "left_semi")
         .select(*keys)
         .distinct()
     )
@@ -141,4 +177,4 @@ def scd2_merge(
         )
         .select(*base_cols)
     )
-    return untouched.unionByName(hist).unionByName(changed_rows).unionByName(inserts)
+    return cur_rows.unionByName(hist).unionByName(inserts)

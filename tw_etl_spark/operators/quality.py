@@ -253,13 +253,15 @@ def dedup_sentence_spans(
     return rebuilt
 
 
-def top_bigram_fraction_expr(text: Column) -> Column:
-    """Gopher's remaining corpus rule, per-document form: the fraction
-    of tokens covered by the document's most frequent bigram (docs
-    dominated by one repeated phrase are boilerplate). Expression-only:
-    sort the bigram array, fold a (prev, run, best) struct through it —
-    max run length of the sorted array IS the top multiplicity. Narrow
-    map, no shuffle, whole-stage codegen."""
+def top_bigram_count_expr(text: Column) -> Column:
+    """Multiplicity of the document's most frequent bigram (0 for docs
+    with fewer than two tokens). Expression-only: sort the bigram
+    array, fold a (prev, run, best) struct through it — max run length
+    of the sorted array IS the top multiplicity. Narrow map, no
+    shuffle, whole-stage codegen. This is the raw count behind
+    ``top_bigram_fraction_expr``; consumers that need the count must
+    read it from here rather than inverting the rounded, capped
+    fraction (which loses information once 2*best > n_tokens)."""
     toks = tokens_expr(text)
     bigrams = F.when(
         F.size(toks) >= 2,
@@ -282,10 +284,18 @@ def top_bigram_fraction_expr(text: Column) -> Column:
             x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
 
-    best = F.aggregate(bigrams, init, step)["best"]
-    # a bigram of multiplicity c covers c+1 tokens at most; Gopher uses
-    # the token-coverage fraction — approximate with 2c/n (disjoint
-    # occurrences), capped at 1
+    return F.aggregate(bigrams, init, step)["best"].cast("bigint")
+
+
+def top_bigram_fraction_expr(text: Column) -> Column:
+    """Gopher's remaining corpus rule, per-document form: the fraction
+    of tokens covered by the document's most frequent bigram (docs
+    dominated by one repeated phrase are boilerplate). A bigram of
+    multiplicity c covers c+1 tokens at most; Gopher uses the
+    token-coverage fraction — approximate with 2c/n (disjoint
+    occurrences), capped at 1. Narrow map like the count expr."""
+    toks = tokens_expr(text)
+    best = top_bigram_count_expr(text)
     frac = F.least(
         best.cast("double") * 2 / F.greatest(F.size(toks), F.lit(1)).cast("double"),
         F.lit(1.0),

@@ -170,7 +170,10 @@ def temperature_mix(
     cut: Column | None = None
     for d, r in rates.items():
         lim = F.lit(int(r * _BUCKETS))  # floor — mirrors the oracle SQL
-        cond = F.col(stratum_col) == d
+        # eqNullSafe so a NULL stratum (its own groupBy key above) gets
+        # its computed rate applied instead of falling through the CASE
+        # chain to NULL and being dropped unconditionally
+        cond = F.col(stratum_col).eqNullSafe(F.lit(d))
         cut = F.when(cond, lim) if cut is None else cut.when(cond, lim)
     if cut is None:
         return df, rates

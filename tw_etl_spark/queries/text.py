@@ -656,20 +656,16 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "ext"),
 )
 def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tw_etl_spark.operators.quality import top_bigram_fraction_expr
-    from tw_etl_spark.operators.text import tokens_expr as _toks_expr
+    from tw_etl_spark.operators.quality import (
+        top_bigram_count_expr,
+        top_bigram_fraction_expr,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    toks = _toks_expr(F.col("text"))
-    frac = top_bigram_fraction_expr(F.col("text"))
-    # recover the count from the fraction's definition for the output
-    top_cnt = F.round(
-        frac * F.greatest(F.size(toks), F.lit(1)).cast("double") / 2.0
-    ).cast("bigint")
     return (
         d.select(
             "doc_id",
-            top_cnt.alias("top_cnt"),
-            frac.alias("top_frac"),
+            top_bigram_count_expr(F.col("text")).alias("top_cnt"),
+            top_bigram_fraction_expr(F.col("text")).alias("top_frac"),
         ).orderBy("doc_id")
     )

@@ -194,6 +194,7 @@ def compact_parquet(
     target_file_mb: int = 256,
     sample_rows: int = 10_000,
     mode: str = "overwrite",
+    persist_input: bool = True,
 ) -> dict[str, int]:
     """Small-files compaction sink: write ``df`` as parquet files sized
     near ``target_file_mb``.
@@ -211,28 +212,41 @@ def compact_parquet(
     3. one round-robin repartition to the file count, with
        ``maxRecordsPerFile`` as the hard per-file bound.
 
-    Costs one bounded sample write + one count + the real write.
+    The input plan is evaluated three times (sizing sample, count,
+    final write); ``persist_input`` (default) caches ``df``
+    MEMORY_AND_DISK across the three so an expensive upstream plan runs
+    once — pass False when ``df`` is larger than cluster storage and
+    recomputation is the cheaper trade. ``path`` must NOT be a source
+    of ``df`` itself: Spark refuses to overwrite a path that the plan
+    is concurrently reading, so in-place compaction needs a scratch
+    target + rename (or a table format with atomic replace).
     Returns the sizing facts for observability.
     """
     spark = df.sparkSession
-    scratch = path.rstrip("/") + "__sizing"
-    sample = df.limit(sample_rows)
-    sample.write.mode("overwrite").parquet(scratch)
-    n_sample = spark.read.parquet(scratch).count()
-    sample_bytes = _dir_bytes(spark, scratch)
+    if persist_input:
+        df = df.persist()
+    try:
+        scratch = path.rstrip("/") + "__sizing"
+        sample = df.limit(sample_rows)
+        sample.write.mode("overwrite").parquet(scratch)
+        n_sample = spark.read.parquet(scratch).count()
+        sample_bytes = _dir_bytes(spark, scratch)
 
-    bytes_per_row = max(sample_bytes / max(n_sample, 1), 1.0)
-    target_bytes = target_file_mb * 1024 * 1024
-    rows_per_file = max(int(target_bytes / bytes_per_row), 1)
-    total_rows = df.count()
-    n_files = max(-(-total_rows // rows_per_file), 1)  # ceil
+        bytes_per_row = max(sample_bytes / max(n_sample, 1), 1.0)
+        target_bytes = target_file_mb * 1024 * 1024
+        rows_per_file = max(int(target_bytes / bytes_per_row), 1)
+        total_rows = df.count()
+        n_files = max(-(-total_rows // rows_per_file), 1)  # ceil
 
-    (
-        df.repartition(n_files)
-        .write.mode(mode)
-        .option("maxRecordsPerFile", rows_per_file)
-        .parquet(path)
-    )
+        (
+            df.repartition(n_files)
+            .write.mode(mode)
+            .option("maxRecordsPerFile", rows_per_file)
+            .parquet(path)
+        )
+    finally:
+        if persist_input:
+            df.unpersist()
     # drop the sizing scratch
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
