@@ -56,14 +56,18 @@ def register(
 # The correctness driver evaluates exactly the FIRST 50 queries in
 # ``queries()`` iteration order (measured: CORRECTNESS_r01.json is the
 # first 50 registrations). This window is therefore an explicit,
-# hand-ordered contract: 13 core + 24 flagship [EXT] + 13 consolidated
-# relational/text queries that together cover every SQL-expressible
-# SURVEY.md §2 operator row. Everything after the window is still
+# hand-ordered contract covering every SQL-expressible SURVEY.md §2
+# operator row. Round-3 rotation (per VERDICT r2 #1): in — t11-t14,
+# x9, x10 (the round-2 flagship [EXT] operators: Gopher, C4,
+# unigram-LM, top-bigram, temperature-mix, SCD-2); out — six
+# family-redundant slots (e4 grouping ⊂ a10, s2 nulls-ordering ⊂
+# s10/j10, p3 arithmetic ⊂ f20/x1, t1 ⊂ t8/t9, dd5 cosine ⊂ v1/v2,
+# x6 md5-determinism ⊂ x2/x4). Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
 # gated by design — see COVERAGE.md §verification-tiers) live there.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- core flagship (13)
+    # -- core flagship (12)
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_nation_revenue",
@@ -75,12 +79,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d1_word_count",
     "d2_exact_dedup",
     "v1_cosine_top_pairs",
-    "e4_multigrain_rollup",
     "e5_gap_fill_locf",
-    # -- dedup / similarity [EXT] (7)
+    # -- dedup / similarity [EXT] (6)
     "dd1_exact_dedup_keep_first",
     "dd2_jaccard_neardup_pairs",
-    "dd5_embedding_neardup_pairs",
     "dd6_neardup_components",
     "dd7_neardup_survivors",
     "x2_leakage_aware_split",
@@ -88,25 +90,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- ETL / pipeline [EXT] (10)
     "p1_filename_parse",
     "p2_cleanse_union_distinct",
-    "p3_compression_metric",
     "p4_tiered_routing",
     "x1_training_data_pipeline",
     "x4_stratified_mix",
     "x5_benchmark_decontaminate",
-    "x6_deterministic_shuffle",
     "x7_document_chunking",
     "x8_merge_upsert",
+    "x9_temperature_mix",
+    "x10_scd2_merge",
     # -- UDF surface (4)
     "u1_scalar_udfs",
     "u2_pandas_udaf",
     "u3_grouped_map_zscore",
     "u4_udtf_token_positions",
-    # -- text [EXT] (4)
+    # -- text [EXT] (7)
     "t8_tfidf_top_terms",
     "t9_token_entropy",
     "t10_pii_redaction",
-    "t1_text_metrics",
-    # -- consolidated relational (12)
+    "t11_gopher_quality",
+    "t12_c4_clean",
+    "t13_lm_perplexity",
+    "t14_top_bigram_fraction",
+    # -- consolidated relational (11)
     "j10_outer_join_family",
     "j20_semi_anti_join",
     "j50_range_asof_join",
@@ -115,7 +120,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a40_agg_stats",
     "w20_window_gauntlet",
     "s10_setops_null_semantics",
-    "s2_sort_nulls_ordering",
     "f10_customer_string_map",
     "f20_datetime_case_math",
     "f50_docs_hash_array",
