@@ -152,30 +152,68 @@ _PAIRS_CTE = f"""
         JOIN sizes sb ON id_b = sb.doc
         WHERE round(sh / (sa.n + sb.n - sh), 6) >= 0.95
     ),
-    und AS (
+    und AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM und
-        UNION
-        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-    ),
-    comp AS (
-        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
     )
 """
+
+
+def _comp_cte(rounds: int = 10) -> str:
+    """Connected components as a single non-recursive CTE chain: fixed
+    ``rounds`` of min-label propagation (one edge join) + pointer
+    jumping (label-of-label), hash-to-min style.
+
+    The previous oracle was a recursive transitive-closure CTE —
+    quadratic in component size, and measurably unable to finish on
+    sf0.1's dup-heavy fixture (near-clique components of hundreds of
+    docs). This form is linear in |edges| per round, and the combined
+    propagate+jump step spreads the component minimum multiplicatively,
+    so 10 rounds converge for any component of diameter well past 2^10.
+    Non-convergence cannot go unnoticed: the Spark side iterates to a
+    measured fixpoint, so an unconverged oracle hash-mismatches.
+
+    Every CTE here is MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, which re-evaluates the whole upstream chain (and
+    re-opens the parquet) once per round — 10 rounds of that exhausts
+    file handles before it exhausts time."""
+    parts = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM und)",
+        "lbl0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"lbl{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT n.id, least(n.lbl, coalesce(min(m.lbl), n.lbl)) AS lbl
+        FROM {prev} n
+        LEFT JOIN und e ON e.a = n.id
+        LEFT JOIN {prev} m ON m.id = e.b
+        GROUP BY n.id, n.lbl
+    )"""
+        )
+        parts.append(
+            f"""lbl{i} AS MATERIALIZED (
+        SELECT r.id, least(r.lbl, j.lbl) AS lbl
+        FROM p{i} r JOIN p{i} j ON j.id = r.lbl
+    )"""
+        )
+    parts.append(f"comp AS (SELECT id, lbl AS component FROM lbl{rounds})")
+    return ",\n    ".join(parts)
 
 
 @register(
     "dd6_neardup_components",
     oracle=f"""
-    WITH RECURSIVE {_PAIRS_CTE}
+    WITH {_PAIRS_CTE},
+    {_comp_cte()}
     SELECT id AS doc_id, component FROM comp ORDER BY doc_id
     """,
     doc="Union-find over exact-Jaccard near-dup pairs via iterative "
     "min-label joins (no graph library, no driver-side graph): "
-    "(doc_id, component=min reachable id). Oracle = DuckDB recursive CTE.",
+    "(doc_id, component=min reachable id). Oracle = DuckDB fixed-round "
+    "label propagation (linear per round; completes at sf0.1 where the "
+    "old transitive-closure CTE could not).",
     tags=("dedup", "components", "ext"),
 )
 def dd6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +229,8 @@ def dd6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd7_neardup_survivors",
     oracle=f"""
-    WITH RECURSIVE {_PAIRS_CTE}
+    WITH {_PAIRS_CTE},
+    {_comp_cte()}
     SELECT d.doc_id, d.lang, d.n_chars
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
@@ -215,7 +254,8 @@ def dd7(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x2_leakage_aware_split",
     oracle=f"""
-    WITH RECURSIVE {_PAIRS_CTE},
+    WITH {_PAIRS_CTE},
+    {_comp_cte()},
     comp_all AS (
         SELECT d.doc_id, d.lang,
                coalesce(c.component, d.doc_id) AS component

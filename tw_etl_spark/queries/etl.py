@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from tw_etl_spark.catalog import read_table as _t
 from tw_etl_spark.pipeline import cleanse_streamlists, compression_metric, tiered_routing
 from tw_etl_spark.queries import register
+from tw_etl_spark.queries.dedup import _comp_cte
 
 
 @register(
@@ -200,8 +201,8 @@ def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x1_training_data_pipeline",
-    oracle="""
-    WITH RECURSIVE base AS (
+    oracle=f"""
+    WITH base AS (
         SELECT doc_id, lang, text,
                list_filter(string_split(text, ' '), t -> t <> '') AS toks
         FROM documents
@@ -232,14 +233,7 @@ def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ),
-    reach(a, b) AS (
-        SELECT a, b FROM und
-        UNION
-        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-    ),
-    comp AS (
-        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
-    ),
+    {_comp_cte()},
     survivors AS (
         SELECT * FROM b2
         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
