@@ -1,0 +1,95 @@
+"""Differential sf1 bench: Spark vs the DuckDB oracle on the SAME
+generated sf1 tables (tools/make_sf1.py), same box, warm best-of-N.
+
+This is the scale evidence for the four sf0.1 "weak" rows (w1, d2,
+e2, e3): their plans are already minimal (audited VERDICT r1/r2);
+their sf0.1 ratios compare Spark's fixed per-job cost against sub-30
+ms DuckDB runs. At sf1 compute dominates and the same plans must land
+under the 2x gate — measured here, not argued.
+
+Writes BENCH_sf1.json: per-query {spark_sec, duck_sec, ratio} plus
+the bench.py calibration block.
+
+Run: PYTHONPATH=. python tools/sf1_bench.py 2>/dev/null
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from bench import HEADLINE, _calibrate
+from tw_etl_spark.catalog import TABLES, table_path
+from tw_etl_spark.queries import all_queries
+from tw_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SF1_DIR", "/root/repo/.scale/sf1")
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="tw-etl-spark-sf1-bench",
+        extra_conf={
+            # same physical-tuning regime as bench.py at sf0.1; sf1 is
+            # still single-digit-GB so the static-16 + no-AQE choice
+            # carries (AQE's per-stage replans remain pure overhead at
+            # sub-second stage times)
+            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    calibration = _calibrate(spark)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(SF_DIR, t)}')"
+        )
+
+    specs = all_queries()
+    out: dict[str, dict[str, float]] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        df = spec.spark(spark, SF_DIR)
+        df.toPandas()  # warm: codegen + listing
+        s_times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df.toPandas()
+            s_times.append(time.perf_counter() - t0)
+        con.execute(spec.oracle).df()  # warm
+        d_times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).df()
+            d_times.append(time.perf_counter() - t0)
+        s, d = statistics.median(s_times), statistics.median(d_times)
+        out[name] = {
+            "spark_sec": round(s, 4),
+            "duck_sec": round(d, 4),
+            "ratio": round(s / d, 2),
+        }
+        print(name, out[name], file=sys.stderr)
+
+    result = {
+        "metric": "sf1_spark_vs_duckdb_median_of_%d" % RUNS,
+        "sf_dir": SF_DIR,
+        "queries": out,
+        "calibration": calibration,
+    }
+    with open("BENCH_sf1.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

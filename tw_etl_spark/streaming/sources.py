@@ -59,6 +59,83 @@ def parse_push_lines(lines: DataFrame, default_retries: int = 3) -> DataFrame:
     )
 
 
+def poll_ticks(
+    rate: DataFrame,
+    stream_ids: list[str],
+    interval_sec: int,
+    default_retries: int = 3,
+    stagger: bool = True,
+) -> DataFrame:
+    """Per-key poll cadence (R21): turn a 1 Hz tick column into one
+    EVENT_SCHEMA poll event per stream every ``interval_sec`` seconds.
+
+    The reference schedules one asyncio loop per stream that sleeps a
+    random initial jitter, then fires ``try_stream(poll_attempt=True)``
+    every ``poll_interval`` seconds (manager.py:445-458; default 240 s,
+    manager.py:97). The Spark form is declarative: a rate source (or
+    any monotone ``value`` tick column) cross-joined with the bounded
+    stream catalog, keeping only ticks on each key's cadence:
+
+        fire(key, t)  <=>  (t - phase(key)) % interval == 0
+
+    ``stagger`` derives phase(key) = xxhash64(key) % interval — the
+    deterministic twin of the reference's random jitter
+    (manager.py:446-447): keys spread uniformly across the interval so
+    each micro-batch carries ~|keys|/interval events instead of a
+    thundering herd, but the schedule is reproducible (same keys, same
+    phases, any restart — which random jitter is not).
+
+    Works unchanged over ``spark.readStream.format("rate")`` (its
+    ``value`` increments once per second at rowsPerSecond=1) and over a
+    batch ``range`` for equivalence tests. The catalog is a plan-time
+    literal array like every other bounded config here (#streams rows,
+    the reference's own config.yml scale).
+    """
+    ids = F.array(*[F.lit(s) for s in stream_ids])
+    e = rate.select(
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("tick"),
+        F.explode(ids).alias("stream_id"),
+    )
+    if stagger:
+        phase = F.pmod(F.xxhash64("stream_id"), F.lit(interval_sec))
+    else:
+        phase = F.lit(0)
+    return e.filter(F.pmod(F.col("tick") - phase, F.lit(interval_sec)) == 0).select(
+        "stream_id",
+        F.lit(ONLINE).alias("event"),
+        F.lit(0).cast("long").alias("size"),
+        F.lit(True).alias("poll_attempt"),
+        F.lit(default_retries).alias("retries"),
+        F.col("tick").alias("seq"),
+        "ts",
+    )
+
+
+def poll_events_stream(
+    spark: SparkSession,
+    stream_ids: list[str],
+    interval_sec: int,
+    default_retries: int = 3,
+    stagger: bool = True,
+) -> DataFrame:
+    """Streaming poll-tick source: rate source at 1 row/s through
+    :func:`poll_ticks`. Compose with the retry machine exactly like the
+    push source::
+
+        actions = retry_machine_stream(
+            poll_events_stream(spark, ids, interval_sec=240))
+    """
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    return poll_ticks(
+        rate,
+        stream_ids,
+        interval_sec,
+        default_retries=default_retries,
+        stagger=stagger,
+    )
+
+
 def push_events_stream(
     spark: SparkSession,
     host: str = "127.0.0.1",
