@@ -42,11 +42,16 @@ def read_machine_state(
     state.py:59-81)."""
     df = (
         spark.read.format("statestore")
-        .option("path", os.path.join(checkpoint_dir, "state"))
+        # path is the checkpoint ROOT (the source resolves commits/ and
+        # state/ under it itself) — pointing at ck/state makes it see an
+        # empty commit log and raise STDS_COMMITTED_BATCH_UNAVAILABLE.
+        .option("path", checkpoint_dir)
         .option("operatorId", operator_id)
         .load()
     )
-    return df.select("key.*", "value.*")
+    # applyInPandasWithState checkpoints the user state under
+    # value.groupState; flatten to (stream_id, <state fields>).
+    return df.select("key.*", "value.groupState.*")
 
 
 def state_snapshot(
