@@ -71,6 +71,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Fixtures store timestamp[us] with isAdjustedToUTC=false; Spark 4.1+
+    # infers that as TIMESTAMP_NTZ, which breaks unix_micros(), range
+    # frames, and withWatermark (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    # The engine's timestamp semantics are TIMESTAMP (LTZ) in a UTC
+    # session — identical wall-clock values, so every oracle hash holds.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Catalog timestamp semantics are UTC (matches the DuckDB oracle's
     # UTC-naive timestamps) regardless of the host/session timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -80,6 +86,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Integer DIV: epoch-nanos (~1.7e18) exceed double's 53-bit
             # mantissa, so a float divide would corrupt the low digits.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    # Belt-and-braces: normalize any NTZ column that slipped past the
+    # reader conf (e.g. a pre-resolved plan or a future reader change).
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     _PLAN_CACHE[key] = df
     return df
 

@@ -58,6 +58,9 @@ def get_spark(
         # vectorized reader rejects; read as long and normalize to µs in
         # catalog.read_table (matching DuckDB's truncation semantics).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us] with isAdjustedToUTC=false must read as TIMESTAMP
+        # (LTZ, UTC session) — NTZ breaks watermarks and unix_micros.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
