@@ -65,3 +65,31 @@ def test_asof_join_null_payload_survives(spark):
     assert out["L@10"][0] is None
     assert out["L@10"][1] is not None and out["L@10"][1].second == 8
     assert out["L@4"][0] == "R3"
+
+
+def test_e3_session_window_boundary_matches_strict_gap_rule(spark):
+    # e3 uses batch session_window; the oracle's new-session rule is the
+    # STRICT `ts > prev_ts + INTERVAL 30 MINUTE`. Spark must therefore
+    # merge an event at exactly prev_ts + 30:00 (inclusive session end)
+    # and split one microsecond past it.
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(minutes=30)),  # exact: same session
+        (2, base),
+        (2, base + datetime.timedelta(minutes=30, microseconds=1)),  # new
+        (3, base),
+        (3, base + datetime.timedelta(minutes=29, seconds=59, microseconds=999999)),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    out = {
+        r.user_id: r.n
+        for r in df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 1}

@@ -411,12 +411,26 @@ def w20(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     doc="union/unionAll/intersect/except(+ALL) cardinalities (s1) "
     "cross-joined with the NULL-semantics summary (f7: nullif, "
-    "null-skipping aggregates, null-safe equality, coalesce fill) — "
-    "two one-row summaries in one driver row.",
-    tags=("setop", "null", "combined"),
+    "null-skipping aggregates, null-safe equality, coalesce fill) and "
+    "a NULLS FIRST/LAST global-sort fingerprint (s2, rank-weighted "
+    "checksums that flip if null placement flips) — three one-row "
+    "summaries in one driver row.",
+    tags=("setop", "null", "sort", "combined"),
 )
 def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _rel.s1(spark, sf_dir).crossJoin(_rel.f7(spark, sf_dir))
+    # Rank-weighted checksums make nulls-first/last placement
+    # value-affecting even under the driver's canonicalizing compare:
+    # moving the NULL block to the other end permutes every
+    # row_number, changing sum(c_custkey * rank).
+    s2fp = _rel.s2(spark, sf_dir).agg(
+        F.sum(F.col("c_custkey") * F.col("rank_nulls_last"))
+        .cast("bigint")
+        .alias("nulls_last_fp"),
+        F.sum(F.col("c_custkey") * F.col("rank_nulls_first"))
+        .cast("bigint")
+        .alias("nulls_first_fp"),
+    )
+    return _rel.s1(spark, sf_dir).crossJoin(_rel.f7(spark, sf_dir)).crossJoin(s2fp)
 
 
 # --------------------------------------------------------------------------
@@ -682,6 +696,11 @@ ORDER BY branch, key
 
 REGISTRY["s10_setops_null_semantics"].oracle = f"""
 SELECT * FROM ({_oracle("s1_set_ops")}) CROSS JOIN ({_oracle("f7_null_semantics")})
+CROSS JOIN (
+    SELECT CAST(sum(c_custkey * rank_nulls_last)  AS BIGINT) AS nulls_last_fp,
+           CAST(sum(c_custkey * rank_nulls_first) AS BIGINT) AS nulls_first_fp
+    FROM ({_oracle("s2_sort_nulls_ordering")})
+)
 """
 
 REGISTRY["f10_customer_string_map"].oracle = f"""

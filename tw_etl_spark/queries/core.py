@@ -331,23 +331,30 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     ORDER BY user_id
     """,
-    doc="lag-based 30-minute-gap sessionization, session count per user.",
+    doc="30-minute-gap sessionization via batch session_window, "
+    "session count per user.",
     tags=("window", "time"),
 )
 def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window beats the lag-window formulation 1.46x at sf1
+    # (tools/profile_e3.py: 50 ms vs 74 ms median) — one sort-based
+    # session agg instead of a window sort + separate hash agg, same
+    # single user_id exchange. Boundary semantics are exact: Spark
+    # merges an event at precisely prev_ts + gap into the open session
+    # (inclusive end), matching the oracle's strict
+    # `ts > prev_ts + INTERVAL 30 MINUTE` new-session rule — verified
+    # at the microsecond boundary in tests/test_relational.py.
+    # (Caveat: session_window drops NULL event times while the lag
+    # form counts them; the events fixture has none.)
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    new_sess = F.when(
-        F.col("prev_ts").isNull()
-        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")),
-        1,
-    ).otherwise(0)
+    sess = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        e.withColumn("prev_ts", F.lag("ts").over(w))
-        .groupBy("user_id")
+        sess.groupBy("user_id")
         .agg(
-            F.sum(new_sess).alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("cnt").alias("n_events"),
         )
         .orderBy("user_id")
     )
@@ -394,13 +401,25 @@ def d1(spark: SparkSession, sf_dir: str) -> DataFrame:
         count(*)                  AS n_total
     FROM documents
     """,
-    doc="Exact dedup via md5 content hash.",
+    doc="Exact dedup via content hash (engine: xxhash64+crc32 pair; "
+    "oracle: md5 — identical distinct-count).",
     tags=("dedup", "hash"),
 )
 def d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle counts DISTINCT md5(text); any collision-free hash gives
+    # the same count. Engine-side we hash with (xxhash64, crc32) — 96
+    # independent bits, collision odds ~n^2/2^97 — which is 1.47x faster
+    # than md5 at sf1 (36 ms vs 53 ms, tools profile) because xxhash64 is
+    # a non-cryptographic single-pass hash codegen'd in the JVM. The
+    # isNotNull guards reproduce md5's NULL semantics (countDistinct
+    # drops rows where every hash column is NULL).
     d = _t(spark, sf_dir, "documents")
+    not_null = F.col("text").isNotNull()
     return d.agg(
-        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct"),
+        F.countDistinct(
+            F.when(not_null, F.xxhash64("text")),
+            F.when(not_null, F.crc32(F.col("text").cast("binary"))),
+        ).alias("n_distinct"),
         F.count(F.lit(1)).alias("n_total"),
     )
 
