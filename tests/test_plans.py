@@ -133,3 +133,34 @@ def test_probe_media_is_shuffle_free(spark):
 
     d = read_table(spark, SF_SMOKE, "documents")
     assert count_exchanges(probe_media(synthesize_real_media_df(d))) == 0
+
+
+def test_e2_json_parse_is_single_field_from_json(spark):
+    """e2 must parse props with an explicit single-field schema
+    (from_json), not get_json_object's per-row document re-walk —
+    measured 1.8x at sf1, and the gap grows linearly with rows."""
+    df = all_queries()["e2_json_extract_avg"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "get_json_object" not in plan
+    assert "from_json" in plan
+
+
+def test_e3_sessionization_single_user_exchange(spark):
+    """Batch session_window sessionization: one hash exchange on
+    user_id feeds both the session agg and the per-user rollup; the
+    only other exchange is the deterministic orderBy's range partition."""
+    df = all_queries()["e3_sessionization"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    n_hash = plan.count("hashpartitioning")
+    assert n_hash == 1, f"expected one hash exchange, got {n_hash}"
+    assert plan.count("rangepartitioning") == 1
+
+
+def test_d2_dedup_hash_is_noncryptographic(spark):
+    """d2's engine-side content hash must be the single-pass
+    xxhash64/crc32 pair, not md5 (1.47x at sf1); and the two-phase
+    distinct keeps hashes, never text, in the exchange."""
+    df = all_queries()["d2_exact_dedup"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "xxhash64" in plan
+    assert "md5" not in plan
