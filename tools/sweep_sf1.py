@@ -28,6 +28,33 @@ from tw_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SF1_DIR", "/root/repo/.scale/sf1")
 RUNS = int(os.environ.get("SWEEP_RUNS", "3"))
 
+# Oracles that are deliberately naive (quadratic pair joins, recursive
+# label propagation) run for minutes-to-hours on sf1 DuckDB; their
+# Spark sides are timed, the DuckDB denominator is skipped. v1/v2 are
+# already measured in the headline sf1 bench (DuckDB ~35 s).
+SKIP_ORACLE = {
+    "v1_cosine_top_pairs",
+    "v2_knn_exact",
+    "dd2_jaccard_neardup_pairs",
+    "dd5_cosine_neardup",
+    "dd6_neardup_components",
+    "dd7_neardup_survivors",
+    "x5_benchmark_decontaminate",
+    "x2_leakage_aware_split",
+}
+
+# Queries whose OUTPUT is quadratic on the dup-heavy documents fixture
+# (~190k qualifying pairs at sf0.1 => ~19M at sf1): both engines are
+# minutes-plus because the result itself is that large, independent of
+# plan quality. Skipped entirely; their scale posture is covered by the
+# MinHash/LSH tiers and the sf0.1 measurements in SCALE.md.
+SKIP_SPARK = {
+    "dd2_jaccard_neardup_pairs",
+    "dd5_cosine_neardup",
+    "dd6_neardup_components",
+    "dd7_neardup_survivors",
+}
+
 if not os.path.isdir(SF_DIR):
     sys.exit(f"{SF_DIR} missing — generate with tools/make_sf1.py first")
 
@@ -52,25 +79,30 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name, spec in all_queries().items():
-        if spec.oracle is None:
+        if spec.oracle is None or name in SKIP_SPARK:
             continue
         try:
             spark_s = _median_time(lambda: spec.spark(spark, SF_DIR).toPandas())
-            duck_s = _median_time(lambda: con.execute(spec.oracle).df())
+            duck_s = (
+                None
+                if name in SKIP_ORACLE
+                else _median_time(lambda: con.execute(spec.oracle).df())
+            )
         except Exception as exc:  # keep sweeping; report at the end
             results[name] = {"error": str(exc)[:300]}
             continue
         results[name] = {
             "spark_sec": round(spark_s, 4),
-            "duck_sec": round(duck_s, 4),
-            "ratio": round(spark_s / duck_s, 2) if duck_s > 0 else None,
+            "duck_sec": round(duck_s, 4) if duck_s is not None else None,
+            "ratio": round(spark_s / duck_s, 2) if duck_s else None,
         }
+        print(f"done {name}: spark {spark_s*1000:.0f} ms", flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "sweep_sf1_results.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
 
-    ok = {k: v for k, v in results.items() if "ratio" in v}
+    ok = {k: v for k, v in results.items() if v.get("ratio") is not None}
     errs = {k: v for k, v in results.items() if "error" in v}
     for name, r in sorted(ok.items(), key=lambda kv: -kv[1]["ratio"]):
         flag = " <-- OVER 2x" if r["ratio"] > 2 else ""
