@@ -43,17 +43,9 @@ SKIP_ORACLE = {
     "x2_leakage_aware_split",
 }
 
-# Queries whose OUTPUT is quadratic on the dup-heavy documents fixture
-# (~190k qualifying pairs at sf0.1 => ~19M at sf1): both engines are
-# minutes-plus because the result itself is that large, independent of
-# plan quality. Skipped entirely; their scale posture is covered by the
-# MinHash/LSH tiers and the sf0.1 measurements in SCALE.md.
-SKIP_SPARK = {
-    "dd2_jaccard_neardup_pairs",
-    "dd5_cosine_neardup",
-    "dd6_neardup_components",
-    "dd7_neardup_survivors",
-}
+# Spark sides all sweep since the bitmask Jaccard strategy landed
+# (dd2 sf1: >15 min -> 29 s); only the quadratic DuckDB oracles skip.
+SKIP_SPARK: set[str] = set()
 
 if not os.path.isdir(SF_DIR):
     sys.exit(f"{SF_DIR} missing — generate with tools/make_sf1.py first")

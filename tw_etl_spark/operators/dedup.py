@@ -5,11 +5,13 @@ Scale design notes (the point of each variant):
 
 - **Exact**: shuffle the 128-bit content hash, never the payload. At
   100 TB the dedup shuffle is ~32 bytes/row regardless of document size.
-- **Exact Jaccard** (token-set): explode distinct tokens, self-join on
-  token, agree/total counting. Exact but quadratic in docs-per-token —
-  use only to validate the approximate paths, or behind a stop-token
-  filter (drop tokens whose doc-frequency exceeds a cap; they contribute
-  ~0 discrimination and all of the skew).
+- **Exact Jaccard** (token-set): two physical strategies picked from
+  data statistics — a prefix-filtering PPJoin (rare-token candidate
+  equi-join + exact verify) for realistic vocabularies, and a 64-bit
+  bitmask blocked-popcount scan over distinct token sets when the
+  retained vocabulary fits one machine word (where prefix filtering
+  degenerates: every token is hot). ``max_df`` stop-token filtering
+  composes with both.
 - **MinHash-LSH**: k independent min-hashes per doc (one map-side
   partial-agg shuffle), banded into b buckets; candidate pairs come from
   bucket equi-joins (only near-dups collide), then estimated Jaccard =
@@ -46,6 +48,125 @@ def token_set_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Bitmask strategy engages only when the retained vocabulary fits one
+# 64-bit word AND the distinct-mask count keeps the blocked pair scan
+# cheap (65536^2/2 ≈ 2.1e9 vectorized popcounts ≈ seconds on 32 cores).
+_BITMASK_MAX_VOCAB = 64
+_BITMASK_MAX_MASKS = 65536
+
+
+def _jaccard_pairs_bitmask(
+    ex: DataFrame, vocab: list[str], threshold: float
+) -> DataFrame | None:
+    """Tiny-vocabulary exact-Jaccard strategy: token sets as 64-bit masks.
+
+    ``ex`` is the (doc, tk) exploded token-set relation; ``vocab`` the
+    ≤64 retained tokens (sorted, so bit assignment is deterministic).
+    Returns None if the distinct-mask count exceeds the blocked-scan
+    budget — the caller falls back to the PPJoin strategy.
+
+    Shape of the plan: one shuffle to build per-doc masks (bit_or agg),
+    one to group docs per distinct mask, a driver collect of ≤65536
+    longs (≤512 KB — bounded, NOT data-sized), a mapInPandas blocked
+    popcount scan that emits qualifying MASK pairs only, and an
+    expansion join back to doc ids. Qualifying doc pairs can be
+    quadratic on dup-heavy data (that is the operator's contract); the
+    candidate scan no longer is.
+    """
+    import numpy as np
+
+    spark = ex.sparkSession
+    vmap = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "tk STRING, bit INT"
+    )
+    masks = (
+        ex.join(F.broadcast(vmap), "tk")
+        .groupBy("doc")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
+    )
+    groups = masks.groupBy("mask").agg(F.collect_list("doc").alias("docs"))
+    groups = groups.persist()
+    mask_list = [
+        r[0] for r in groups.select("mask").limit(_BITMASK_MAX_MASKS + 1).collect()
+    ]
+    if len(mask_list) > _BITMASK_MAX_MASKS:
+        groups.unpersist()
+        return None
+
+    all_masks = np.array(sorted(mask_list), dtype=np.int64).astype(np.uint64)
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def _popcount(x: "np.ndarray") -> "np.ndarray":
+        flat = np.ascontiguousarray(x)
+        return pop8[flat.view(np.uint8).reshape(flat.shape + (8,))].sum(
+            axis=-1, dtype=np.int64
+        )
+
+    pop_all = _popcount(all_masks)
+    n_all = len(all_masks)
+    inner = 8192
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            am = pdf["mask"].to_numpy(dtype=np.int64).astype(np.uint64)
+            if not len(am):
+                continue
+            pa = _popcount(am)
+            for j0 in range(0, n_all, inner):
+                bm = all_masks[j0 : j0 + inner]
+                inter = _popcount(am[:, None] & bm[None, :])
+                union = pa[:, None] + pop_all[j0 : j0 + inner][None, :] - inter
+                jac = inter / union
+                # inter > 0: the contract is pairs sharing >=1 token, so
+                # J=0 pairs stay excluded even at threshold 0. Strict
+                # mask inequality emits each unordered pair once
+                # (same-mask doc pairs expand from the group lists).
+                ok = (jac >= threshold) & (inter > 0) & (am[:, None] < bm[None, :])
+                ii, jj = np.nonzero(ok)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {
+                            "mask_a": am[ii].astype(np.int64),
+                            "mask_b": bm[jj].astype(np.int64),
+                            "jaccard": jac[ii, jj],
+                        }
+                    )
+
+    pair_masks = (
+        groups.select("mask")
+        .repartition(32)
+        .mapInPandas(scan, schema="mask_a LONG, mask_b LONG, jaccard DOUBLE")
+    )
+    ga = groups.select(F.col("mask").alias("mask_a"), F.col("docs").alias("docs_a"))
+    gb = groups.select(F.col("mask").alias("mask_b"), F.col("docs").alias("docs_b"))
+    cross = (
+        pair_masks.join(ga, "mask_a")
+        .join(gb, "mask_b")
+        .select(F.explode("docs_a").alias("da"), "docs_b", "jaccard")
+        .select("da", F.explode("docs_b").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    # Identical token sets: every within-group pair has J = 1.0 exactly.
+    within = (
+        groups.filter(F.size("docs") > 1)
+        .select(F.explode("docs").alias("da"), "docs")
+        .select("da", F.explode("docs").alias("db"))
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -57,6 +178,22 @@ def exact_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     rounded to 6 for oracle comparison.
+
+    Physical strategy is chosen from data statistics (two cheap stat
+    jobs), the way Catalyst picks broadcast-vs-shuffle from sizes:
+
+    - **Small vocabulary** (≤64 retained tokens, ≤65536 distinct token
+      sets): every token set is one 64-bit mask and exact Jaccard is
+      ``popcount(a&b) / (popcount(a)+popcount(b)-popcount(a&b))`` — a
+      blocked numpy scan over DISTINCT masks (near-dup-heavy corpora
+      collapse many docs per mask), then an expansion join back to doc
+      pairs. The prefix-filter join degenerates exactly when the
+      vocabulary is tiny (every token is hot, candidates ~n²); the
+      bitmask scan is immune: measured ~45 min → ~40 s on the sf1
+      dup-heavy documents fixture.
+    - **General vocabulary**: prefix-filtering PPJoin (below) — at
+      realistic web-corpus vocabularies the rare-token prefix prunes
+      candidates to ~linear, and no mask fits a machine word anyway.
 
     ``max_df`` is the skew guard for scale: the token join blows up
     quadratically in documents-per-token, and the hottest tokens (stop
@@ -92,6 +229,12 @@ def exact_jaccard_pairs(
             .select("tk")
         )
         ex = ex.join(hot, "tk", "left_anti")
+
+    vocab = [r[0] for r in ex.select("tk").distinct().limit(_BITMASK_MAX_VOCAB + 1).collect()]
+    if len(vocab) <= _BITMASK_MAX_VOCAB:
+        out = _jaccard_pairs_bitmask(ex, sorted(vocab), threshold)
+        if out is not None:
+            return out
     from pyspark.sql.window import Window
 
     dfreq = ex.groupBy("tk").agg(F.count(F.lit(1)).alias("dfq"))
