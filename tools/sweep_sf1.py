@@ -41,6 +41,9 @@ SKIP_ORACLE = {
     "dd7_neardup_survivors",
     "x5_benchmark_decontaminate",
     "x2_leakage_aware_split",
+    # x1's oracle embeds the same quadratic pairs CTE as dd2 — at sf1
+    # DuckDB spilled >80 GB of temp storage before erroring.
+    "x1_training_data_pipeline",
 }
 
 # Spark sides all sweep since the bitmask Jaccard strategy landed

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tw_etl_spark.operators.text import tokens_expr
+from tw_etl_spark.operators.text import let_expr, tokens_expr
 
 # A compact English stopword set for the "≥ N distinct stopwords" rule
 # (Gopher uses a similar small must-occur list).
@@ -262,7 +262,16 @@ def top_bigram_count_expr(text: Column) -> Column:
     ``top_bigram_fraction_expr``; consumers that need the count must
     read it from here rather than inverting the rounded, capped
     fraction (which loses information once 2*best > n_tokens)."""
-    toks = tokens_expr(text)
+    return let_expr(
+        tokens_expr(text),
+        lambda t: _best_bigram_run(t).cast("bigint"),
+    )
+
+
+def _best_bigram_run(toks: Column) -> Column:
+    """Max run length of the sorted bigram array over an already-BOUND
+    token column (pass a lambda variable or a materialized column, not
+    a tokenization expression — see ``let_expr``)."""
     bigrams = F.when(
         F.size(toks) >= 2,
         F.sort_array(
@@ -284,7 +293,7 @@ def top_bigram_count_expr(text: Column) -> Column:
             x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
 
-    return F.aggregate(bigrams, init, step)["best"].cast("bigint")
+    return F.aggregate(bigrams, init, step)["best"]
 
 
 def top_bigram_fraction_expr(text: Column) -> Column:
@@ -294,10 +303,15 @@ def top_bigram_fraction_expr(text: Column) -> Column:
     multiplicity c covers c+1 tokens at most; Gopher uses the
     token-coverage fraction — approximate with 2c/n (disjoint
     occurrences), capped at 1. Narrow map like the count expr."""
-    toks = tokens_expr(text)
-    best = top_bigram_count_expr(text)
-    frac = F.least(
-        best.cast("double") * 2 / F.greatest(F.size(toks), F.lit(1)).cast("double"),
-        F.lit(1.0),
+    return let_expr(
+        tokens_expr(text),
+        lambda t: F.round(
+            F.least(
+                _best_bigram_run(t).cast("double")
+                * 2
+                / F.greatest(F.size(t), F.lit(1)).cast("double"),
+                F.lit(1.0),
+            ),
+            6,
+        ),
     )
-    return F.round(frac, 6)

@@ -29,6 +29,22 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
+def let_expr(value: Column, body) -> Column:
+    """Bind ``value`` once and reference it cheaply through a lambda
+    variable (transform-over-singleton — Spark SQL has no LET form).
+
+    Without this, a large sub-expression referenced N times is inlined
+    N times into the plan: whole-stage-codegen source grows
+    multiplicatively and janino COMPILE time dominates — t7's trigram
+    tree (tokens inlined ~9x inside the trigram lambda, the whole
+    trigram array inlined 3x in the ratio) took ~150 s to compile at
+    sf1 vs 3 s let-bound, with identical ~40 ms execution. Lambda
+    variables are bound references, evaluated once per row by
+    construction, and stay fully inside codegen.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokenization with empty-token cleanup."""
     return F.filter(F.split(text, " "), lambda t: t != "")
@@ -73,14 +89,16 @@ def quality_score_expr(text: Column, n_chars: Column) -> Column:
     """Composite quality score: lexical diversity + length saturation +
     mean token length, each clamped to [0,1]. Deterministic arithmetic
     only, so it is oracle-verifiable."""
-    toks = tokens_expr(text)
-    n_tok = F.size(toks).cast("double")
-    diversity = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1.0))
-    length_sat = F.least(n_tok / F.lit(80.0), F.lit(1.0))
-    avg_len = (n_chars.cast("double") / F.greatest(n_tok, F.lit(1.0))) / F.lit(6.0)
-    return F.round(
-        0.4 * diversity + 0.3 * length_sat + 0.3 * F.least(avg_len, F.lit(1.0)), 6
-    )
+    def score(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("double")
+        diversity = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1.0))
+        length_sat = F.least(n_tok / F.lit(80.0), F.lit(1.0))
+        avg_len = (n_chars.cast("double") / F.greatest(n_tok, F.lit(1.0))) / F.lit(6.0)
+        return F.round(
+            0.4 * diversity + 0.3 * length_sat + 0.3 * F.least(avg_len, F.lit(1.0)), 6
+        )
+
+    return let_expr(tokens_expr(text), score)
 
 
 def fingerprint_expr(text: Column) -> Column:
@@ -160,16 +178,21 @@ def tf_idf(
 
 def ngrams_expr(toks: Column, n: int) -> Column:
     """Token n-grams as space-joined strings (empty array when <n
-    tokens). Pure higher-order functions — never leaves the scan stage."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+    tokens). Pure higher-order functions — never leaves the scan stage.
+    ``toks`` is let-bound: it is referenced n+2 times here, and callers
+    routinely pass a whole tokenization expression."""
+    return let_expr(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def trigrams_expr(toks: Column) -> Column:
@@ -182,12 +205,13 @@ def repetition_ratio_expr(text: Column) -> Column:
     short docs). The repeated-n-gram quality rule used by large-corpus
     curation pipelines: high ratio flags boilerplate/spam/looping text.
     Pure JVM higher-order functions — no UDF in the scan path."""
-    tri = trigrams_expr(tokens_expr(text))
-    total = F.size(tri)
-    return F.when(
-        total > 0,
-        F.lit(1.0) - F.size(F.array_distinct(tri)) / total.cast("double"),
-    ).otherwise(F.lit(0.0))
+    return let_expr(
+        trigrams_expr(tokens_expr(text)),
+        lambda tri: F.when(
+            F.size(tri) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(tri)) / F.size(tri).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def token_entropy_expr(text: Column) -> Column:
@@ -197,18 +221,21 @@ def token_entropy_expr(text: Column) -> Column:
     a b a b ..." has high trigram diversity=0 but entropy ~0.69 vs a
     normal doc's 3+). Pure higher-order functions; O(unique·total)
     comparisons per doc, all inside codegen."""
-    toks = tokens_expr(text)
-    n = F.size(toks).cast("double")
-    uniq = F.array_distinct(toks)
-    probs = F.transform(
-        uniq, lambda d: F.size(F.filter(toks, lambda t: t == d)) / n
-    )
-    return F.when(
-        n > 0,
-        -F.aggregate(
-            probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
-        ),
-    ).otherwise(F.lit(0.0))
+    def entropy(toks: Column) -> Column:
+        n = F.size(toks).cast("double")
+        probs = F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)) / n,
+        )
+        return F.when(
+            n > 0,
+            -F.aggregate(probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)),
+        ).otherwise(F.lit(0.0))
+
+    # let-bound: ``toks`` is referenced once per DISTINCT token by the
+    # probability transform — inlining the split there multiplies the
+    # codegen source by the vocabulary size.
+    return let_expr(tokens_expr(text), entropy)
 
 
 # Dialect-portable PII patterns (same semantics in Java regex and RE2):
