@@ -75,14 +75,27 @@ def lang_scores(toks: Column) -> dict[str, Column]:
 
 def lang_id_expr(toks: Column) -> Column:
     """argmax over profile densities; fixed priority order breaks ties
-    deterministically."""
-    scores = lang_scores(toks)
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # reversed: first profile in LANG_PROFILES wins ties
-    for lang in reversed(list(scores)):
-        expr = F.when(scores[lang] == best, lang).otherwise(expr)
-    return expr
+    deterministically. Both the token array and the score vector are
+    let-bound: the naive form inlines `best` (which contains every
+    score tree, each containing the tokenization) into every WHEN arm —
+    a multiplicative codegen blowup (see ``let_expr``)."""
+    langs = list(LANG_PROFILES)
+
+    def pick(t: Column) -> Column:
+        def choose(scores: Column) -> Column:
+            best = F.array_max(scores)
+            expr = F.lit("und")
+            # reversed: first profile in LANG_PROFILES wins ties
+            for i in reversed(range(len(langs))):
+                expr = F.when(
+                    F.element_at(scores, i + 1) == best, langs[i]
+                ).otherwise(expr)
+            return expr
+
+        score_map = lang_scores(t)
+        return let_expr(F.array(*[score_map[lang] for lang in langs]), choose)
+
+    return let_expr(toks, pick)
 
 
 def quality_score_expr(text: Column, n_chars: Column) -> Column:
