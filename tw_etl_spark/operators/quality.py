@@ -57,9 +57,18 @@ def gopher_flags(
     document alone (narrow map — no shuffle), so the whole battery is
     DuckDB-oracle-verifiable. Defaults are the published Gopher
     thresholds where the paper states one.
+
+    The token/line arrays are materialized as temp columns (dropped at
+    the end) rather than repeated inline: ten rules each referencing
+    the tokenization would otherwise inline the split ten times into
+    one projection's generated code (see ``text.let_expr``, which can't
+    span sibling columns).
     """
-    toks = tokens_expr(F.col(text_col))
-    lines = _lines_expr(F.col(text_col))
+    df = df.withColumn("__g_toks", tokens_expr(F.col(text_col))).withColumn(
+        "__g_lines", _lines_expr(F.col(text_col))
+    )
+    toks = F.col("__g_toks")
+    lines = F.col("__g_lines")
     n_words = F.size(toks).cast("double")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     safe_words = F.greatest(n_words, F.lit(1.0))
@@ -114,7 +123,7 @@ def gopher_flags(
         & F.col("g_stopword_ok")
         & F.col("g_dup_line_ok")
     )
-    return out.withColumn("gopher_keep", keep)
+    return out.withColumn("gopher_keep", keep).drop("__g_toks", "__g_lines")
 
 
 def c4_clean(

@@ -135,14 +135,18 @@ def rolling_hash_expr(text: Column, base: int = 31, mod: int = 1_000_000_007) ->
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the standard per-document text-analysis columns."""
-    toks = tokens_expr(F.col(text_col))
+    """Attach the standard per-document text-analysis columns. The
+    token array is materialized once as a temp column — four sibling
+    columns reference it, and ``let_expr`` can't span siblings."""
+    toks = F.col("__ts_toks")
     return (
-        df.withColumn("n_tokens", F.size(toks).cast("bigint"))
+        df.withColumn("__ts_toks", tokens_expr(F.col(text_col)))
+        .withColumn("n_tokens", F.size(toks).cast("bigint"))
         .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("bigint"))
         .withColumn("n_bpe_tokens", bpe_token_count_expr(F.col(text_col)))
         .withColumn("lang_pred", lang_id_expr(toks))
         .withColumn("fingerprint", fingerprint_expr(F.col(text_col)))
+        .drop("__ts_toks")
     )
 
 
