@@ -24,3 +24,29 @@ def test_query_analyzes(spark, name):
     df = _SPECS[name].spark(spark, SF_SMOKE)
     # Forcing .schema runs analysis (resolution + type-checking) only.
     assert len(df.schema.fields) > 0, name
+
+
+def test_every_oracle_plans_in_duckdb():
+    """The symmetric guard for the oracle side: EXPLAIN (bind + plan,
+    no execution) every oracle SQL against the sf0.001 views, so a
+    DuckDB upgrade that drops/renames a function is a red local test
+    instead of a red driver round. Whole loop runs in ~2 s."""
+    import duckdb
+
+    from tw_etl_spark.catalog import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(SF_SMOKE, t)}')"
+        )
+    bad = []
+    for name, spec in _SPECS.items():
+        if spec.oracle is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {spec.oracle}")
+        except Exception as exc:
+            bad.append((name, str(exc)[:200]))
+    assert not bad, bad
