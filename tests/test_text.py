@@ -315,3 +315,38 @@ def test_top_bigram_count_survives_fraction_cap(spark):
     assert out[2] == (3, 1.0)
     assert out[3] == (0, 0.0)
     assert out[4] == (1, round(2 / 3, 6))
+
+
+def test_top_bigram_stats_matches_expr_forms(spark):
+    """The relational form (t14's scorer) must agree value-for-value
+    with the narrow-map expression forms on every shape: capped
+    fraction, unique bigrams, sub-2-token docs, repeated-run docs."""
+    from tw_etl_spark.operators.quality import (
+        top_bigram_count_expr,
+        top_bigram_fraction_expr,
+        top_bigram_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "a b a b a b"),
+            (3, "solo"),
+            (4, "x y z"),
+            (5, ""),
+            (6, "the the the end of the the story"),
+        ],
+        ["doc_id", "text"],
+    )
+    rel = {
+        r.doc_id: (r.top_cnt, r.top_frac) for r in top_bigram_stats(docs).collect()
+    }
+    expr = {
+        r.doc_id: (r.c, r.f)
+        for r in docs.select(
+            "doc_id",
+            top_bigram_count_expr(F.col("text")).alias("c"),
+            top_bigram_fraction_expr(F.col("text")).alias("f"),
+        ).collect()
+    }
+    assert rel == expr

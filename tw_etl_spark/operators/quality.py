@@ -311,7 +311,14 @@ def top_bigram_fraction_expr(text: Column) -> Column:
     dominated by one repeated phrase are boilerplate). A bigram of
     multiplicity c covers c+1 tokens at most; Gopher uses the
     token-coverage fraction — approximate with 2c/n (disjoint
-    occurrences), capped at 1. Narrow map like the count expr."""
+    occurrences), capped at 1. Narrow map like the count expr.
+
+    NOTE: as a single codegen unit this expression carries a fixed
+    multi-second compile cost (the sorted-array run-length fold is a
+    large generated-code body). For whole-table scoring prefer
+    ``top_bigram_stats`` — the relational form of the same statistic —
+    and reserve this expression for contexts that need a Column (e.g.
+    filtering inside a larger narrow map)."""
     return let_expr(
         tokens_expr(text),
         lambda t: F.round(
@@ -323,4 +330,65 @@ def top_bigram_fraction_expr(text: Column) -> Column:
             ),
             6,
         ),
+    )
+
+
+def top_bigram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-bigram multiplicity and coverage fraction per document, as
+    data flow rather than one giant expression: explode bigrams →
+    ``groupBy(doc, bigram).count()`` → ``max`` per doc → join the
+    per-doc token counts back. Identical values to
+    ``top_bigram_count_expr`` / ``top_bigram_fraction_expr`` (and the
+    t14 oracle), but the generated code per stage is tiny — the
+    expression form's sorted-array fold costs ~12 s of codegen at sf1
+    while this plan compiles in well under a second.
+
+    Scale shape: both aggregations map-side combine, and the second
+    (per-doc max) runs on the already-reduced distinct-bigram set, so
+    the dominant shuffle is one pass over distinct (doc, bigram) pairs
+    — strictly smaller than the exploded bigram stream. The final join
+    is per-doc (one row each side).
+
+    Returns ``(id_col, top_cnt bigint, top_frac double)``.
+    """
+    base = df.select(
+        F.col(id_col), F.size(tokens_expr(F.col(text_col))).alias("__n")
+    )
+    bg = (
+        df.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__toks"), i),
+                        F.element_at(F.col("__toks"), i + 1),
+                    ),
+                )
+            ).alias("__bigram"),
+        )
+    )
+    mx = (
+        bg.groupBy(id_col, "__bigram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
+    )
+    cnt = F.coalesce(F.col("__top"), F.lit(0))
+    return base.join(mx, id_col, "left").select(
+        id_col,
+        cnt.cast("bigint").alias("top_cnt"),
+        F.round(
+            F.least(
+                cnt.cast("double") * 2
+                / F.greatest(F.col("__n"), F.lit(1)).cast("double"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("top_frac"),
     )

@@ -650,22 +650,16 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY t.doc_id
     """,
     doc="Gopher top-bigram-fraction rule: tokens covered by the most "
-    "frequent bigram per document. Spark side is an expression-only "
-    "narrow map (sorted-array run-length fold); the oracle recomputes "
-    "it relationally (explode + group + max).",
+    "frequent bigram per document. Spark side is relational data flow "
+    "(explode bigrams → groupBy count → per-doc max — "
+    "operators.quality.top_bigram_stats); the equivalent narrow-map "
+    "expression form exists (top_bigram_*_expr) but its sorted-array "
+    "fold carries a ~12 s codegen cost at sf1, so the whole-table "
+    "scorer uses the plan-shaped form.",
     tags=("text", "quality", "ext"),
 )
 def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tw_etl_spark.operators.quality import (
-        top_bigram_count_expr,
-        top_bigram_fraction_expr,
-    )
+    from tw_etl_spark.operators.quality import top_bigram_stats
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            top_bigram_count_expr(F.col("text")).alias("top_cnt"),
-            top_bigram_fraction_expr(F.col("text")).alias("top_frac"),
-        ).orderBy("doc_id")
-    )
+    return top_bigram_stats(d).orderBy("doc_id")
