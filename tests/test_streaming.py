@@ -475,62 +475,6 @@ def test_machine_end_to_end_streaming(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_machine_tws_matches_apply_in_pandas(spark):
-    """transformWithStateInPandas wiring (StatefulProcessor, RocksDB
-    state store) produces the same actions as the applyInPandasWithState
-    wiring on the same replay."""
-    from tw_etl_spark.streaming.state_machine import retry_machine_stream_tws
-
-    if retry_machine_stream_tws is None:
-        pytest.skip("transformWithStateInPandas not available")
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        # the TWS state-server protocol is protobuf-based; without the
-        # python protobuf package the driver worker crashes at runtime
-        pytest.skip("python protobuf not installed (TWS runtime dependency)")
-    d = tempfile.mkdtemp(prefix="tws_")
-    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    try:
-        events = [
-            ("s1", "online", 0, False, 2, 1, None),
-            ("s2", "online", 0, True, 3, 2, None),
-        ], [
-            ("s1", "download_done", 0, False, 2, 3, None),
-            ("s2", "download_done", 0, True, 3, 4, None),
-        ], [
-            ("s1", "download_done", 7, False, 2, 5, None),
-            ("s1", "online", 0, False, 2, 6, None),
-        ]
-        for i, batch in enumerate(events):
-            spark.createDataFrame(batch, EVENT_SCHEMA).coalesce(1).write.parquet(
-                os.path.join(d, f"b{i}")
-            )
-        _pin_mtimes(d, [f"b{i}" for i in range(3)])
-
-        def replay(builder, name):
-            stream = (
-                spark.readStream.schema(EVENT_SCHEMA)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(os.path.join(d, "*"))
-            )
-            out = run_stream_to_memory(builder(stream), name, output_mode="append")
-            return sorted((r.seq, r.action, r.retry_id) for r in out.collect())
-
-        baseline = replay(retry_machine_stream, "tws_base")
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
-        tws = replay(retry_machine_stream_tws, "tws_new")
-        assert tws == baseline
-        assert len(baseline) == 6
-    finally:
-        if old is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
-        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_update_mode_converges_to_batch(spark, replay_dir):

@@ -292,7 +292,7 @@ def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from_json with a single-field explicit schema beats get_json_object
-    # ~1.8x at sf1 (tools/profile_e2.py: 31 ms vs 56 ms median) — the
+    # ~1.8x at sf1 (round-5 e2 profiling: 31 ms vs 56 ms median) — the
     # Jackson parse stops after the requested field instead of re-walking
     # the document per extraction, and the plan stays whole-stage codegen.
     # Verified value-identical to get_json_object on the fixtures.

@@ -31,6 +31,7 @@ def read_machine_state(
     spark: SparkSession,
     checkpoint_dir: str,
     operator_id: int = 0,
+    state_var_name: str | None = None,
 ) -> DataFrame:
     """Committed per-key retry-machine state from a streaming
     checkpoint, flattened to (stream_id, active, retry_id,
@@ -39,16 +40,29 @@ def read_machine_state(
     Uses the state data source (``format("statestore")``) — a plain
     batch read over the checkpoint, runnable while the stream is live
     (the reference reads its JSON snapshot the same way,
-    state.py:59-81)."""
-    df = (
+    state.py:59-81).
+
+    ``state_var_name`` targets transformWithStateInPandas checkpoints,
+    whose state lives in named slots rather than the single
+    ``value.groupState`` struct: pass the slot name (e.g. ``"retry"``)
+    and it is forwarded as the source's ``stateVarName`` option, whose
+    value schema is already flat. The default (None) reads the
+    applyInPandasWithState layout this repo's machine writes."""
+    reader = (
         spark.read.format("statestore")
         # path is the checkpoint ROOT (the source resolves commits/ and
         # state/ under it itself) — pointing at ck/state makes it see an
         # empty commit log and raise STDS_COMMITTED_BATCH_UNAVAILABLE.
         .option("path", checkpoint_dir)
         .option("operatorId", operator_id)
-        .load()
     )
+    if state_var_name is not None:
+        return (
+            reader.option("stateVarName", state_var_name)
+            .load()
+            .select("key.*", "value.*")
+        )
+    df = reader.load()
     # applyInPandasWithState checkpoints the user state under
     # value.groupState; flatten to (stream_id, <state fields>).
     return df.select("key.*", "value.groupState.*")

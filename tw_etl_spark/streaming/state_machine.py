@@ -185,110 +185,17 @@ def retry_machine_stream(
 
 
 # ---------------------------------------------------------------------------
-# transformWithStateInPandas variant (Spark 4.x StatefulProcessor API).
-# Same transition function, richer runtime surface: named state slots in
-# the state store, first-class processing-time timers (vs the
-# setTimeoutDuration side-channel), per-key timer cancellation. Requires
-# the RocksDB state store provider.
+# On transformWithStateInPandas (Spark 4.x StatefulProcessor API):
+# ``applyInPandasWithState`` above is the one supported wiring of this
+# machine. A TWS variant (StatefulProcessor with named state slots and
+# first-class processing-time timers) existed through round 5 but had
+# never executed anywhere: the TWS python worker speaks a
+# protobuf-based state-server protocol (pyspark.sql.streaming.proto
+# imports google.protobuf at query start) and the target environment
+# ships no python protobuf, so the code was permanently dead. It was
+# deleted rather than shipped unverified. Porting is mechanical when a
+# protobuf-equipped environment exists: the pure transition function
+# ``step`` is the whole machine — handleInputRows replays events
+# through it, handleExpiredTimer feeds the synthetic empty-download
+# event the watchdog branch of ``_make_machine`` uses today.
 # ---------------------------------------------------------------------------
-try:  # pragma: no cover - import guard for older Spark
-    from pyspark.sql.streaming.stateful_processor import (
-        ExpiredTimerInfo,
-        StatefulProcessor,
-        StatefulProcessorHandle,
-        TimerValues,
-    )
-
-    class RetryMachineProcessor(StatefulProcessor):
-        """R19 retry machine as a StatefulProcessor (reference semantics:
-        manager.py:281-441; watchdog = the healthcheck TODO at
-        manager.py:250-266, expressed as a real processing-time timer)."""
-
-        def __init__(self, timeout_ms: int | None = None) -> None:
-            self.timeout_ms = timeout_ms
-
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self.handle = handle
-            self.state = handle.getValueState("retry", STATE_SCHEMA)
-
-        def _load(self) -> RetryState:
-            if self.state.exists():
-                return RetryState(*self.state.get())
-            return RetryState()
-
-        def _store(self, state: RetryState) -> None:
-            self.state.update(
-                (state.active, state.retry_id, state.poll_attempt, state.retries)
-            )
-
-        def handleInputRows(
-            self, key, rows, timerValues: TimerValues
-        ) -> Iterator[pd.DataFrame]:
-            state = self._load()
-            out = []
-            for pdf in rows:
-                pdf = pdf.sort_values("seq")
-                for ev in pdf.to_dict("records"):
-                    state, action = step(state, ev)
-                    out.append((key[0], action, state.retry_id, ev["seq"]))
-            self._store(state)
-            if self.timeout_ms is not None and state.active:
-                self.handle.registerTimer(
-                    timerValues.getCurrentProcessingTimeInMs() + self.timeout_ms
-                )
-            yield pd.DataFrame(
-                out, columns=["stream_id", "action", "retry_id", "seq"]
-            )
-
-        def handleExpiredTimer(
-            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
-        ) -> Iterator[pd.DataFrame]:
-            state = self._load()
-            out = []
-            if state.active:
-                state, action = step(
-                    state,
-                    {
-                        "event": DOWNLOAD_DONE,
-                        "size": 0,
-                        "poll_attempt": state.poll_attempt,
-                    },
-                )
-                self._store(state)
-                out.append((key[0], action, state.retry_id, TIMEOUT_SEQ))
-                if self.timeout_ms is not None and state.active:
-                    self.handle.registerTimer(
-                        timerValues.getCurrentProcessingTimeInMs() + self.timeout_ms
-                    )
-            yield pd.DataFrame(
-                out, columns=["stream_id", "action", "retry_id", "seq"]
-            )
-
-        def close(self) -> None:
-            pass
-
-    def retry_machine_stream_tws(
-        events: DataFrame, timeout_ms: int | None = None
-    ) -> DataFrame:
-        """transformWithStateInPandas wiring of the retry machine.
-
-        Semantically identical to ``retry_machine_stream`` (asserted in
-        tests); requires
-        ``spark.sql.streaming.stateStore.providerClass =
-        ...RocksDBStateStoreProvider`` AND the python ``protobuf``
-        package (the TWS state-server protocol is protobuf-based — the
-        driver worker crashes at query start without it; the test skips
-        in environments lacking it). ``timeMode='ProcessingTime'``
-        enables the watchdog timers; with ``timeout_ms=None`` no timer is
-        ever registered and ``availableNow`` terminates normally.
-        """
-        return events.groupBy("stream_id").transformWithStateInPandas(
-            RetryMachineProcessor(timeout_ms),
-            outputStructType=OUTPUT_SCHEMA,
-            outputMode="append",
-            timeMode="ProcessingTime" if timeout_ms is not None else "None",
-        )
-
-except ImportError:  # pragma: no cover
-    RetryMachineProcessor = None  # type: ignore[assignment]
-    retry_machine_stream_tws = None  # type: ignore[assignment]
