@@ -312,3 +312,44 @@ def test_temperature_mix_null_stratum_gets_rate(spark):
     assert 0 < n_null < 120
     # realized rate tracks the computed one within md5-bucket noise
     assert abs(n_null / 120 - rates[None]) < 0.15
+
+
+def test_jaccard_components_match_pairwise_labeling(spark):
+    """exact_jaccard_components must agree with
+    connected_components(exact_jaccard_pairs(...)) on every strategy:
+    tiny vocab (mask-graph labeling fast path, no doc pairs) and large
+    vocab (PPJoin + pair-level propagation fallback)."""
+    import random
+
+    from tw_etl_spark.operators.dedup import (
+        connected_components,
+        exact_jaccard_components,
+        exact_jaccard_pairs,
+    )
+
+    for seed, vocab_n, n_docs, thr in [(4, 8, 80, 0.8), (5, 500, 60, 0.5)]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(vocab_n)]
+        docs = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 30))))
+            for i in range(n_docs)
+        ]
+        # guaranteed exact-dup cluster so the same-mask clique path runs
+        docs += [(n_docs, docs[0][1]), (n_docs + 1, docs[0][1])]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        via_pairs = {
+            r.id: r.component
+            for r in connected_components(
+                exact_jaccard_pairs(df, threshold=thr)
+            ).collect()
+        }
+        direct = {
+            r.id: r.component
+            for r in exact_jaccard_components(df, threshold=thr).collect()
+        }
+        assert direct == via_pairs, (seed, {
+            k: (direct.get(k), via_pairs.get(k))
+            for k in set(direct) ^ set(via_pairs) | {
+                k for k in direct if direct.get(k) != via_pairs.get(k)
+            }
+        })

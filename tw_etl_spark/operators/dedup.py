@@ -53,28 +53,42 @@ def token_set_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # cheap (65536^2/2 ≈ 2.1e9 vectorized popcounts ≈ seconds on 32 cores).
 _BITMASK_MAX_VOCAB = 64
 _BITMASK_MAX_MASKS = 65536
+# The sampled pre-probe reads this many (doc, token) rows before the
+# full distinct-token probe: a realistic vocabulary blows past 64
+# distinct tokens within the first partition, so huge-vocab corpora
+# skip the full probe entirely (its distinct shuffle was pure waste
+# there — the bitmask branch could never engage).
+_VOCAB_PROBE_ROWS = 65536
 
 
-def _jaccard_pairs_bitmask(
-    ex: DataFrame, vocab: list[str], threshold: float
-) -> DataFrame | None:
-    """Tiny-vocabulary exact-Jaccard strategy: token sets as 64-bit masks.
+def _bitmask_vocab(ex: DataFrame) -> list[str] | None:
+    """The full retained vocabulary iff it fits the bitmask budget,
+    else None. Two-stage so the common (huge-vocab) case stays cheap:
+    a sampled probe over the first ~64k exploded rows (narrow scan of
+    one-ish partition, no full shuffle) disqualifies first; only
+    corpora that still look degenerate pay the full distinct probe."""
+    sample = ex.select("tk").limit(_VOCAB_PROBE_ROWS).distinct()
+    if len(sample.limit(_BITMASK_MAX_VOCAB + 1).collect()) > _BITMASK_MAX_VOCAB:
+        return None
+    vocab = [
+        r[0]
+        for r in ex.select("tk").distinct().limit(_BITMASK_MAX_VOCAB + 1).collect()
+    ]
+    if len(vocab) > _BITMASK_MAX_VOCAB:
+        return None
+    return sorted(vocab)
 
-    ``ex`` is the (doc, tk) exploded token-set relation; ``vocab`` the
-    ≤64 retained tokens (sorted, so bit assignment is deterministic).
-    Returns None if the distinct-mask count exceeds the blocked-scan
-    budget — the caller falls back to the PPJoin strategy.
 
-    Shape of the plan: one shuffle to build per-doc masks (bit_or agg),
-    one to group docs per distinct mask, a driver collect of ≤65536
-    longs (≤512 KB — bounded, NOT data-sized), a mapInPandas blocked
-    popcount scan that emits qualifying MASK pairs only, and an
-    expansion join back to doc ids. Qualifying doc pairs can be
-    quadratic on dup-heavy data (that is the operator's contract); the
-    candidate scan no longer is.
-    """
-    import numpy as np
+def _bitmask_groups(ex: DataFrame, vocab: list[str]) -> DataFrame | None:
+    """Distinct-token-set groups for the bitmask strategy: one row per
+    distinct 64-bit mask with the member doc ids. Returns None when the
+    distinct-mask count exceeds the blocked-scan budget.
 
+    ``localCheckpoint`` (not ``persist``) materializes the groups once
+    for the multiple downstream references: checkpoint blocks are freed
+    by the ContextCleaner when the caller drops the returned plan,
+    unlike a CacheManager entry, which outlives the call (the round-5
+    session-lifetime storage leak)."""
     spark = ex.sparkSession
     vmap = spark.createDataFrame(
         [(t, i) for i, t in enumerate(vocab)], "tk STRING, bit INT"
@@ -84,15 +98,28 @@ def _jaccard_pairs_bitmask(
         .groupBy("doc")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
     )
-    groups = masks.groupBy("mask").agg(F.collect_list("doc").alias("docs"))
-    groups = groups.persist()
-    mask_list = [
-        r[0] for r in groups.select("mask").limit(_BITMASK_MAX_MASKS + 1).collect()
-    ]
-    if len(mask_list) > _BITMASK_MAX_MASKS:
-        groups.unpersist()
+    groups = (
+        masks.groupBy("mask").agg(F.collect_list("doc").alias("docs")).localCheckpoint()
+    )
+    if groups.count() > _BITMASK_MAX_MASKS:
         return None
+    return groups
 
+
+def _bitmask_mask_pairs(groups: DataFrame, threshold: float) -> DataFrame:
+    """Qualifying cross-mask pairs (mask_a < mask_b, jaccard) from a
+    blocked numpy popcount scan over the ≤65536 distinct masks.
+
+    Threshold semantics match the PPJoin path and the oracle exactly:
+    the scan pre-filters with an epsilon margin (numpy's scaled
+    rounding can disagree with Spark/DuckDB HALF_UP in the 7th
+    decimal), and the authoritative filter —
+    ``round(jaccard, 6) >= threshold`` — runs Spark-side on the
+    emitted pairs, so both physical strategies return identical pair
+    sets for every threshold."""
+    import numpy as np
+
+    mask_list = [r[0] for r in groups.select("mask").collect()]
     all_masks = np.array(sorted(mask_list), dtype=np.int64).astype(np.uint64)
     pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
@@ -105,6 +132,9 @@ def _jaccard_pairs_bitmask(
     pop_all = _popcount(all_masks)
     n_all = len(all_masks)
     inner = 8192
+    # margin > max rounding perturbation (5e-7): no pair whose ROUNDED
+    # jaccard reaches the threshold can be dropped by the pre-filter.
+    pre_threshold = threshold - 1e-6
 
     def scan(batches):
         import pandas as pd
@@ -123,7 +153,7 @@ def _jaccard_pairs_bitmask(
                 # J=0 pairs stay excluded even at threshold 0. Strict
                 # mask inequality emits each unordered pair once
                 # (same-mask doc pairs expand from the group lists).
-                ok = (jac >= threshold) & (inter > 0) & (am[:, None] < bm[None, :])
+                ok = (jac >= pre_threshold) & (inter > 0) & (am[:, None] < bm[None, :])
                 ii, jj = np.nonzero(ok)
                 if len(ii):
                     yield pd.DataFrame(
@@ -134,11 +164,39 @@ def _jaccard_pairs_bitmask(
                         }
                     )
 
-    pair_masks = (
+    return (
         groups.select("mask")
         .repartition(32)
         .mapInPandas(scan, schema="mask_a LONG, mask_b LONG, jaccard DOUBLE")
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _jaccard_pairs_bitmask(
+    ex: DataFrame, vocab: list[str], threshold: float
+) -> DataFrame | None:
+    """Tiny-vocabulary exact-Jaccard strategy: token sets as 64-bit masks.
+
+    ``ex`` is the (doc, tk) exploded token-set relation; ``vocab`` the
+    ≤64 retained tokens (sorted, so bit assignment is deterministic).
+    Returns None if the distinct-mask count exceeds the blocked-scan
+    budget — the caller falls back to the PPJoin strategy.
+
+    Shape of the plan: one shuffle to build per-doc masks (bit_or agg),
+    one to group docs per distinct mask, a driver collect of ≤65536
+    longs (≤512 KB — bounded, NOT data-sized), a mapInPandas blocked
+    popcount scan that emits qualifying MASK pairs only, and an
+    expansion join back to doc ids. Qualifying doc pairs can be
+    quadratic on dup-heavy data (that is the operator's contract); the
+    candidate scan no longer is. Consumers that only need components
+    should use :func:`exact_jaccard_components`, which labels the mask
+    graph directly and never expands doc pairs.
+    """
+    groups = _bitmask_groups(ex, vocab)
+    if groups is None:
+        return None
+    pair_masks = _bitmask_mask_pairs(groups, threshold)
     ga = groups.select(F.col("mask").alias("mask_a"), F.col("docs").alias("docs_a"))
     gb = groups.select(F.col("mask").alias("mask_b"), F.col("docs").alias("docs_b"))
     cross = (
@@ -149,7 +207,7 @@ def _jaccard_pairs_bitmask(
         .select(
             F.least("da", "db").alias("id_a"),
             F.greatest("da", "db").alias("id_b"),
-            F.round("jaccard", 6).alias("jaccard"),
+            "jaccard",
         )
     )
     # Identical token sets: every within-group pair has J = 1.0 exactly.
@@ -220,6 +278,18 @@ def exact_jaccard_pairs(
     realistic corpora with large vocabularies the prefix prune is far
     stronger).
     """
+    ex = _retained_token_sets(df, id_col, text_col, max_df)
+    vocab = _bitmask_vocab(ex)
+    if vocab is not None:
+        out = _jaccard_pairs_bitmask(ex, vocab, threshold)
+        if out is not None:
+            return out
+    return _jaccard_pairs_ppjoin(ex, threshold)
+
+
+def _retained_token_sets(
+    df: DataFrame, id_col: str, text_col: str, max_df: int | None
+) -> DataFrame:
     ex = token_set_df(df, id_col, text_col)
     if max_df is not None:
         hot = (
@@ -229,12 +299,12 @@ def exact_jaccard_pairs(
             .select("tk")
         )
         ex = ex.join(hot, "tk", "left_anti")
+    return ex
 
-    vocab = [r[0] for r in ex.select("tk").distinct().limit(_BITMASK_MAX_VOCAB + 1).collect()]
-    if len(vocab) <= _BITMASK_MAX_VOCAB:
-        out = _jaccard_pairs_bitmask(ex, sorted(vocab), threshold)
-        if out is not None:
-            return out
+
+def _jaccard_pairs_ppjoin(ex: DataFrame, threshold: float) -> DataFrame:
+    """General-vocabulary strategy: prefix-filtering similarity join
+    (see :func:`exact_jaccard_pairs` for the algorithm notes)."""
     from pyspark.sql.window import Window
 
     dfreq = ex.groupBy("tk").agg(F.count(F.lit(1)).alias("dfq"))
@@ -454,19 +524,89 @@ def connected_components(
 
 def dedup_by_components(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Survivor set of a near-dedup: drop every row whose component
     representative is a different (smaller) id; rows in no pair survive
-    untouched (they never enter the component table)."""
-    losers = connected_components(pairs, src, dst).filter(
-        F.col("id") != F.col("component")
-    )
+    untouched (they never enter the component table).
+
+    Pass either ``pairs`` (labeled here via min-label propagation) or
+    precomputed ``labels`` (id, component) — e.g. from
+    :func:`exact_jaccard_components`, whose bitmask fast path never
+    materializes doc pairs at all."""
+    if labels is None:
+        if pairs is None:
+            raise ValueError("dedup_by_components needs pairs or labels")
+        labels = connected_components(pairs, src, dst)
+    losers = labels.filter(F.col("id") != F.col("component"))
     return df.join(
         losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def exact_jaccard_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.95,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id, component) labels over the exact-Jaccard near-dup graph —
+    result-identical to ``connected_components(exact_jaccard_pairs(…))``
+    without materializing doc pairs when the bitmask strategy engages.
+
+    On dup-heavy corpora the qualifying doc-pair set is quadratic in
+    cluster sizes (sf1 fixture: ~2.6M pairs) even though the component
+    labeling only needs the graph's connectivity. When token sets fit
+    64-bit masks, connectivity lives entirely in the MASK graph: docs
+    sharing a mask are one clique, and a qualifying mask pair connects
+    two cliques. So this labels the ≤65536-node mask graph (min-label
+    propagation over mask pairs — thousands of edges, not millions),
+    takes each component's representative as the min doc id over member
+    masks, and maps docs to labels with one broadcast join + explode.
+    No doc-pair shuffle exists anywhere in the plan.
+
+    Falls back to pair-level propagation under the PPJoin strategy,
+    where candidate pruning already bounds the pair set.
+    """
+    ex = _retained_token_sets(df, id_col, text_col, max_df)
+    vocab = _bitmask_vocab(ex)
+    if vocab is not None:
+        groups = _bitmask_groups(ex, vocab)
+        if groups is not None:
+            return _components_from_mask_groups(groups, threshold)
+    return connected_components(_jaccard_pairs_ppjoin(ex, threshold))
+
+
+def _components_from_mask_groups(groups: DataFrame, threshold: float) -> DataFrame:
+    """Label docs through the distinct-mask graph. ``groups`` is the
+    localCheckpointed (mask, docs) relation; every frame here except
+    the final explode is ≤65536 rows."""
+    edges = _bitmask_mask_pairs(groups, threshold).select("mask_a", "mask_b")
+    mlabels = connected_components(edges, "mask_a", "mask_b").select(
+        F.col("id").alias("mask"), F.col("component").alias("mcomp")
+    )
+    stats = groups.select(
+        "mask",
+        F.array_min("docs").alias("min_doc"),
+        F.size("docs").alias("n_docs"),
+        "docs",
+    )
+    # A doc appears in some qualifying pair iff its mask has a same-mask
+    # twin (n_docs > 1 → within-clique J = 1.0) or any cross-mask edge;
+    # test participation BEFORE defaulting isolated masks to themselves.
+    lab = stats.join(F.broadcast(mlabels), "mask", "left")
+    part = lab.filter((F.col("n_docs") > 1) | F.col("mcomp").isNotNull()).withColumn(
+        "mcomp", F.coalesce("mcomp", F.col("mask"))
+    )
+    reps = part.groupBy("mcomp").agg(F.min("min_doc").alias("component"))
+    return (
+        part.join(F.broadcast(reps), "mcomp")
+        .select(F.explode("docs").alias("id"), "component")
     )
 
 

@@ -84,19 +84,24 @@ def stratified_sample(
 
 def component_split(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str,
     weights: dict[str, float],
     salt: str = "",
     split_col: str = "split",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-aware split: rows connected through near-dup ``pairs``
     (id_a, id_b) always share a split, because the hash key is the
     component representative (min reachable id; rows in no pair
-    represent themselves)."""
-    comp = connected_components(pairs).select(
-        F.col("id").alias(id_col), "component"
-    )
+    represent themselves). Precomputed ``labels`` (id, component) —
+    e.g. from ``dedup.exact_jaccard_components`` — skip the pair-level
+    propagation."""
+    if labels is None:
+        if pairs is None:
+            raise ValueError("component_split needs pairs or labels")
+        labels = connected_components(pairs)
+    comp = labels.select(F.col("id").alias(id_col), "component")
     with_comp = df.join(comp, id_col, "left").withColumn(
         "component", F.coalesce("component", F.col(id_col))
     )

@@ -17,6 +17,7 @@ from tw_etl_spark.operators.dedup import (
     connected_components,
     dedup_by_components,
     exact_dedup,
+    exact_jaccard_components,
     exact_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_expr,
@@ -218,9 +219,8 @@ def _comp_cte(rounds: int = 10) -> str:
 )
 def dd6(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(d, threshold=0.95)
     return (
-        connected_components(pairs)
+        exact_jaccard_components(d, threshold=0.95)
         .select(F.col("id").alias("doc_id"), "component")
         .orderBy("doc_id")
     )
@@ -243,9 +243,9 @@ def dd6(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd7(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(d, threshold=0.95)
+    labels = exact_jaccard_components(d, threshold=0.95)
     return (
-        dedup_by_components(d, pairs)
+        dedup_by_components(d, labels=labels)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
@@ -285,9 +285,9 @@ def x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tw_etl_spark.operators.sampling import component_split
 
     d = _t(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(d, threshold=0.95)
+    labels = exact_jaccard_components(d, threshold=0.95)
     s = component_split(
-        d, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        d, None, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, labels=labels
     )
     return (
         s.groupBy("split")

@@ -254,7 +254,7 @@ def x1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tw_etl_spark.operators.dedup import (
         dedup_by_components,
         exact_dedup,
-        exact_jaccard_pairs,
+        exact_jaccard_components,
     )
     from tw_etl_spark.operators.text import tokens_expr
 
@@ -264,8 +264,8 @@ def x1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang").isin("en", "de", "fr"))
     )
     d = exact_dedup(d, content_col="text", id_col="doc_id")
-    pairs = exact_jaccard_pairs(d, threshold=0.95)
-    survivors = dedup_by_components(d, pairs).withColumn(
+    labels = exact_jaccard_components(d, threshold=0.95)
+    survivors = dedup_by_components(d, labels=labels).withColumn(
         "n_tok", F.size(tokens_expr(F.col("text")))
     )
     return (
