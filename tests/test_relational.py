@@ -93,3 +93,61 @@ def test_e3_session_window_boundary_matches_strict_gap_rule(spark):
         .collect()
     }
     assert out == {1: 1, 2: 2, 3: 1}
+
+
+def test_e3_null_event_time_dropped(spark):
+    """e3's pinned NULL semantics: events with NULL event time are
+    EXCLUDED from sessionization on both sides (explicit isNotNull in
+    the query, IS NOT NULL in the oracle). session_window would drop
+    them silently anyway — the no-filter variant must agree with the
+    filtered one, so a future fixture gaining NULL timestamps cannot
+    silently flip the green hash."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(minutes=5)),
+        (1, None),  # no event time: not sessionizable
+        (2, None),  # user with ONLY null-ts events: absent from output
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+
+    def sessions(d):
+        return {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in d.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("cnt").alias("n_events"),
+            )
+            .collect()
+        }
+
+    filtered = sessions(df.filter(F.col("ts").isNotNull()))
+    unfiltered = sessions(df)
+    assert filtered == {1: (1, 2)}   # the NULL row is not counted
+    assert unfiltered == filtered    # session_window drops NULLs itself
+
+
+def test_e2_from_json_string_encoded_numbers_pinned(spark):
+    """e2 extracts props.k via from_json('k DOUBLE'), which yields NULL
+    for STRING-encoded numbers ({"k":"1.5"}) where a cast-based extract
+    (and the DuckDB oracle) would parse 1.5. Pin that divergence, and
+    guard the fixture: e2 stays oracle-green only while props carries k
+    as a JSON number."""
+    df = spark.createDataFrame(
+        [('{"k":1.5}',), ('{"k":"1.5"}',), ('{"k":null}',), ("{}",)],
+        ["props"],
+    )
+    got = [
+        r.v
+        for r in df.select(F.from_json("props", "k DOUBLE")["k"].alias("v")).collect()
+    ]
+    assert got == [1.5, None, None, None]
+
+    events = read_table(spark, SF_SMOKE, "events")
+    quoted = events.filter(F.col("props").rlike(r'"k"\s*:\s*"')).count()
+    assert quoted == 0, "fixture now string-encodes props.k; e2 oracle will diverge"

@@ -321,6 +321,7 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts,
             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT
         user_id,
@@ -344,9 +345,13 @@ def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (inclusive end), matching the oracle's strict
     # `ts > prev_ts + INTERVAL 30 MINUTE` new-session rule — verified
     # at the microsecond boundary in tests/test_relational.py.
-    # (Caveat: session_window drops NULL event times while the lag
-    # form counts them; the events fixture has none.)
-    e = _t(spark, sf_dir, "events")
+    # NULL event times are dropped EXPLICITLY on both sides (an event
+    # with no event time cannot be sessionized): session_window would
+    # silently drop them anyway, while the oracle's lag form would
+    # count them — the filter + the oracle's IS NOT NULL make the
+    # chosen semantics visible and pinned
+    # (tests/test_relational.py::test_e3_null_event_time_dropped).
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     sess = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
