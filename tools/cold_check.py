@@ -1,0 +1,75 @@
+"""Cold-plan cost gate: first-execution time of EVERY registered query
+in a fresh SparkSession.
+
+Round 5's lesson (t7, then t14): Catalyst expression-tree size is a
+scale axis of its own — a query can be fast warm yet stall for tens of
+seconds on its first execution because one generated codegen unit is
+huge. The headline bench reports best-of-N (warm) and the sf1 sweep
+medians after a warmup run, so neither reddens on a cold-compile
+blowup. This tool times exactly the cold path: plan build + codegen +
+first execution, one fresh plan per query, in one fresh session.
+
+At tiny SF the data cost is ~0, so the measured time IS the fixed
+cold cost; the ceiling is generous (seconds, not ms) because only
+pathological codegen — not normal variance — should trip it.
+
+Run: PYTHONPATH=. python tools/cold_check.py 2>/dev/null
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.001),
+     COLD_CEILING_S (default 20).
+Writes tools/cold_check_results.json; exits 1 if any query exceeds the
+ceiling (the pytest wrapper in tests/test_cold_compile.py reddens on
+that).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tw_etl_spark.queries import all_queries
+from tw_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+CEILING_S = float(os.environ.get("COLD_CEILING_S", "20"))
+
+
+def main() -> int:
+    spark = get_spark(app_name="tw-etl-spark-cold-check")
+    results: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, spec in all_queries().items():
+        t0 = time.perf_counter()
+        try:
+            spec.spark(spark, SF_DIR).toPandas()
+        except Exception as exc:
+            errors[name] = str(exc)[:200]
+            continue
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "cold_check_results.json"
+    )
+    with open(out, "w") as fh:
+        json.dump(
+            {"sf_dir": SF_DIR, "ceiling_s": CEILING_S, "cold_s": results, "errors": errors},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+
+    over = {n: s for n, s in results.items() if s > CEILING_S}
+    for n, s in sorted(results.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"{n:40s} {s:7.2f} s{'  <-- OVER CEILING' if s > CEILING_S else ''}")
+    print(f"\n{len(results)} queries, {len(errors)} errors, {len(over)} over {CEILING_S:.0f}s")
+    if errors:
+        for n, e in errors.items():
+            print(f"ERROR {n}: {e}")
+    return 1 if (over or errors) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
