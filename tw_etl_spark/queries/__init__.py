@@ -62,7 +62,10 @@ def register(
 # unigram-LM, top-bigram, temperature-mix, SCD-2); out — six
 # family-redundant slots (e4 grouping ⊂ a10, s2 nulls-ordering ⊂
 # s10/j10, p3 arithmetic ⊂ f20/x1, t1 ⊂ t8/t9, dd5 cosine ⊂ v1/v2,
-# x6 md5-determinism ⊂ x2/x4). Everything after the window is still
+# x6 md5-determinism ⊂ x2/x4). Round-6 rotation (VERDICT r5 #7): in —
+# io1_ingest_roundtrip (the JSONL.gz/CSV read-side surface, previously
+# unit-tier only); out — p2_cleanse_union_distinct (strings ⊂ f10/p1,
+# union-distinct ⊂ s10). Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
 # gated by design — see COVERAGE.md §verification-tiers) live there.
@@ -89,7 +92,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "v2_knn_exact",
     # -- ETL / pipeline [EXT] (10)
     "p1_filename_parse",
-    "p2_cleanse_union_distinct",
+    "io1_ingest_roundtrip",
     "p4_tiered_routing",
     "x1_training_data_pipeline",
     "x4_stratified_mix",

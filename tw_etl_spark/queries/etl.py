@@ -200,6 +200,79 @@ def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io1_ingest_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users,
+           round(sum(value), 2)                     AS sum_value,
+           min(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS first_ts,
+           max(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS last_ts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="R4 ingestion surface, driver-scored: export events as gzipped "
+    "JSONL (identity + ISO timestamp) and headered CSV (measures), read "
+    "both back through sources.readers with explicit schemas (no "
+    "inference pass), equi-join on event_id, and aggregate. The oracle "
+    "computes the same aggregate straight from the parquet view, so a "
+    "hash match proves the JSONL.gz and CSV round-trips preserved "
+    "every value — type fidelity of the readers is the operator under "
+    "test (reference: JSON sidecars convert.sh:58-65, CSV/text logs "
+    "convert.sh:12-15).",
+    tags=("io", "sources", "etl"),
+)
+def io1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from tw_etl_spark.sources.readers import read_csv, read_json
+
+    # Deterministic scratch dir per source (overwrite mode keeps reruns
+    # idempotent); the read-back plan stays lazy, so files must outlive
+    # this callable — they cannot be a mkdtemp cleaned up here.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"tw_etl_spark_io1_{tag}")
+    jpath, cpath = os.path.join(base, "events_jsonl"), os.path.join(base, "events_csv")
+
+    e = _t(spark, sf_dir, "events")
+    iso_ts = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts_iso")
+    (
+        e.select("event_id", "user_id", "event_type", iso_ts)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(jpath)
+    )
+    (
+        e.select("event_id", "value")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(cpath)
+    )
+
+    j = read_json(
+        spark,
+        jpath,
+        schema="event_id BIGINT, user_id BIGINT, event_type STRING, ts_iso STRING",
+    )
+    c = read_csv(spark, cpath, schema="event_id BIGINT, value DOUBLE")
+    return (
+        j.join(c, "event_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts_iso").alias("first_ts"),
+            F.max("ts_iso").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "x1_training_data_pipeline",
     oracle=f"""
     WITH base AS (
