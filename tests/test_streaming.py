@@ -628,3 +628,83 @@ def test_quality_battery_streams_equals_batch(spark):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Keyed-state sessionization (streaming/sessions.py) — the closed-only
+# emission contract that makes st2 driver-scorable.
+# ---------------------------------------------------------------------------
+
+
+def _sessions_via_stream(spark, rows, files_per_trigger):
+    """Run sessionize_closed over ``rows`` split across parquet files
+    (one file per sublist), with the given micro-batch granularity."""
+    from tw_etl_spark.streaming.sessions import sessionize_closed
+
+    d = tempfile.mkdtemp(prefix="sess_")
+    try:
+        subs = []
+        for i, chunk in enumerate(rows):
+            sub = f"b{i}"
+            spark.createDataFrame(chunk, "user_id BIGINT, ts TIMESTAMP").coalesce(
+                1
+            ).write.parquet(os.path.join(d, sub))
+            subs.append(sub)
+        _pin_mtimes(d, subs)
+        stream = (
+            spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(os.path.join(d, "*"))
+        )
+        out = run_stream_to_memory(
+            sessionize_closed(stream, gap_minutes=30),
+            f"sess_out_{files_per_trigger}",
+            output_mode="append",
+        )
+        return {
+            (r.user_id, r.session_start.isoformat(), r.n_events)
+            for r in out.collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_closed_contract_and_batch_split_invariance(spark):
+    """Only CLOSED sessions are emitted, a session spanning two
+    micro-batches is held open (not emitted twice or split), and the
+    result is identical whether the files arrive as one batch or one
+    file per batch."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    h = lambda hh, m: dt.datetime(2024, 1, 1, hh, m)  # noqa: E731
+    # u1: session A = [00:00, 00:10, 00:20]; session B (spans the file
+    # split) = [01:30 | 01:40]; session C (open tail) = [05:00].
+    # u2: single open session -> nothing emitted.
+    b1 = [(1, t(0)), (1, t(10)), (1, t(20)), (1, h(1, 30)), (2, h(2, 0))]
+    b2 = [(1, h(1, 40)), (1, h(5, 0)), (2, h(2, 10))]
+    want = {
+        (1, "2024-01-01T00:00:00", 3),  # session A, closed by B
+        (1, "2024-01-01T01:30:00", 2),  # session B spanning batches, closed by C
+    }
+    assert _sessions_via_stream(spark, [b1, b2], files_per_trigger=1) == want
+    assert _sessions_via_stream(spark, [b1, b2], files_per_trigger=2) == want
+
+
+def test_sessionize_closed_gap_boundary(spark):
+    """An event at exactly prev + 30min CONTINUES the session; one
+    microsecond past opens a new one (the e3 oracle boundary)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),  # exactly gap: continues
+        (1, base + dt.timedelta(minutes=60, microseconds=1)),  # > gap: new
+        (1, base + dt.timedelta(hours=9)),  # > gap: new (closes prev)
+    ]
+    got = _sessions_via_stream(spark, [rows], files_per_trigger=4)
+    assert got == {
+        (1, "2024-01-01T00:00:00", 2),
+        (1, "2024-01-01T01:00:00.000001", 1),
+    }

@@ -273,6 +273,84 @@ def io1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io2_columnar_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                    AS n_rows,
+           round(sum(l_quantity), 2)                   AS sum_qty,
+           round(sum(l_extendedprice), 2)              AS sum_price,
+           round(sum(o_totalprice), 2)                 AS sum_total,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)   AS n_custs,
+           strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Columnar write-side surface, driver-scored: export a lineitem "
+    "slice as Hive-partitioned ORC (partition column round-trips "
+    "through directory names; BIGINT/DOUBLE/TIMESTAMP through the ORC "
+    "encoder) and orders as z-ordered parquet (write_zordered's range "
+    "shuffle + within-file sort must preserve row content exactly), "
+    "read both back through sources.readers, equi-join and aggregate. "
+    "The oracle computes the same aggregate straight from the parquet "
+    "views, so a hash match proves both sinks are value-faithful — "
+    "layout is the only thing they may change (reference: tiered "
+    "columnar archive s3-sync.sh:27-67).",
+    tags=("io", "sources", "etl"),
+)
+def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from tw_etl_spark.operators.zorder import write_zordered
+    from tw_etl_spark.sources.readers import read_orc, write_orc
+
+    # Same scratch discipline as io1: deterministic per-sf dir,
+    # overwrite mode, files must outlive this callable (lazy read-back).
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"tw_etl_spark_io2_{tag}")
+    opath, zpath = os.path.join(base, "li_orc"), os.path.join(base, "orders_z")
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    write_orc(
+        li.select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+        ),
+        opath,
+        partition_cols=["l_returnflag"],
+    )
+    write_zordered(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        zpath,
+        "o_custkey",
+        "o_totalprice",
+        num_files=4,
+    )
+
+    li_back = read_orc(spark, opath)
+    o_back = spark.read.parquet(zpath)
+    return (
+        li_back.join(o_back, li_back.l_orderkey == o_back.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("first_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("last_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "x1_training_data_pipeline",
     oracle=f"""
     WITH base AS (

@@ -1,0 +1,150 @@
+"""Driver-scored Structured Streaming queries.
+
+Streaming operators were previously verified only by the batch-vs-
+stream equivalence harness (tests/test_streaming.py) because the
+correctness driver collects a batch DataFrame. These queries close
+that gap: each one runs a REAL streaming query inside the callable —
+file source -> transformation -> memory sink, driven to completion
+with ``Trigger.availableNow`` — and returns the sink's contents as the
+batch result. The DuckDB oracle computes the same answer relationally,
+so the full streaming path (source offsets, streaming aggregation
+state, keyed user state, sink commit) is hash-verified end to end.
+
+Determinism notes:
+- st1 runs in complete output mode, so every window is emitted
+  regardless of where the watermark ends up when the stream drains
+  (append mode would withhold windows newer than max(ts) - delay —
+  a final-watermark artifact of finite streams, not a semantics we
+  want scored). Watermark-driven late-data DROP stays covered by the
+  equivalence harness, which crafts actual late rows.
+- st2 emits only CLOSED sessions (streaming/sessions.py contract), so
+  its output is identical however the source splits micro-batches;
+  the oracle mirrors the contract by excluding each user's final
+  session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table as _t
+from tw_etl_spark.queries import register
+from tw_etl_spark.streaming.sessions import sessionize_closed
+from tw_etl_spark.streaming.windows import run_stream_to_memory, tumbling_agg
+
+
+def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
+    """(scratch dir, sql-safe tag) — deterministic per sf_dir so reruns
+    overwrite instead of accumulating, and the memory-sink query name
+    never collides across scale factors within one session."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"tw_etl_spark_{name}_{tag}"), tag
+
+
+@register(
+    "st1_stream_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts)      AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           round(sum(value), 2)        AS sum_value
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+    doc="Structured Streaming end to end, driver-scored: events land in "
+    "a parquet drop directory, a file-source STREAM reads them "
+    "(explicit schema, no inference), a tumbling 1-hour event-time "
+    "window with watermark aggregates, and the memory sink's committed "
+    "contents are the result. The oracle is the equivalent batch "
+    "rollup, so a hash match proves the streaming source/agg-state/"
+    "sink path computes exactly the batch answer (reference: the "
+    "poll-source -> hourly archive loop, manager.py:205-248).",
+    tags=("streaming", "window"),
+)
+def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, tag = _scratch(sf_dir, "st1")
+    (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("ts", "event_type", "value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    ).parquet(src)
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+        watermark="1 hour",
+    ).select(
+        F.col("win.start").alias("hour"), "event_type", "n_events", "sum_value"
+    )
+    out = run_stream_to_memory(agg, f"st1_{tag}", output_mode="complete")
+    return out.orderBy("hour", "event_type")
+
+
+@register(
+    "st2_stream_stateful_sessions",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+        WHERE ts IS NOT NULL
+    ), s AS (
+        SELECT user_id, ts, event_id,
+               sum(CASE WHEN prev_ts IS NULL
+                     OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    ), sess AS (
+        SELECT user_id, sid, min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, n_events
+    FROM sess
+    QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+    ORDER BY user_id, session_start
+    """,
+    doc="Arbitrary keyed state, driver-scored: the 30-minute-gap "
+    "sessionizer runs as applyInPandasWithState over a file-source "
+    "stream (state = the open session per user; only closed sessions "
+    "are emitted — streaming/sessions.py). The oracle sessionizes "
+    "relationally and drops each user's final session, mirroring the "
+    "closed-only contract, so a hash match proves the keyed-state "
+    "fold — the API the R19 retry machine runs on "
+    "(manager.py:281-441) — against SQL ground truth.",
+    tags=("streaming", "state"),
+)
+def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, tag = _scratch(sf_dir, "st2")
+    (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(src)
+    out = run_stream_to_memory(
+        sessionize_closed(stream, gap_minutes=30), f"st2_{tag}", output_mode="append"
+    )
+    return out.orderBy("user_id", "session_start")
