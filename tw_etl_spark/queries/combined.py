@@ -175,8 +175,10 @@ def j20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j50_range_asof_join",
     oracle=None,
     doc="Non-equi joins in one driver row: equi-join with interval range "
-    "residual (j5) + as-of join via operators.joins.asof_join (j6).",
-    tags=("join", "range", "asof", "combined"),
+    "residual (j5) + as-of join via operators.joins.asof_join (j6) + "
+    "keyless interval-overlap join via "
+    "operators.joins.bucketed_range_join (j9).",
+    tags=("join", "range", "asof", "interval", "combined"),
 )
 def j50(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = _rel.j5(spark, sf_dir).select(
@@ -193,7 +195,14 @@ def j50(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_value").cast("double").alias("val"),
         F.col("click_ts").alias("ts_val"),
     )
-    return rng.unionByName(asof).orderBy("branch", "k1", "k2")
+    overlap = _rel.j9(spark, sf_dir).select(
+        F.lit("overlap").alias("branch"),
+        F.col("o_orderkey").cast("bigint").alias("k1"),
+        F.col("n_pts").cast("bigint").alias("k2"),
+        F.col("sum_qty").cast("double").alias("val"),
+        _null("timestamp").alias("ts_val"),
+    )
+    return rng.unionByName(asof).unionByName(overlap).orderBy("branch", "k1", "k2")
 
 
 @register(
@@ -634,6 +643,10 @@ UNION ALL
 SELECT 'asof', CAST(user_id AS BIGINT), CAST(event_id AS BIGINT),
        CAST(click_value AS DOUBLE), CAST(click_ts AS TIMESTAMP)
 FROM ({_oracle("j6_asof_join")})
+UNION ALL
+SELECT 'overlap', CAST(o_orderkey AS BIGINT), CAST(n_pts AS BIGINT),
+       CAST(sum_qty AS DOUBLE), CAST(NULL AS TIMESTAMP)
+FROM ({_oracle("j9_interval_overlap")})
 ORDER BY branch, k1, k2
 """
 

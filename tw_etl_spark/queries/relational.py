@@ -207,6 +207,53 @@ def j6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+@register(
+    "j9_interval_overlap",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(count(*) AS BIGINT)  AS n_pts,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM orders JOIN lineitem
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 3 DAY
+    WHERE o_totalprice >= 400000
+    GROUP BY o_orderkey
+    ORDER BY o_orderkey
+    """,
+    doc="Keyless interval-overlap join via the SCALE path "
+    "(operators.joins.bucketed_range_join): each [o_orderdate, +3d) "
+    "interval explodes into its day buckets, equi-joins shipment "
+    "points on bucket, re-checks the exact predicate, then aggregates "
+    "per interval. This is the shuffle-join form of what would "
+    "otherwise be a broadcast nested loop — the O(n*m) trap at 100 TB "
+    "(the ad-break overlap matching of convert.sh:60-62). DuckDB "
+    "evaluates the same predicate as an IEJoin.",
+    tags=("join", "range", "interval"),
+)
+def j9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.joins import bucketed_range_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 400000)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("end"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    j = bucketed_range_join(li, o, "l_shipdate", "start", "end", bucket_seconds=86400)
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation extensions
 # --------------------------------------------------------------------------
