@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 from tw_etl_spark.catalog import read_table as _t
 from tw_etl_spark.queries import register
 from tw_etl_spark.streaming.sessions import sessionize_closed
-from tw_etl_spark.streaming.windows import run_stream_to_memory, tumbling_agg
+from tw_etl_spark.streaming.windows import (
+    run_stream_to_memory,
+    sliding_agg,
+    tumbling_agg,
+)
 
 
 def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
@@ -49,23 +53,36 @@ def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
 @register(
     "st1_stream_hourly_rollup",
     oracle="""
-    SELECT date_trunc('hour', ts)      AS hour,
+    SELECT 'tumble' AS branch,
+           date_trunc('hour', ts)      AS win_start,
            event_type,
            CAST(count(*) AS BIGINT)    AS n_events,
            round(sum(value), 2)        AS sum_value
     FROM events
     WHERE ts IS NOT NULL
-    GROUP BY 1, 2
-    ORDER BY hour, event_type
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'slide',
+           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE * k,
+           event_type,
+           CAST(count(*) AS BIGINT),
+           round(sum(value), 2)
+    FROM events, unnest([0, 1]) AS t(k)
+    WHERE ts IS NOT NULL
+    GROUP BY 2, 3
+    ORDER BY branch, win_start, event_type
     """,
     doc="Structured Streaming end to end, driver-scored: events land in "
     "a parquet drop directory, a file-source STREAM reads them "
-    "(explicit schema, no inference), a tumbling 1-hour event-time "
-    "window with watermark aggregates, and the memory sink's committed "
-    "contents are the result. The oracle is the equivalent batch "
-    "rollup, so a hash match proves the streaming source/agg-state/"
-    "sink path computes exactly the batch answer (reference: the "
-    "poll-source -> hourly archive loop, manager.py:205-248).",
+    "(explicit schema, no inference), tumbling (1h) and sliding "
+    "(1h/30min) event-time windows with watermark aggregate, and the "
+    "memory sinks' committed contents are the result (two branches, "
+    "one row). The tumble oracle is the batch hourly rollup; the "
+    "slide oracle expands each row into its duration/slide = 2 "
+    "windows via unnest — a hash match proves the streaming "
+    "source/agg-state/sink path computes exactly the batch answer "
+    "(reference: the poll-source -> hourly archive loop, "
+    "manager.py:205-248).",
     tags=("streaming", "window"),
 )
 def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,24 +95,37 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(src)
     )
-    stream = spark.readStream.schema(
-        "ts TIMESTAMP, event_type STRING, value DOUBLE"
-    ).parquet(src)
-    agg = tumbling_agg(
-        stream,
-        "ts",
-        "1 hour",
-        ["event_type"],
-        [
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        ],
-        watermark="1 hour",
+
+    def stream():
+        return spark.readStream.schema(
+            "ts TIMESTAMP, event_type STRING, value DOUBLE"
+        ).parquet(src)
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ]
+    tumble = tumbling_agg(
+        stream(), "ts", "1 hour", ["event_type"], aggs, watermark="1 hour"
     ).select(
-        F.col("win.start").alias("hour"), "event_type", "n_events", "sum_value"
+        F.lit("tumble").alias("branch"),
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )
-    out = run_stream_to_memory(agg, f"st1_{tag}", output_mode="complete")
-    return out.orderBy("hour", "event_type")
+    slide = sliding_agg(
+        stream(), "ts", "1 hour", "30 minutes", ["event_type"], aggs, watermark="1 hour"
+    ).select(
+        F.lit("slide").alias("branch"),
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    out_t = run_stream_to_memory(tumble, f"st1_t_{tag}", output_mode="complete")
+    out_s = run_stream_to_memory(slide, f"st1_s_{tag}", output_mode="complete")
+    return out_t.unionByName(out_s).orderBy("branch", "win_start", "event_type")
 
 
 @register(
