@@ -112,7 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x10_scd2_merge",
     # -- streaming (2)
     "st1_stream_hourly_rollup",
-    "st2_stream_stateful_sessions",
+    "st2_stream_stateful_gauntlet",
     # -- UDF surface (4)
     "u1_scalar_udfs",
     "u2_pandas_udaf",

@@ -42,6 +42,10 @@ from tw_etl_spark.streaming.windows import (
 )
 
 
+def _nullts():
+    return F.lit(None).cast("timestamp")
+
+
 def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
     """(scratch dir, sql-safe tag) — deterministic per sf_dir so reruns
     overwrite instead of accumulating, and the memory-sink query name
@@ -129,7 +133,7 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "st2_stream_stateful_sessions",
+    "st2_stream_stateful_gauntlet",
     oracle="""
     WITH g AS (
         SELECT user_id, ts, event_id,
@@ -148,33 +152,115 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, sid
     )
-    SELECT user_id, session_start, n_events
+    SELECT 'sess' AS branch, user_id, session_start AS ts_val, n_events AS n
     FROM sess
     QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
-    ORDER BY user_id, session_start
+    UNION ALL
+    SELECT 'dedup', user_id, CAST(NULL AS TIMESTAMP),
+           CAST(count(DISTINCT event_type) AS BIGINT)
+    FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    UNION ALL
+    SELECT 'join', p.user_id, CAST(NULL AS TIMESTAMP), CAST(count(*) AS BIGINT)
+    FROM (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+    JOIN (SELECT user_id, ts FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL) c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    GROUP BY p.user_id
+    ORDER BY branch, user_id, ts_val
     """,
-    doc="Arbitrary keyed state, driver-scored: the 30-minute-gap "
-    "sessionizer runs as applyInPandasWithState over a file-source "
-    "stream (state = the open session per user; only closed sessions "
-    "are emitted — streaming/sessions.py). The oracle sessionizes "
-    "relationally and drops each user's final session, mirroring the "
-    "closed-only contract, so a hash match proves the keyed-state "
-    "fold — the API the R19 retry machine runs on "
-    "(manager.py:281-441) — against SQL ground truth.",
-    tags=("streaming", "state"),
+    doc="Streaming state in one driver row, three branches over the same "
+    "file-source stream: (sess) the 30-minute-gap sessionizer as "
+    "applyInPandasWithState keyed state — only CLOSED sessions emit "
+    "(streaming/sessions.py), so the oracle drops each user's final "
+    "session; (dedup) streaming dropDuplicates on (user_id, "
+    "event_type), whose emitted SET equals batch DISTINCT however the "
+    "source micro-batches; (join) a stream-stream inner join — clicks "
+    "within the hour before each purchase, both sides watermarked, "
+    "the event-time range bound making join state evictable. Keyed "
+    "state is the API of the R19 retry machine (manager.py:281-441).",
+    tags=("streaming", "state", "join", "dedup"),
 )
 def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, tag = _scratch(sf_dir, "st2")
     (
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
-        .select("user_id", "ts")
+        .select("user_id", "ts", "event_type")
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(src)
     )
-    stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(src)
-    out = run_stream_to_memory(
-        sessionize_closed(stream, gap_minutes=30), f"st2_{tag}", output_mode="append"
+
+    def stream():
+        return spark.readStream.schema(
+            "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+        ).parquet(src)
+
+    sess = run_stream_to_memory(
+        sessionize_closed(stream().select("user_id", "ts"), gap_minutes=30),
+        f"st2_sess_{tag}",
+        output_mode="append",
+    ).select(
+        F.lit("sess").alias("branch"),
+        "user_id",
+        F.col("session_start").alias("ts_val"),
+        F.col("n_events").alias("n"),
     )
-    return out.orderBy("user_id", "session_start")
+
+    # Streaming exact dedup: the emitted set is first-arrival picks of
+    # each (user_id, event_type); the per-user COUNT of that set is
+    # batch-deterministic even though which row wins is not.
+    dedup = (
+        run_stream_to_memory(
+            stream().dropDuplicates(["user_id", "event_type"]),
+            f"st2_dedup_{tag}",
+            output_mode="append",
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("dedup").alias("branch"),
+            "user_id",
+            _nullts().alias("ts_val"),
+            "n",
+        )
+    )
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    ssj = (
+        run_stream_to_memory(joined, f"st2_join_{tag}", output_mode="append")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("join").alias("branch"),
+            "user_id",
+            _nullts().alias("ts_val"),
+            "n",
+        )
+    )
+
+    return (
+        sess.unionByName(dedup)
+        .unionByName(ssj)
+        .orderBy("branch", "user_id", "ts_val")
+    )
