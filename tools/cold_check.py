@@ -35,13 +35,24 @@ from tw_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 CEILING_S = float(os.environ.get("COLD_CEILING_S", "20"))
+# The st* rows run REAL streaming queries to completion inside the
+# callable (scratch write + N query startups + state-store init) — a
+# fixed per-query-machinery cost that doubles under a loaded box, not
+# a codegen-size signal. They get a higher ceiling so the gate keeps
+# reddening on what it exists to catch (expression-tree blowups)
+# without flapping on streaming startup variance.
+STREAMING_CEILING_S = float(os.environ.get("COLD_STREAMING_CEILING_S", "60"))
 
 
 def main() -> int:
     spark = get_spark(app_name="tw-etl-spark-cold-check")
     results: dict[str, float] = {}
+    ceilings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in all_queries().items():
+        ceilings[name] = (
+            STREAMING_CEILING_S if "streaming" in spec.tags else CEILING_S
+        )
         t0 = time.perf_counter()
         try:
             spec.spark(spark, SF_DIR).toPandas()
@@ -55,15 +66,21 @@ def main() -> int:
     )
     with open(out, "w") as fh:
         json.dump(
-            {"sf_dir": SF_DIR, "ceiling_s": CEILING_S, "cold_s": results, "errors": errors},
+            {
+                "sf_dir": SF_DIR,
+                "ceiling_s": CEILING_S,
+                "streaming_ceiling_s": STREAMING_CEILING_S,
+                "cold_s": results,
+                "errors": errors,
+            },
             fh,
             indent=1,
             sort_keys=True,
         )
 
-    over = {n: s for n, s in results.items() if s > CEILING_S}
+    over = {n: s for n, s in results.items() if s > ceilings[n]}
     for n, s in sorted(results.items(), key=lambda kv: -kv[1])[:10]:
-        print(f"{n:40s} {s:7.2f} s{'  <-- OVER CEILING' if s > CEILING_S else ''}")
+        print(f"{n:40s} {s:7.2f} s{'  <-- OVER CEILING' if s > ceilings[n] else ''}")
     print(f"\n{len(results)} queries, {len(errors)} errors, {len(over)} over {CEILING_S:.0f}s")
     if errors:
         for n, e in errors.items():

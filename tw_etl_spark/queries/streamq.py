@@ -36,7 +36,7 @@ from tw_etl_spark.catalog import read_table as _t
 from tw_etl_spark.queries import register
 from tw_etl_spark.streaming.sessions import sessionize_closed
 from tw_etl_spark.streaming.windows import (
-    run_stream_to_memory,
+    run_streams_to_memory,
     sliding_agg,
     tumbling_agg,
 )
@@ -127,8 +127,9 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    out_t = run_stream_to_memory(tumble, f"st1_t_{tag}", output_mode="complete")
-    out_s = run_stream_to_memory(slide, f"st1_s_{tag}", output_mode="complete")
+    out_t, out_s = run_streams_to_memory(
+        [(tumble, f"st1_t_{tag}", "complete"), (slide, f"st1_s_{tag}", "complete")]
+    )
     return out_t.unionByName(out_s).orderBy("branch", "win_start", "event_type")
 
 
@@ -198,36 +199,6 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id BIGINT, ts TIMESTAMP, event_type STRING"
         ).parquet(src)
 
-    sess = run_stream_to_memory(
-        sessionize_closed(stream().select("user_id", "ts"), gap_minutes=30),
-        f"st2_sess_{tag}",
-        output_mode="append",
-    ).select(
-        F.lit("sess").alias("branch"),
-        "user_id",
-        F.col("session_start").alias("ts_val"),
-        F.col("n_events").alias("n"),
-    )
-
-    # Streaming exact dedup: the emitted set is first-arrival picks of
-    # each (user_id, event_type); the per-user COUNT of that set is
-    # batch-deterministic even though which row wins is not.
-    dedup = (
-        run_stream_to_memory(
-            stream().dropDuplicates(["user_id", "event_type"]),
-            f"st2_dedup_{tag}",
-            output_mode="append",
-        )
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.lit("dedup").alias("branch"),
-            "user_id",
-            _nullts().alias("ts_val"),
-            "n",
-        )
-    )
-
     purchases = (
         stream()
         .filter(F.col("event_type") == "purchase")
@@ -247,9 +218,42 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     )
+
+    # The three streams are independent — start them all, await all
+    # (cold wall cost = slowest stream, not the sum).
+    sess_raw, dedup_raw, join_raw = run_streams_to_memory(
+        [
+            (
+                sessionize_closed(stream().select("user_id", "ts"), gap_minutes=30),
+                f"st2_sess_{tag}",
+                "append",
+            ),
+            (stream().dropDuplicates(["user_id", "event_type"]), f"st2_dedup_{tag}", "append"),
+            (joined, f"st2_join_{tag}", "append"),
+        ]
+    )
+
+    sess = sess_raw.select(
+        F.lit("sess").alias("branch"),
+        "user_id",
+        F.col("session_start").alias("ts_val"),
+        F.col("n_events").alias("n"),
+    )
+    # Streaming exact dedup: the emitted set is first-arrival picks of
+    # each (user_id, event_type); the per-user COUNT of that set is
+    # batch-deterministic even though which row wins is not.
+    dedup = (
+        dedup_raw.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("dedup").alias("branch"),
+            "user_id",
+            _nullts().alias("ts_val"),
+            "n",
+        )
+    )
     ssj = (
-        run_stream_to_memory(joined, f"st2_join_{tag}", output_mode="append")
-        .groupBy("user_id")
+        join_raw.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.lit("join").alias("branch"),

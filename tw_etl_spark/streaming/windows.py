@@ -76,12 +76,30 @@ def run_stream_to_memory(
 ):
     """Drive a streaming DataFrame to completion against the in-memory
     sink (synchronous, for tests). Returns the result as a batch DF."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    (res,) = run_streams_to_memory([(stream_df, query_name, output_mode)])
+    return res
+
+
+def run_streams_to_memory(
+    jobs: list[tuple[DataFrame, str, str]]
+) -> list[DataFrame]:
+    """Drive several independent streaming DataFrames to completion
+    CONCURRENTLY against memory sinks: start every query first, then
+    await each — wall time is the slowest stream, not the sum. Each job
+    is (stream_df, query_name, output_mode); returns the sink contents
+    in job order."""
+    started = [
+        (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start(),
+            df.sparkSession,
+            name,
+        )
+        for df, name, mode in jobs
+    ]
+    for q, _, _ in started:
+        q.awaitTermination()
+    return [s.sql(f"SELECT * FROM {name}") for _, s, name in started]
