@@ -36,7 +36,6 @@ SKIP_ORACLE = {
     "v1_cosine_top_pairs",
     "v2_knn_exact",
     "dd2_jaccard_neardup_pairs",
-    "dd5_cosine_neardup",
     "dd6_neardup_components",
     "dd7_neardup_survivors",
     "x5_benchmark_decontaminate",
@@ -99,20 +98,37 @@ def main() -> None:
 
     ok = {k: v for k, v in results.items() if v.get("ratio") is not None}
     errs = {k: v for k, v in results.items() if "error" in v}
+    # Streaming-tagged rows run REAL streaming queries (scratch write +
+    # N stream startups + state-store machinery) whose oracle is a
+    # batch SQL equivalent — the ratio verifies RESULTS, not plan cost,
+    # so flagging it as a plan outlier is a category error. They are
+    # reported, marked, and excluded from the flag set.
+    streaming = {
+        name
+        for name, spec in all_queries().items()
+        if "streaming" in spec.tags
+    }
     # Sub-second Spark times are fixed cost (scheduling + fresh-plan
     # codegen — the headline bench with plan reuse runs the same queries
     # 10-30x faster), so a ratio against DuckDB's in-process ms is
     # meaningless there. Flag only where the SPARK side is slow enough
     # that the ratio reflects the plan, not the floor.
     for name, r in sorted(ok.items(), key=lambda kv: -kv[1]["spark_sec"]):
-        flag = " <-- OUTLIER" if r["ratio"] > 2 and r["spark_sec"] > 10 else ""
+        if name in streaming:
+            flag = "  (streaming — result check, not a plan ratio)"
+        else:
+            flag = " <-- OUTLIER" if r["ratio"] > 2 and r["spark_sec"] > 10 else ""
         print(
             f"{name:36s} spark {r['spark_sec']*1000:8.1f} ms"
             f"  duck {r['duck_sec']*1000:8.1f} ms  ratio {r['ratio']:6.2f}{flag}"
         )
     for name, r in errs.items():
         print(f"{name:36s} ERROR {r['error'][:120]}")
-    over = [k for k, v in ok.items() if v["ratio"] > 2 and v["spark_sec"] > 10]
+    over = [
+        k
+        for k, v in ok.items()
+        if v["ratio"] > 2 and v["spark_sec"] > 10 and k not in streaming
+    ]
     print(f"\n{len(ok)} timed, {len(errs)} errors, {len(over)} flagged: {over}")
 
 

@@ -95,7 +95,7 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .select("ts", "event_type", "value")
-        .coalesce(1)
+        .repartition(8)
         .write.mode("overwrite")
         .parquet(src)
     )
@@ -189,7 +189,7 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .select("user_id", "ts", "event_type")
-        .coalesce(1)
+        .repartition(8)
         .write.mode("overwrite")
         .parquet(src)
     )
