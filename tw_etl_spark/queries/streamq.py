@@ -11,12 +11,14 @@ so the full streaming path (source offsets, streaming aggregation
 state, keyed user state, sink commit) is hash-verified end to end.
 
 Determinism notes:
-- st1 runs in complete output mode, so every window is emitted
-  regardless of where the watermark ends up when the stream drains
-  (append mode would withhold windows newer than max(ts) - delay —
-  a final-watermark artifact of finite streams, not a semantics we
-  want scored). Watermark-driven late-data DROP stays covered by the
-  equivalence harness, which crafts actual late rows.
+- st1's tumble/slide branches run in complete output mode, so every
+  window is emitted regardless of where the watermark ends up when the
+  stream drains. The session branch must run append mode (complete is
+  unsupported for session-window merges); on a drained availableNow
+  stream its emission rule is exactly "session end <= max(ts) - delay",
+  which the oracle pins as a relational cutoff. Watermark-driven
+  late-data DROP stays covered by the equivalence harness, which
+  crafts actual late rows.
 - st2 emits only CLOSED sessions (streaming/sessions.py contract), so
   its output is identical however the source splits micro-batches;
   the oracle mirrors the contract by excluding each user's final
@@ -37,6 +39,7 @@ from tw_etl_spark.queries import register
 from tw_etl_spark.streaming.sessions import sessionize_closed
 from tw_etl_spark.streaming.windows import (
     run_streams_to_memory,
+    session_agg,
     sliding_agg,
     tumbling_agg,
 )
@@ -59,7 +62,7 @@ def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
     oracle="""
     SELECT 'tumble' AS branch,
            date_trunc('hour', ts)      AS win_start,
-           event_type,
+           event_type                  AS key,
            CAST(count(*) AS BIGINT)    AS n_events,
            round(sum(value), 2)        AS sum_value
     FROM events
@@ -74,19 +77,44 @@ def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
     FROM events, unnest([0, 1]) AS t(k)
     WHERE ts IS NOT NULL
     GROUP BY 2, 3
-    ORDER BY branch, win_start, event_type
+    UNION ALL
+    SELECT 'sess', session_start, CAST(user_id AS VARCHAR), n_events, sum_value
+    FROM (
+      WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events WHERE ts IS NOT NULL
+      ), s AS (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+      )
+      SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM s GROUP BY user_id, sid
+    )
+    WHERE last_ts + INTERVAL 30 MINUTE <=
+          (SELECT max(ts) FROM events WHERE ts IS NOT NULL) - INTERVAL 1 HOUR
+    ORDER BY branch, win_start, key
     """,
     doc="Structured Streaming end to end, driver-scored: events land in "
     "a parquet drop directory, a file-source STREAM reads them "
-    "(explicit schema, no inference), tumbling (1h) and sliding "
-    "(1h/30min) event-time windows with watermark aggregate, and the "
-    "memory sinks' committed contents are the result (two branches, "
-    "one row). The tumble oracle is the batch hourly rollup; the "
-    "slide oracle expands each row into its duration/slide = 2 "
-    "windows via unnest — a hash match proves the streaming "
-    "source/agg-state/sink path computes exactly the batch answer "
-    "(reference: the poll-source -> hourly archive loop, "
-    "manager.py:205-248).",
+    "(explicit schema, no inference), and tumbling (1h), sliding "
+    "(1h/30min), and per-user session (30min gap) event-time windows "
+    "with watermarks aggregate into memory sinks (three branches, one "
+    "row). The tumble oracle is the batch hourly rollup; the slide "
+    "oracle expands each row into its duration/slide = 2 windows via "
+    "unnest; the session branch runs APPEND mode, whose emission rule "
+    "on a drained availableNow stream is exactly 'session end "
+    "(last event + gap) <= max(ts) - watermark delay' — the oracle "
+    "sessionizes relationally and applies that same cutoff. A hash "
+    "match proves the streaming source/window-state/sink path computes "
+    "exactly the batch answer (reference: the poll-source -> hourly "
+    "archive loop, manager.py:205-248).",
     tags=("streaming", "window"),
 )
 def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +122,7 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
-        .select("ts", "event_type", "value")
+        .select("ts", "event_type", "user_id", "value")
         .repartition(8)
         .write.mode("overwrite")
         .parquet(src)
@@ -102,35 +130,57 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stream():
         return spark.readStream.schema(
-            "ts TIMESTAMP, event_type STRING, value DOUBLE"
+            "ts TIMESTAMP, event_type STRING, user_id BIGINT, value DOUBLE"
         ).parquet(src)
 
-    aggs = [
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    ]
+    def aggs():
+        return [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ]
+
     tumble = tumbling_agg(
-        stream(), "ts", "1 hour", ["event_type"], aggs, watermark="1 hour"
+        stream(), "ts", "1 hour", ["event_type"], aggs(), watermark="1 hour"
     ).select(
         F.lit("tumble").alias("branch"),
         F.col("win.start").alias("win_start"),
-        "event_type",
+        F.col("event_type").alias("key"),
         "n_events",
         "sum_value",
     )
     slide = sliding_agg(
-        stream(), "ts", "1 hour", "30 minutes", ["event_type"], aggs, watermark="1 hour"
+        stream(), "ts", "1 hour", "30 minutes", ["event_type"], aggs(), watermark="1 hour"
     ).select(
         F.lit("slide").alias("branch"),
         F.col("win.start").alias("win_start"),
-        "event_type",
+        F.col("event_type").alias("key"),
         "n_events",
         "sum_value",
     )
-    out_t, out_s = run_streams_to_memory(
-        [(tumble, f"st1_t_{tag}", "complete"), (slide, f"st1_s_{tag}", "complete")]
+    sess = session_agg(
+        stream(), "ts", "30 minutes", ["user_id"], aggs(), watermark="1 hour"
+    ).select(
+        F.lit("sess").alias("branch"),
+        F.col("win.start").alias("win_start"),
+        F.col("user_id").cast("string").alias("key"),
+        "n_events",
+        "sum_value",
     )
-    return out_t.unionByName(out_s).orderBy("branch", "win_start", "event_type")
+    out_t, out_s, out_g = run_streams_to_memory(
+        [
+            (tumble, f"st1_t_{tag}", "complete"),
+            (slide, f"st1_s_{tag}", "complete"),
+            # complete mode is unsupported for session windows (state
+            # merge); append's watermark-cutoff emission is pinned in
+            # the oracle instead.
+            (sess, f"st1_g_{tag}", "append"),
+        ]
+    )
+    return (
+        out_t.unionByName(out_s)
+        .unionByName(out_g)
+        .orderBy("branch", "win_start", "key")
+    )
 
 
 @register(
