@@ -207,20 +207,24 @@ def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users,
            round(sum(value), 2)                     AS sum_value,
            min(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS first_ts,
-           max(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS last_ts
+           max(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS last_ts,
+           CAST(4 AS BIGINT)                        AS n_src_files
     FROM events
     GROUP BY event_type
     ORDER BY event_type
     """,
     doc="R4 ingestion surface, driver-scored: export events as gzipped "
-    "JSONL (identity + ISO timestamp) and headered CSV (measures), read "
-    "both back through sources.readers with explicit schemas (no "
-    "inference pass), equi-join on event_id, and aggregate. The oracle "
-    "computes the same aggregate straight from the parquet view, so a "
-    "hash match proves the JSONL.gz and CSV round-trips preserved "
-    "every value — type fidelity of the readers is the operator under "
-    "test (reference: JSON sidecars convert.sh:58-65, CSV/text logs "
-    "convert.sh:12-15).",
+    "JSONL (identity + ISO timestamp, exactly 4 files) and headered "
+    "CSV (measures), read both back through sources.readers with "
+    "explicit schemas (no inference pass), equi-join on event_id, and "
+    "aggregate. The oracle computes the same aggregate straight from "
+    "the parquet view, so a hash match proves the JSONL.gz and CSV "
+    "round-trips preserved every value — type fidelity of the readers "
+    "is the operator under test (reference: JSON sidecars "
+    "convert.sh:58-65, CSV/text logs convert.sh:12-15). n_src_files "
+    "comes from sources.readers.with_file_metadata over the JSONL "
+    "read (distinct _metadata paths), scoring the directory-listing "
+    "surface (R1, manager.py:369) against the writer's known fan-out.",
     tags=("io", "sources", "etl"),
 )
 def io1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +232,7 @@ def io1(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from tw_etl_spark.sources.readers import read_csv, read_json
+    from tw_etl_spark.sources.readers import read_csv, read_json, with_file_metadata
 
     # Deterministic scratch dir per source (overwrite mode keeps reruns
     # idempotent); the read-back plan stays lazy, so files must outlive
@@ -241,6 +245,7 @@ def io1(spark: SparkSession, sf_dir: str) -> DataFrame:
     iso_ts = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts_iso")
     (
         e.select("event_id", "user_id", "event_type", iso_ts)
+        .repartition(4)  # known writer fan-out, asserted via _metadata below
         .write.mode("overwrite")
         .option("compression", "gzip")
         .json(jpath)
@@ -258,6 +263,10 @@ def io1(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_id BIGINT, user_id BIGINT, event_type STRING, ts_iso STRING",
     )
     c = read_csv(spark, cpath, schema="event_id BIGINT, value DOUBLE")
+    # Directory-listing surface: count the writer's files through the
+    # _metadata column (no driver-side os.listdir). A bounded action —
+    # one distinct over file paths, not data.
+    n_files = with_file_metadata(j).select("file_path").distinct().count()
     return (
         j.join(c, "event_id")
         .groupBy("event_type")
@@ -268,6 +277,7 @@ def io1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts_iso").alias("first_ts"),
             F.max("ts_iso").alias("last_ts"),
         )
+        .withColumn("n_src_files", F.lit(n_files).cast("bigint"))
         .orderBy("event_type")
     )
 
