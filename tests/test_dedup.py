@@ -213,7 +213,15 @@ def test_exact_jaccard_matches_bruteforce_on_random_corpora(spark):
 
     from tw_etl_spark.operators.dedup import exact_jaccard_pairs
 
-    for seed, vocab_n, n_docs, thr in [(1, 500, 60, 0.5), (2, 8, 60, 0.8), (3, 2000, 40, 0.3)]:
+    for seed, vocab_n, n_docs, thr in [
+        (1, 500, 60, 0.5),
+        (2, 8, 60, 0.8),
+        (3, 2000, 40, 0.3),
+        # threshold 0: the popcount window degenerates to the full
+        # range (pre_threshold <= 0 branch) and ONLY J=0 pairs stay
+        # excluded (the shares->=1-token contract)
+        (6, 8, 40, 0.0),
+    ]:
         rng = random.Random(seed)
         vocab = [f"w{i}" for i in range(vocab_n)]
         docs = {
@@ -353,3 +361,30 @@ def test_jaccard_components_match_pairwise_labeling(spark):
                 k for k in direct if direct.get(k) != via_pairs.get(k)
             }
         })
+
+
+def test_mask_label_fallback_past_edge_cap(spark, monkeypatch):
+    """When the mask-pair edge set exceeds the bounded-collect cap,
+    exact_jaccard_components must fall back to DataFrame label
+    propagation and return the SAME labels as the driver union-find."""
+    import random
+
+    from tw_etl_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fast = {
+        r.id: r.component
+        for r in D.exact_jaccard_components(df, threshold=0.6).collect()
+    }
+    monkeypatch.setattr(D, "_MASK_EDGE_COLLECT_MAX", 1)
+    slow = {
+        r.id: r.component
+        for r in D.exact_jaccard_components(df, threshold=0.6).collect()
+    }
+    assert slow == fast
