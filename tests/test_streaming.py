@@ -708,3 +708,46 @@ def test_sessionize_closed_gap_boundary(spark):
         (1, "2024-01-01T00:00:00", 2),
         (1, "2024-01-01T01:00:00.000001", 1),
     }
+
+
+def test_session_window_append_emission_boundary(spark):
+    """st1's session branch relies on the append-mode emission rule on a
+    drained availableNow stream being 'session end <= final watermark'
+    (INCLUSIVE). Craft a session whose end lands EXACTLY on
+    max(ts) - delay: it must be emitted — if a Spark upgrade flips the
+    boundary to strict <, this pins the break locally instead of as a
+    driver hash mismatch on st1."""
+    import datetime as dt
+
+    from tw_etl_spark.streaming.windows import session_agg
+
+    d = tempfile.mkdtemp(prefix="sessb_")
+    try:
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        # user 1's session ends at 00:30 (single event + 30min gap);
+        # user 2's event at 01:30 drives the final watermark to exactly
+        # 01:30 - 1h = 00:30.
+        rows = [(1, base), (2, base + dt.timedelta(minutes=90))]
+        spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP").coalesce(
+            1
+        ).write.parquet(os.path.join(d, "b"))
+        stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(
+            os.path.join(d, "*")
+        )
+        agg = session_agg(
+            stream,
+            "ts",
+            "30 minutes",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n")],
+            watermark="1 hour",
+        )
+        out = run_stream_to_memory(
+            agg.select("user_id", F.col("win.end").alias("en"), "n"),
+            "sess_boundary",
+            output_mode="append",
+        ).collect()
+        got = {(r.user_id, r.en, r.n) for r in out}
+        assert got == {(1, base + dt.timedelta(minutes=30), 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
