@@ -25,6 +25,8 @@ _QUERIES = [
     "d2_exact_dedup",  # two-phase distinct
     "s10_setops_null_semantics",  # set ops + global sort fingerprint
     "dd7_neardup_survivors",  # jaccard pairs -> components -> anti-join
+    "j50_range_asof_join",  # asof union-window + bucketed interval join
+    "io2_columnar_roundtrip",  # ORC/z-order write-read-join roundtrip
 ]
 
 
@@ -39,3 +41,22 @@ def test_result_invariant_under_cluster_shuffle_width(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert sorted(map(tuple, narrow)) == sorted(map(tuple, wide)), name
+
+
+def test_streaming_state_invariant_under_shuffle_width(spark):
+    """Streaming STATE partitioning is fixed from
+    spark.sql.shuffle.partitions at the query's first batch — the
+    keyed-state gauntlet must produce identical results when state
+    shards 16x wider (256 here, not 8192: each state partition opens a
+    real state-store instance per stateful operator, so the cluster
+    width would turn a smoke test into thousands of store opens for
+    zero extra signal)."""
+    spec = all_queries()["st2_stream_stateful_gauntlet"]
+    narrow = spec.spark(spark, SF_SMOKE).collect()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    try:
+        wide = spec.spark(spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(map(tuple, narrow)) == sorted(map(tuple, wide))
