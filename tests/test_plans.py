@@ -164,3 +164,18 @@ def test_d2_dedup_hash_is_noncryptographic(spark):
     plan = explain_str(df)
     assert "xxhash64" in plan
     assert "md5" not in plan
+
+
+def test_j9_interval_join_pushes_filters_and_rechecks_exactly(spark):
+    """j9's bucketed interval join: both selectivity predicates reach
+    the parquet scans (no post-scan filter of the full tables), the
+    bucket equi-join carries the EXACT range predicate as its residual
+    condition, and there is no nested-loop / cartesian fallback."""
+    df = all_queries()["j9_interval_overlap"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "450000" in plan  # totalprice filter pushed into the orders scan
+    assert "2001-06-01" in plan  # shipdate window pushed into lineitem scan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the exact interval predicate survives as the join residual
+    assert "l_shipdate" in plan and ">= start" in plan and "< end" in plan
