@@ -985,12 +985,17 @@ def f8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f9(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k INT")
+    # Bind the parse once: referencing the from_json expression from
+    # both output columns in ONE projection would evaluate it twice per
+    # row (CollapseProject refuses to merge the two-step form below
+    # precisely because the alias is used twice and the expression is
+    # non-cheap — the DataFrame-level let_expr).
     return (
-        e.select(
+        e.select("event_id", F.from_json("props", "k INT").alias("__p"))
+        .select(
             "event_id",
-            parsed.getField("k").alias("k"),
-            F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("rebuilt"),
+            F.col("__p.k").alias("k"),
+            F.to_json(F.struct(F.col("__p.k").alias("k"))).alias("rebuilt"),
         )
         .orderBy("event_id")
     )
