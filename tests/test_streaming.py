@@ -374,6 +374,55 @@ def test_machine_processing_time_timeout(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_machine_event_time_timeout(spark):
+    """Event-time watchdog, deterministic: with a single-batch
+    availableNow drain, an active key fires exactly once iff
+    last_ts + T <= final watermark (max ts - delay) — a relational rule
+    any engine can replay, unlike the processing-time variant. Crafted
+    gaps: s1 goes silent 105 min before stream end (T=10 min -> one
+    fire); s2 answers 0 min before stream end (deadline past the final
+    watermark -> no fire); s3 exhausts via the fire (retries=1)."""
+    import datetime
+
+    from tw_etl_spark.streaming.state_machine import TIMEOUT_SEQ
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda k: t0 + datetime.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        ("s1", "online", 0, False, 3, 1, m(0)),  # stuck push: fire -> RETRY
+        ("s2", "online", 0, False, 3, 2, m(0)),
+        ("s2", "download_done", 5, False, 3, 3, m(105)),  # answered at end
+        ("s3", "online", 0, False, 1, 4, m(0)),  # retries=1: fire -> EXHAUSTED
+        ("s4", "online", 0, True, 3, 5, m(0)),  # stuck poll: fire -> STOP
+    ]
+    d = tempfile.mkdtemp(prefix="etw_")
+    try:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, "b1")
+        )
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(os.path.join(d, "*"))
+        out = retry_machine_stream(
+            stream, timeout_ms=600_000, event_time=True, watermark="1 minute"
+        )
+        got = {
+            (r.stream_id, r.seq, r.action, r.retry_id)
+            for r in run_stream_to_memory(out, "etw_out", "append").collect()
+        }
+        expected = {
+            ("s1", 1, START, 1),
+            ("s1", TIMEOUT_SEQ, RETRY, 2),  # empty + push attempt -> retry
+            ("s2", 2, START, 1),
+            ("s2", 3, CONTINUE, 2),  # no fire: deadline 115 > watermark 104
+            ("s3", 4, START, 1),
+            ("s3", TIMEOUT_SEQ, EXHAUSTED_COMPLETE, 0),  # retries=1 burns out
+            ("s4", 5, START, 1),
+            ("s4", TIMEOUT_SEQ, STOP_EMPTY_POLL, 0),  # empty poll -> stop
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_machine_checkpoint_resume(spark):
     """Kill the stream after batch 1, restart from the checkpoint with a
     new query — keyed state must survive (the reference's resume path:

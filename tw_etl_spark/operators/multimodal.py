@@ -146,6 +146,69 @@ def synthesize_real_media_df(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "source").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthesize_sidecar_media_df(docs: DataFrame) -> DataFrame:
+    """Genuine decodable media whose BYTES are a pure function of the
+    document row — unlike :func:`synthesize_real_media_df` (numpy RNG
+    pixels), every byte here is reconstructible by any engine, which is
+    what puts the decode tier under a cross-engine hash oracle (m1).
+
+    Construction (mirrors the reference's file ↔ .json ↔
+    _packets.json.gz sidecar triple, convert.sh:53-65 — one media
+    payload per source row, metadata recoverable from the bytes):
+
+    - even doc_id → P6 PPM, width 4 + doc_id%5, height 3 + doc_id%4,
+      raster = the doc's UTF-8 text bytes cycled to w*h*3;
+    - odd doc_id → PCM16 mono WAV @8000 Hz, n = 100 + doc_id%50
+      frames, data = the text bytes cycled to 2n (pairs read as
+      little-endian int16 samples).
+    """
+    from tw_etl_spark.operators import codecs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                raw = (text or "").encode("utf-8") or b"\x00"
+                if doc_id % 2 == 0:
+                    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                    need = w * h * 3
+                    body = (raw * (need // len(raw) + 1))[:need]
+                    payload = b"P6\n%d %d\n255\n" % (w, h) + body
+                    meta = {"width": w, "height": h, "duration_ms": None, "codec": "ppm"}
+                    mt = "image"
+                else:
+                    rate, n = 8000, 100 + doc_id % 50
+                    need = 2 * n
+                    data = (raw * (need // len(raw) + 1))[:need]
+                    payload = codecs.encode_wav(
+                        rate, np.frombuffer(data, dtype="<i2")
+                    )
+                    meta = {
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(n * 1000 / rate),
+                        "codec": "wav",
+                    }
+                    mt = "audio"
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "path": f"media/{source}/doc_{doc_id}.{meta['codec']}",
+                        "media_type": mt,
+                        "payload": payload,
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -76,6 +76,14 @@ def register(
 # family stays driver-covered by s10 and the bench still times q6) and
 # x7_document_chunking (text-analysis family stays driver-covered by
 # t8/t9/t10).
+# Round-7 rotation (VERDICT r6 #2/#3): in — st3_watermark_late_drop
+# (watermark-driven late-data DROP, the one streaming behavior not
+# previously under the hash oracle) and m1_media_sidecar_probe (the
+# multimodal codec tier — synth/probe/resize byte-pinned cross-engine);
+# out — dd1_exact_dedup_keep_first (exact-dedup family stays
+# driver-covered by d2 + dd7) and f10_customer_string_map (string/map
+# families stay driver-covered by p1 + f50, per the verdict's own
+# suggestion).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
@@ -93,8 +101,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d2_exact_dedup",
     "v1_cosine_top_pairs",
     "e5_gap_fill_locf",
-    # -- dedup / similarity [EXT] (6)
-    "dd1_exact_dedup_keep_first",
+    # -- dedup / similarity [EXT] (5)
     "dd2_jaccard_neardup_pairs",
     "dd6_neardup_components",
     "dd7_neardup_survivors",
@@ -110,9 +117,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x8_merge_upsert",
     "io2_columnar_roundtrip",
     "x10_scd2_merge",
-    # -- streaming (2)
+    # -- streaming (3)
     "st1_stream_hourly_rollup",
     "st2_stream_stateful_gauntlet",
+    "st3_watermark_late_drop",
+    # -- multimodal [EXT] (1)
+    "m1_media_sidecar_probe",
     # -- UDF surface (4)
     "u1_scalar_udfs",
     "u2_pandas_udaf",
@@ -126,7 +136,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t12_c4_clean",
     "t13_lm_perplexity",
     "t14_top_bigram_fraction",
-    # -- consolidated relational (11)
+    # -- consolidated relational (10)
     "j10_outer_join_family",
     "j20_semi_anti_join",
     "j50_range_asof_join",
@@ -135,7 +145,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a40_agg_stats",
     "w20_window_gauntlet",
     "s10_setops_null_semantics",
-    "f10_customer_string_map",
     "f20_datetime_case_math",
     "f50_docs_hash_array",
 )
@@ -158,6 +167,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from tw_etl_spark.queries import udfs  # noqa: F401
     from tw_etl_spark.queries import combined  # noqa: F401
     from tw_etl_spark.queries import streamq  # noqa: F401
+    from tw_etl_spark.queries import multimodalq  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
     assert not missing, f"DRIVER_WINDOW names absent from registry: {missing}"

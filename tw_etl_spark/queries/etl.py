@@ -208,7 +208,7 @@ def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(value), 2)                     AS sum_value,
            min(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS first_ts,
            max(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS last_ts,
-           CAST(4 AS BIGINT)                        AS n_src_files
+           CAST((SELECT least(4, count(*)) FROM events) AS BIGINT) AS n_src_files
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -224,7 +224,10 @@ def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "convert.sh:58-65, CSV/text logs convert.sh:12-15). n_src_files "
     "comes from sources.readers.with_file_metadata over the JSONL "
     "read (distinct _metadata paths), scoring the directory-listing "
-    "surface (R1, manager.py:369) against the writer's known fan-out.",
+    "surface (R1, manager.py:369) against the writer's fan-out — "
+    "least(4, n_rows), since round-robin repartition(4) leaves a "
+    "partition (hence a row-bearing file) empty only when there are "
+    "fewer rows than partitions.",
     tags=("io", "sources", "etl"),
 )
 def io1(spark: SparkSession, sf_dir: str) -> DataFrame:

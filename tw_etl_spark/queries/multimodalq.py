@@ -1,0 +1,143 @@
+"""Driver-scored multimodal query: the binary-payload decode tier under
+the cross-engine hash oracle.
+
+The reference's richest data-model feature is the sidecar triple — a
+media file plus two JSON metadata sidecars keyed by path
+(convert.sh:53-65: .mkv ↔ .json ↔ _packets.json.gz), produced by
+ffprobe-ing the bytes. m1 reproduces that shape end to end with real
+byte-level codecs: synthesize PPM/WAV payloads whose every byte is a
+pure function of the ``documents`` row, ffprobe-analog them
+(operators/codecs.probe via mapInPandas), nearest-neighbor-resize the
+images (decode → resize → re-encode), and emit md5 fingerprints of the
+original and transformed bytes plus the probed metadata.
+
+The DuckDB oracle rebuilds the IDENTICAL bytes in hex-string space —
+PPM header + text bytes cycled to w*h*3, RIFF/WAVE header with
+little-endian chunk sizes + text bytes cycled to 2n — and replays the
+resize as pure index arithmetic (out pixel (y,x) reads src pixel
+(y*h//5, x*w//6), 6 hex chars per RGB pixel). A hash match therefore
+pins the codec encode/decode/resize byte-for-byte across engines, not
+just the plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table as _t
+from tw_etl_spark.queries import register
+
+# Byte-swap an 8-hex-digit (u32) big-endian string to little-endian.
+_LE32 = (
+    "substr({h}, 7, 2) || substr({h}, 5, 2) || substr({h}, 3, 2) || substr({h}, 1, 2)"
+)
+
+
+def _le32(expr: str) -> str:
+    h = f"upper(lpad(to_hex({expr}), 8, '0'))"
+    return _LE32.format(h=h)
+
+
+_M1_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           doc_id % 2 = 0            AS is_img,
+           4 + doc_id % 5            AS w,
+           3 + doc_id % 4            AS h,
+           100 + doc_id % 50         AS n,
+           hex(encode(text))          AS th,
+           octet_length(encode(text)) AS tlen
+    FROM documents
+), built AS (
+    SELECT *,
+           CASE WHEN is_img THEN 3 * w * h ELSE 2 * n END AS need,
+           -- text bytes cycled to `need` (hex space: 2 chars per byte)
+           substr(
+               repeat(th, CAST(CASE WHEN is_img THEN 3 * w * h ELSE 2 * n END
+                               // tlen + 1 AS INT)),
+               1, 2 * CASE WHEN is_img THEN 3 * w * h ELSE 2 * n END
+           ) AS body_hex,
+           CASE WHEN is_img THEN
+               hex(encode('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+                          || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)))
+           ELSE
+               '52494646' || {_le32('36 + 2 * n')} || '57415645'
+               || '666D7420' || '10000000'
+               || '0100' || '0100' || '401F0000' || '803E0000' || '0200' || '1000'
+               || '64617461' || {_le32('2 * n')}
+           END AS head_hex
+    FROM base
+), resized AS (
+    -- nearest-neighbor 6x5: out (y,x) reads src (y*h//5, x*w//6);
+    -- one RGB pixel = 3 raster bytes = 6 hex chars.
+    SELECT b.doc_id,
+           hex(encode('P6' || chr(10) || '6 5' || chr(10) || '255' || chr(10)))
+           || string_agg(
+                  substr(b.body_hex,
+                         6 * (((gy.y * b.h) // 5) * b.w + (gx.x * b.w) // 6) + 1,
+                         6),
+                  '' ORDER BY gy.y, gx.x
+              ) AS resized_hex
+    FROM built b,
+         generate_series(0, 4) AS gy(y),
+         generate_series(0, 5) AS gx(x)
+    WHERE b.is_img
+    GROUP BY b.doc_id
+)
+SELECT b.doc_id                                            AS media_id,
+       CASE WHEN b.is_img THEN 'ppm' ELSE 'wav' END        AS codec,
+       CAST(CASE WHEN b.is_img THEN b.w END AS BIGINT)     AS width,
+       CAST(CASE WHEN b.is_img THEN b.h END AS BIGINT)     AS height,
+       CAST(CASE WHEN b.is_img THEN NULL ELSE 8000 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN b.is_img THEN NULL
+                 ELSE (b.n * 1000) // 8000 END AS BIGINT)  AS duration_ms,
+       md5(b.head_hex || b.body_hex)                       AS payload_md5,
+       md5(coalesce(r.resized_hex, b.head_hex || b.body_hex)) AS resized_md5
+FROM built b
+LEFT JOIN resized r ON r.doc_id = b.doc_id
+ORDER BY media_id
+"""
+
+
+@register(
+    "m1_media_sidecar_probe",
+    oracle=_M1_ORACLE,
+    doc="Multimodal decode tier under the hash oracle: deterministic "
+    "PPM/WAV payloads synthesized per documents row (bytes = pure "
+    "function of doc_id + text), ffprobe-analog byte probe "
+    "(codec/width/height/sample_rate/duration), real decode -> 6x5 "
+    "nearest-neighbor resize -> re-encode for images, md5 fingerprints "
+    "of original and resized bytes. The oracle reconstructs the exact "
+    "bytes in hex-string space and replays the resize as index "
+    "arithmetic, so a hash match pins every codec byte cross-engine. "
+    "Reference: the media ↔ .json ↔ _packets.json.gz sidecar triple "
+    "and its ffprobe fields (convert.sh:53-65).",
+    tags=("multimodal", "codec", "ext"),
+)
+def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.multimodal import (
+        probe_media,
+        resize_images,
+        synthesize_sidecar_media_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_sidecar_media_df(docs)
+    probed = probe_media(media).select(
+        "media_id",
+        "codec",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+    fp = media.select("media_id", F.md5(F.hex("payload")).alias("payload_md5"))
+    rs = resize_images(media, 6, 5, decoder="real").select(
+        "media_id", F.md5(F.hex("payload")).alias("resized_md5")
+    )
+    return (
+        probed.join(fp, "media_id")
+        .join(rs, "media_id")
+        .orderBy("media_id")
+    )

@@ -17,8 +17,9 @@ Determinism notes:
   unsupported for session-window merges); on a drained availableNow
   stream its emission rule is exactly "session end <= max(ts) - delay",
   which the oracle pins as a relational cutoff. Watermark-driven
-  late-data DROP stays covered by the equivalence harness, which
-  crafts actual late rows.
+  late-data DROP is driver-scored by st3 (two checkpointed
+  availableNow runs; deterministic event_id%4 lateness injection)
+  and additionally covered by the equivalence harness.
 - st2 emits only CLOSED sessions (streaming/sessions.py contract), so
   its output is identical however the source splits micro-batches;
   the oracle mirrors the contract by excluding each user's final
@@ -318,3 +319,121 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ssj)
         .orderBy("branch", "user_id", "ts_val")
     )
+
+
+@register(
+    "st3_watermark_late_drop",
+    oracle="""
+    WITH e AS (
+        SELECT ts, event_id, value FROM events WHERE ts IS NOT NULL
+    ), a AS (
+        SELECT * FROM e WHERE event_id % 4 <> 0
+    ), w1 AS (
+        -- watermark after run 1: Spark tracks max event time in WHOLE
+        -- MILLISECONDS, so the oracle truncates before subtracting.
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 45 MINUTE AS w
+        FROM a
+    ), w2 AS (
+        -- final watermark: max over ALL rows seen (the watermark node
+        -- sits upstream of the aggregation, so even rows the agg later
+        -- drops as late still advance event-time stats).
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 45 MINUTE AS w
+        FROM e
+    ), kept AS (
+        SELECT * FROM a
+        UNION ALL
+        -- batch-B rows survive iff their window is still open at W1:
+        -- Spark drops a row when its window END <= current watermark.
+        SELECT b.* FROM e b, w1
+        WHERE b.event_id % 4 = 0
+          AND date_trunc('hour', b.ts) + INTERVAL 1 HOUR > w1.w
+    )
+    SELECT date_trunc('hour', ts) AS win_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS sum_value
+    FROM kept
+    GROUP BY 1
+    -- append mode emits a window only once it is closed: end <= final
+    -- watermark. Windows still open when the stream drains never emit.
+    HAVING win_start + INTERVAL 1 HOUR <= (SELECT w FROM w2)
+    ORDER BY win_start
+    """,
+    doc="Watermark LATE-DATA DROP, driver-scored end to end. The events "
+    "table is split deterministically by event_id % 4 into an on-time "
+    "batch A and a late batch B. Run 1: an availableNow stream drains "
+    "batch A against a checkpoint, advancing the watermark to "
+    "max(ts_A) - 45min. Run 2: batch B lands in the source directory "
+    "and the SAME checkpoint restarts the query, so Spark recovers the "
+    "run-1 watermark from the commit log and DROPS every B row whose "
+    "1h tumbling window closed under it (window end <= watermark); "
+    "surviving rows aggregate and append-mode emits each window once "
+    "its end passes the final watermark. foreachBatch accumulates the "
+    "emissions across both runs into a parquet ledger, which is the "
+    "returned batch result. The oracle pins both rules relationally: "
+    "the B-row drop against the ms-truncated run-1 watermark and the "
+    "final emission cutoff. Reference capability: out-of-order / "
+    "lost-time packet arrival handling, convert.sh:60-65.",
+    tags=("streaming", "window", "watermark"),
+)
+def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    root, tag = _scratch(sf_dir, "st3")
+    # Deterministic reruns: the checkpoint remembers processed files and
+    # the watermark, so a stale scratch tree would make a second call
+    # emit nothing. Start from zero every time.
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    stage = os.path.join(root, "stage")
+    os.makedirs(src)
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("ts", "event_id", "value")
+    )
+
+    def land(batch_df: DataFrame, name: str) -> None:
+        """Write one batch as a single parquet file inside src/."""
+        d = os.path.join(stage, name)
+        batch_df.coalesce(1).write.mode("overwrite").parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        shutil.copyfile(os.path.join(d, part), os.path.join(src, f"{name}.parquet"))
+
+    def drain() -> None:
+        """One availableNow pass over src against the shared checkpoint,
+        appending every emitted window to the parquet ledger."""
+        stream = spark.readStream.schema(
+            "ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+        ).parquet(src)
+        agg = tumbling_agg(
+            stream,
+            "ts",
+            "1 hour",
+            [],
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            ],
+            watermark="45 minutes",
+        ).select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .queryName(f"st3_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(e.filter(F.col("event_id") % 4 != 0), "batch_a")
+    drain()  # watermark advances to max(ts_A) - 45min, committed
+    land(e.filter(F.col("event_id") % 4 == 0), "batch_b")
+    drain()  # recovered watermark drops closed-window B rows
+
+    return spark.read.parquet(out).orderBy("win_start")

@@ -9,13 +9,20 @@ that maintains the open session in state and emits a session row the
 moment a gap closes it.
 
 Emission contract — ONLY CLOSED sessions are emitted; each key's
-trailing open session stays in state. That makes the output
-deterministic no matter how the source splits micro-batches (a session
-spanning two batches is held open, not emitted twice) and makes the
-operator oracle-expressible: a lag-window SQL sessionization minus
-each key's final session is the exact same set. The trade is that the
-tail session of a terminating stream is never flushed — the standard
-unbounded-stream posture, where "the stream ended" is not an event.
+trailing open session stays in state. Provided each key's events
+arrive in event-time order ACROSS batches (within a batch the fold
+sorts), the output is deterministic however the source splits
+micro-batches: a session spanning two batches is held open, not
+emitted twice, and a lag-window SQL sessionization minus each key's
+final session is the exact same set. The contract does NOT cover
+cross-batch late data — the fold keeps no watermark, so a later batch
+carrying an event older than the open session's last timestamp (or
+belonging to an already-emitted session) splits or re-emits sessions.
+Pair it with an upstream ``withWatermark`` + ordered source (or a
+single-batch ``availableNow`` drain, as st2 uses) when the input can
+be out of order. The trade is that the tail session of a terminating
+stream is never flushed — the standard unbounded-stream posture,
+where "the stream ended" is not an event.
 
 State is O(1) per key (three scalars), the per-batch fold is
 vectorized pandas (shift/cumsum, no Python row loop), and keys shard

@@ -114,6 +114,9 @@ STATE_SCHEMA = T.StructType(
         T.StructField("retry_id", T.IntegerType()),
         T.StructField("poll_attempt", T.BooleanType()),
         T.StructField("retries", T.IntegerType()),
+        # event-time watchdog deadline (epoch ms); null in
+        # processing-time / no-timeout modes
+        T.StructField("deadline_ms", T.LongType()),
     ]
 )
 
@@ -121,15 +124,15 @@ STATE_SCHEMA = T.StructType(
 TIMEOUT_SEQ = -1  # seq marker on timeout-generated actions
 
 
-def _make_machine(timeout_ms: int | None):
+def _make_machine(timeout_ms: int | None, event_time: bool):
     def _machine(
         key, pdfs: Iterator[pd.DataFrame], group_state
     ) -> Iterator[pd.DataFrame]:
         if group_state.exists:
-            active, retry_id, poll_attempt, retries = group_state.get
+            active, retry_id, poll_attempt, retries, deadline_ms = group_state.get
             state = RetryState(active, retry_id, poll_attempt, retries)
         else:
-            state = RetryState()
+            state, deadline_ms = RetryState(), None
         rows = []
         if timeout_ms is not None and getattr(group_state, "hasTimedOut", False):
             # Watchdog semantics the reference left as a TODO
@@ -146,41 +149,96 @@ def _make_machine(timeout_ms: int | None):
                     },
                 )
                 rows.append((key[0], action, state.retry_id, TIMEOUT_SEQ))
+                if event_time and deadline_ms is not None:
+                    # Re-arm one period past the MISSED deadline (not
+                    # past "now") so the fire schedule stays a pure
+                    # function of event time: deadlines are
+                    # last_event_ts + k*T, k = 1, 2, ...
+                    deadline_ms = int(deadline_ms) + timeout_ms
         for pdf in pdfs:
             pdf = pdf.sort_values("seq")
+            if event_time and len(pdf) and pdf["ts"].notna().any():
+                deadline_ms = (
+                    int(pdf["ts"].max().value // 1_000_000) + timeout_ms
+                )
             for ev in pdf.to_dict("records"):
                 state, action = step(state, ev)
                 rows.append((key[0], action, state.retry_id, ev["seq"]))
         group_state.update(
-            (state.active, state.retry_id, state.poll_attempt, state.retries)
+            (
+                state.active,
+                state.retry_id,
+                state.poll_attempt,
+                state.retries,
+                int(deadline_ms) if (event_time and deadline_ms is not None) else None,
+            )
         )
         if timeout_ms is not None and state.active:
-            group_state.setTimeoutDuration(timeout_ms)
+            if event_time:
+                # Spark rejects timestamps at or below the watermark;
+                # clamping only affects WHEN an already-late deadline
+                # fires (next batch), never whether it fires.
+                wm = group_state.getCurrentWatermarkMs()
+                group_state.setTimeoutTimestamp(max(int(deadline_ms), wm + 1))
+            else:
+                group_state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(rows, columns=["stream_id", "action", "retry_id", "seq"])
 
     return _machine
 
 
 def retry_machine_stream(
-    events: DataFrame, timeout_ms: int | None = None
+    events: DataFrame,
+    timeout_ms: int | None = None,
+    event_time: bool = False,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Wire the retry machine over a (streaming) events DataFrame with
     EVENT_SCHEMA. State is checkpointed per stream_id; ordering within a
     micro-batch follows the ``seq`` column (cross-batch ordering is the
     source's responsibility, as in any log-replay design).
 
-    With ``timeout_ms``, an active key that sees no event within the
-    deadline takes the empty-download transition (processing-time
-    watchdog). Watchdog mode requires a continuous trigger
-    (``processingTime``): ``availableNow`` never terminates under
-    ProcessingTimeTimeout because the engine keeps scheduling
-    state-cleanup batches."""
+    With ``timeout_ms`` and ``event_time=False``, an active key that
+    sees no event within the deadline takes the empty-download
+    transition (processing-time watchdog). Watchdog mode requires a
+    continuous trigger (``processingTime``): ``availableNow`` never
+    terminates under ProcessingTimeTimeout because the engine keeps
+    scheduling state-cleanup batches.
+
+    With ``event_time=True`` (requires ``watermark``, e.g. "1 minute",
+    applied to the ``ts`` column), the watchdog is DETERMINISTIC in
+    event time: an active key fires exactly when the watermark passes
+    its current deadline — ``last event ts + timeout_ms`` at first,
+    re-armed one period past the missed deadline after each fire, so
+    deadlines sit at ``last_ts + k*timeout_ms`` independent of wall
+    clock or scheduling (the oracle-checkable form of the reference's
+    healthcheck TODO, manager.py:250-266). The engine fires at most one
+    pending timer per key per batch, so HOW MANY deadlines a stuck key
+    burns through depends only on the watermark trajectory: a
+    single-batch ``availableNow`` drain fires each stuck key exactly
+    once iff ``last_ts + timeout_ms <= max(ts) - watermark_delay``
+    (pinned by tests/test_streaming.py::test_machine_event_time_timeout).
+    Works under ``availableNow``: timers due at the final watermark
+    fire in the engine's state-cleanup batch, then the query
+    terminates — unlike ProcessingTimeTimeout, which never lets
+    availableNow terminate.
+    """
+    if event_time:
+        if watermark is None:
+            raise ValueError("event_time watchdog requires a watermark on ts")
+        events = events.withWatermark("ts", watermark)
     return events.groupBy("stream_id").applyInPandasWithState(
-        _make_machine(timeout_ms),
+        _make_machine(timeout_ms, event_time),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout" if timeout_ms is not None else "NoTimeout",
+        timeoutConf=(
+            "EventTimeTimeout"
+            if (timeout_ms is not None and event_time)
+            else "ProcessingTimeTimeout"
+            if timeout_ms is not None
+            else "NoTimeout"
+        ),
     )
 
 

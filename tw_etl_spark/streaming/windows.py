@@ -88,18 +88,29 @@ def run_streams_to_memory(
     await each — wall time is the slowest stream, not the sum. Each job
     is (stream_df, query_name, output_mode); returns the sink contents
     in job order."""
-    started = [
-        (
-            df.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start(),
-            df.sparkSession,
-            name,
-        )
-        for df, name, mode in jobs
-    ]
+    started = []
+    try:
+        for df, name, mode in jobs:
+            started.append(
+                (
+                    df.writeStream.outputMode(mode)
+                    .format("memory")
+                    .queryName(name)
+                    .trigger(availableNow=True)
+                    .start(),
+                    df.sparkSession,
+                    name,
+                )
+            )
+    except Exception:
+        # A later start() failing (e.g. duplicate query name) must not
+        # leak the already-running queries into the session.
+        for q, _, _ in started:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        raise
     for q, _, _ in started:
         q.awaitTermination()
     return [s.sql(f"SELECT * FROM {name}") for _, s, name in started]
