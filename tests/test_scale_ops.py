@@ -309,3 +309,56 @@ def test_scd2_merge_duplicate_update_keys_reduced(spark):
     k1 = sorted((r.price, r.is_current) for r in out if r.k == 1)
     assert k1 == [(10.0, False), (12.0, True)]
     assert len(out) == 3
+
+
+def test_aqe_splits_skewed_ppjoin_candidate_join(spark):
+    """VERDICT r6 #6: the dd2 prefix-filter candidate join under a
+    crafted hot-prefix corpus (one boilerplate token in 100% of docs,
+    max_df unset, threshold 0.5 so the hot token lands inside every
+    prefix) must get AQE skew handling — the hot token funnels every
+    doc through one (tk) hash partition.
+
+    Every byte knob is scaled to fixture size PROPORTIONALLY, including
+    coalescePartitions.minPartitionSize: at its 1MB default every
+    fixture partition is "small", so the coalescer merges the skewed
+    partition into its neighbors BEFORE OptimizeSkewedJoin sees it and
+    the skew structure vanishes — a fixture-scale artifact (bisected:
+    skew fires with coalescing off, or with minPartitionSize scaled
+    down). At production scale the hot partition is GBs, far above
+    both knobs, and never gets coalesced away."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import exact_jaccard_pairs
+
+    knobs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "512b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        docs = spark.range(0, 3000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("boilerplate_header_token uniq_"), F.col("id")
+            ).alias("text"),
+        )
+        pairs = exact_jaccard_pairs(docs, threshold=0.5, max_df=None)
+        # hot-token pairs share 1 of 3 union tokens -> jaccard 1/3 < 0.5:
+        # the result is empty, but 3000^2/2 candidates flowed through the
+        # skewed (tk) partition to compute it.
+        assert pairs.collect() == []
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
