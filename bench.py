@@ -151,6 +151,18 @@ def main() -> None:
         medians[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    # Self-explaining artifact (VERDICT r6 #8): alongside the raw probe
+    # values, emit the load factor vs the idle-box reference probes and
+    # the probe-NORMALIZED total, so a reader never has to re-derive
+    # "the box was 1.6x slower, so r(N) ~= r(N-1)" by hand.
+    ref_numpy, ref_spark = 8.0, 45.0  # idle dev box, round 3 (docstring)
+    load = max(
+        1.0,
+        min(
+            calibration["numpy_matmul_ms"] / ref_numpy,
+            calibration["spark_probe_ms"] / ref_spark,
+        ),
+    )
     print(
         json.dumps(
             {
@@ -160,6 +172,16 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "calibration": calibration,
+                "calibration_ref": {
+                    "numpy_matmul_ms": ref_numpy,
+                    "spark_probe_ms": ref_spark,
+                },
+                # min of the two probe ratios: a load factor is only
+                # credited when BOTH independent probes (pure CPU, JVM
+                # job path) agree the box is slow, so a plan regression
+                # can't hide behind a single noisy probe.
+                "load_factor": round(load, 3),
+                "value_load_normalized": round(total / load, 4),
                 "runs": runs,
                 "sf": sf,
             }
