@@ -526,6 +526,39 @@ def test_machine_end_to_end_streaming(spark):
 
 
 
+def test_run_streams_cleanup_on_start_failure(spark, replay_dir):
+    """If a later start() raises (duplicate query name here), the
+    already-started queries must be stopped, not leaked into the
+    session (ADVICE r6)."""
+    from tw_etl_spark.streaming.windows import run_streams_to_memory
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "ts TIMESTAMP, event_type STRING, user_id BIGINT, value DOUBLE"
+            )
+            .parquet(replay_dir)
+            .groupBy("event_type")
+            .count()
+        )
+
+    before = {q.id for q in spark.streams.active}
+    with pytest.raises(Exception):
+        run_streams_to_memory(
+            [
+                ("first", stream(), "complete"),  # wrong tuple order -> raises
+            ]
+        )
+    name = "cleanup_probe"
+    with pytest.raises(Exception):
+        # second job reuses the first job's query name -> start() raises
+        run_streams_to_memory(
+            [(stream(), name, "complete"), (stream(), name, "complete")]
+        )
+    leaked = [q for q in spark.streams.active if q.id not in before]
+    assert leaked == [], [q.name for q in leaked]
+
+
 def test_update_mode_converges_to_batch(spark, replay_dir):
     """Update output mode (SURVEY §2.2 streaming sinks): applying each
     micro-batch's updated rows over the previous state must converge to
