@@ -135,6 +135,28 @@ def test_probe_media_is_shuffle_free(spark):
     assert count_exchanges(probe_media(synthesize_real_media_df(d))) == 0
 
 
+def test_m1_payload_never_shuffles(spark):
+    """m1's 100 TB contract: binary payloads are decoded/fingerprinted
+    inside the map stage; only md5s and scalar metadata cross the
+    media_id joins. No Exchange in the plan may carry the payload (or
+    meta struct) column — at scale that shuffle would move the entire
+    binary corpus."""
+    spec = all_queries()["m1_media_sidecar_probe"]
+    df = spec.spark(spark, SF_SMOKE)
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = df._jdf.queryExecution().explainString(mode.fromString("formatted"))
+    exchange_blocks = [
+        b
+        for b in plan.split("\n\n")
+        if b.strip().startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert exchange_blocks, "expected formatted Exchange blocks"
+    for b in exchange_blocks:
+        inputs = next(l for l in b.splitlines() if l.startswith("Input"))
+        assert "payload#" not in inputs, b[:300]
+        assert "meta#" not in inputs, b[:300]
+
+
 def test_e2_json_parse_is_single_field_from_json(spark):
     """e2 must parse props with an explicit single-field schema
     (from_json), not get_json_object's per-row document re-walk —
