@@ -884,3 +884,26 @@ def test_sessionize_closed_randomized_vs_reference(spark):
         # multi-file case, and 1-file corpora for true multi-batch.
         got = _sessions_via_stream(spark, chunks, files_per_trigger=n_files)
         assert got == want, (seed, got ^ want)
+
+
+def test_idempotent_sink_replay_never_duplicates(spark):
+    """foreachBatch is at-least-once: a crash between the user function
+    and the checkpoint commit replays the same (batch_id, data). The
+    idempotent sink must absorb the replay (overwrite its own partition)
+    while leaving other batches untouched — including a replay that
+    produced PARTIAL output before crashing."""
+    from tw_etl_spark.streaming.sinks import idempotent_parquet_writer
+
+    d = tempfile.mkdtemp(prefix="idem_sink_")
+    try:
+        out = os.path.join(d, "out")
+        write = idempotent_parquet_writer(out)
+        write(spark.range(0, 5).selectExpr("id AS v"), 0)
+        # crashed attempt of batch 1: partial (2 rows) — then the replay
+        # delivers the full batch (4 rows)
+        write(spark.range(100, 102).selectExpr("id AS v"), 1)
+        write(spark.range(100, 104).selectExpr("id AS v"), 1)
+        got = sorted(r.v for r in spark.read.parquet(out).collect())
+        assert got == [0, 1, 2, 3, 4, 100, 101, 102, 103]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

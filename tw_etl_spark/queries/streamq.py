@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from tw_etl_spark.catalog import read_table as _t
 from tw_etl_spark.queries import register
 from tw_etl_spark.streaming.sessions import sessionize_closed
+from tw_etl_spark.streaming.sinks import idempotent_parquet_writer
 from tw_etl_spark.streaming.windows import (
     run_streams_to_memory,
     session_agg,
@@ -368,8 +369,10 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1h tumbling window closed under it (window end <= watermark); "
     "surviving rows aggregate and append-mode emits each window once "
     "its end passes the final watermark. foreachBatch accumulates the "
-    "emissions across both runs into a parquet ledger, which is the "
-    "returned batch result. The oracle pins both rules relationally: "
+    "emissions across both runs into a parquet ledger via the "
+    "EXACTLY-ONCE sink (streaming/sinks.py: per-batch_id dynamic "
+    "partition overwrite, so a replayed batch can never duplicate), "
+    "which is the returned batch result. The oracle pins both rules relationally: "
     "the B-row drop against the ms-truncated run-1 watermark and the "
     "final emission cutoff. Reference capability: out-of-order / "
     "lost-time packet arrival handling, convert.sh:60-65.",
@@ -421,9 +424,10 @@ def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
         q = (
             agg.writeStream.outputMode("append")
-            .foreachBatch(
-                lambda df, _id: df.write.mode("append").parquet(out)
-            )
+            # at-least-once foreachBatch + append would duplicate a
+            # replayed batch; the idempotent sink overwrites per
+            # batch_id partition instead (streaming/sinks.py)
+            .foreachBatch(idempotent_parquet_writer(out))
             .option("checkpointLocation", ckpt)
             .queryName(f"st3_{tag}")
             .trigger(availableNow=True)
@@ -436,4 +440,8 @@ def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
     land(e.filter(F.col("event_id") % 4 == 0), "batch_b")
     drain()  # recovered watermark drops closed-window B rows
 
-    return spark.read.parquet(out).orderBy("win_start")
+    return (
+        spark.read.parquet(out)
+        .drop("batch_id")
+        .orderBy("win_start")
+    )
