@@ -388,3 +388,28 @@ def test_mask_label_fallback_past_edge_cap(spark, monkeypatch):
         for r in D.exact_jaccard_components(df, threshold=0.6).collect()
     }
     assert slow == fast
+
+
+def test_duplicate_spans_crafted(spark):
+    """Known-answer check for cross-doc duplicated spans: docs A and B
+    share one 10-token block (positions 3..12 in A, 1..10 in B); doc C
+    is unique. n=8 -> duplicated 8-gram start positions are 3,4,5 in A
+    and 1,2,3 in B, merging into ONE span of 10 tokens each; C emits
+    nothing."""
+    from tw_etl_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, f"a1 a2 {shared} a3 a4 a5"),        # 15 tokens, span at 3..12
+        (2, f"{shared} b1 b2 b3 b4 b5 b6 b7"),  # 17 tokens, span at 1..10
+        (3, " ".join(f"c{i}" for i in range(17))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens, r.dup_frac)
+        for r in duplicate_spans(df, n=8).collect()
+    }
+    assert got == {
+        1: (1, 10, round(10 / 15, 6)),
+        2: (1, 10, round(10 / 17, 6)),
+    }

@@ -320,3 +320,64 @@ def dd8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_survivors",
         (F.col("n_in") - F.col("n_survivors")).alias("n_removed"),
     )
+
+
+@register(
+    "dd9_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ), posed AS (
+        -- DuckDB 1.0 generate_series can't take lateral column bounds;
+        -- unnest(range(...)) can.
+        SELECT doc_id, tk, len(tk) AS n_tok,
+               unnest(range(1, len(tk) - 6)) AS pos
+        FROM toks WHERE len(tk) >= 8
+    ), grams AS (
+        SELECT doc_id, pos, n_tok,
+               array_to_string(list_slice(tk, pos, pos + 7), ' ') AS g
+        FROM posed
+    ), dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+    ), hits AS (
+        SELECT doc_id, pos, n_tok FROM grams WHERE g IN (SELECT g FROM dup)
+    ), marked AS (
+        SELECT doc_id, pos, n_tok,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), islands AS (
+        SELECT doc_id, pos, n_tok,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ), spans AS (
+        SELECT doc_id, any_value(n_tok) AS n_tok,
+               max(pos) + 8 - min(pos) AS span_toks
+        FROM islands GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)        AS n_dup_spans,
+           CAST(sum(span_toks) AS BIGINT)  AS dup_tokens,
+           round(sum(span_toks) * 1.0 / any_value(n_tok), 6) AS dup_frac
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Cross-document duplicated-span detection (exact-substring "
+    "dedup signal, Lee et al. 2022): token positions whose 8-gram "
+    "recurs in another document, merged into maximal spans per doc "
+    "(overlap-or-adjacency islands via lag + running sum). Output per "
+    "affected doc: span count, covered tokens, covered fraction. "
+    "Fully relational both sides; the Spark shuffle key is the 8-byte "
+    "xxhash64 of the gram, hash-gated against the fixture by this "
+    "oracle (the t14 pattern).",
+    tags=("dedup", "spans", "text", "ext"),
+)
+def dd9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, id_col="doc_id", text_col="text", n=8).orderBy(
+        "doc_id"
+    )
