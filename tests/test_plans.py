@@ -135,6 +135,20 @@ def test_probe_media_is_shuffle_free(spark):
     assert count_exchanges(probe_media(synthesize_real_media_df(d))) == 0
 
 
+def test_dd9_two_shuffles_only(spark):
+    """dd9's exploded gram table must shuffle exactly twice — once on
+    the gram hash (both duplicate-detection window counts share that
+    exchange) and once on doc for the island merge; the only other
+    exchange is the deterministic orderBy's range partitioning. A
+    third hash exchange means the groupBy+semi-join formulation (two
+    full corpus scans) crept back."""
+    spec = all_queries()["dd9_duplicate_spans"]
+    plan = explain_str(spec.spark(spark, SF_SMOKE))
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 2, f"expected 2 hash exchanges, got {n_hash}"
+    assert plan.count("Exchange rangepartitioning") == 1
+
+
 def test_m1_payload_never_shuffles(spark):
     """m1's 100 TB contract: binary payloads are decoded/fingerprinted
     inside the map stage; only md5s and scalar metadata cross the

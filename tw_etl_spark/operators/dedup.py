@@ -815,11 +815,15 @@ def duplicate_spans(
     Fully relational — no Python in the row path:
 
     1. per-doc n-grams with 1-based positions (one narrow map:
-       transform over sequence + explode);
-    2. duplicated grams = groupBy(gram) HAVING countDistinct(doc) > 1
-       (partial-aggregated shuffle of (gram_hash, doc));
-    3. positions semi-join the duplicated-gram set;
-    4. island merge per doc: a position extends the current span iff
+       transform over sequence + explode) — the exploded table is
+       produced and shuffled ONCE;
+    2. a position is duplicated iff its gram occurs beyond its own
+       doc: ``count() over (gram) > count() over (gram, doc)`` — two
+       window counts sharing ONE hash exchange on the gram (the
+       second spec only adds a sort key), replacing the
+       groupBy-then-semi-join formulation that scanned and shuffled
+       the exploded table twice;
+    3. island merge per doc: a position extends the current span iff
        pos <= prev + n (overlap or adjacency), else a new span starts —
        lag + running-sum window, the relational form of the
        reference's gap segmentation (convert.sh:60-62).
@@ -847,13 +851,14 @@ def duplicate_spans(
             )
         ).alias("g"),
     ).select("doc", "n_tok", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gh")
+    w_g = Window.partitionBy("gh")
+    w_gd = Window.partitionBy("gh", "doc")
+    hits = (
+        grams.withColumn("n_all", F.count(F.lit(1)).over(w_g))
+        .withColumn("n_own", F.count(F.lit(1)).over(w_gd))
+        .filter(F.col("n_all") > F.col("n_own"))
+        .drop("n_all", "n_own")
     )
-    hits = grams.join(dup, "gh", "left_semi")
     w = Window.partitionBy("doc").orderBy("pos")
     run = Window.partitionBy("doc").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, 0
