@@ -143,9 +143,9 @@ def test_dd9_two_shuffles_only(spark):
     third hash exchange means the groupBy+semi-join formulation (two
     full corpus scans) crept back."""
     spec = all_queries()["dd9_duplicate_spans"]
-    plan = explain_str(spec.spark(spark, SF_SMOKE))
+    plan = explain_str(spec.spark(spark, SF_SMOKE), "simple")
     n_hash = plan.count("Exchange hashpartitioning")
-    assert n_hash == 2, f"expected 2 hash exchanges, got {n_hash}"
+    assert n_hash == 2, f"expected 2 hash exchanges, got {n_hash}\n{plan[:2000]}"
     assert plan.count("Exchange rangepartitioning") == 1
 
 
