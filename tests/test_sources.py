@@ -177,18 +177,113 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert back.filter(F.col("l_returnflag") == "A").count() > 0
 
 
-def test_avro_reader_degrades_clearly(spark, tmp_path):
-    import pytest
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "flags", "type": {"type": "array", "items": "int"}},
+        {"name": "props", "type": {"type": "map", "values": "string"}},
+        {"name": "ok", "type": "boolean"},
+    ],
+}
 
+AVRO_ROWS = [
+    {
+        "id": 1,
+        "name": "alpha",
+        "score": 1.5,
+        "flags": [1, -2, 300],
+        "props": {"k": "v"},
+        "ok": True,
+    },
+    {"id": -7, "name": None, "score": -0.25, "flags": [], "props": {}, "ok": False},
+]
+
+
+def test_avro_known_answer_vector():
+    """Spec conformance without any external library: a container built
+    byte-by-byte from the published Avro spec (magic, metadata map,
+    zigzag varints, union index, counted array/map blocks) must decode
+    to the expected records."""
+    import struct
+
+    from tw_etl_spark.sources import avro_fallback as A
+
+    schema = {
+        "type": "record",
+        "name": "KA",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": "double"},
+        ],
+    }
+    sync = bytes(range(16))
+    meta_schema = __import__("json").dumps(schema).encode()
+
+    def zz(n):  # zigzag varint, spec §binary encoding
+        u = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            out.append(b | 0x80 if u else b)
+            if not u:
+                return bytes(out)
+
+    # record {a: 150, b: "hi", c: 2.0}: a=zz(150); b=union branch 1 +
+    # string; c=IEEE754 LE
+    body = zz(150) + zz(1) + zz(2) + b"hi" + struct.pack("<d", 2.0)
+    payload = (
+        b"Obj\x01"
+        + zz(2)  # metadata map: 2 entries
+        + zz(len(b"avro.codec")) + b"avro.codec" + zz(4) + b"null"
+        + zz(len(b"avro.schema")) + b"avro.schema"
+        + zz(len(meta_schema)) + meta_schema
+        + zz(0)
+        + sync
+        + zz(1) + zz(len(body)) + body + sync
+    )
+    got_schema, records = A.decode_container(payload)
+    assert got_schema == schema
+    assert records == [{"a": 150, "b": "hi", "c": 2.0}]
+
+
+def test_avro_codec_roundtrip_both_codecs():
+    from tw_etl_spark.sources import avro_fallback as A
+
+    for codec in ("null", "deflate"):
+        payload = A.encode_container(AVRO_SCHEMA, AVRO_ROWS, codec=codec)
+        schema, records = A.decode_container(payload)
+        assert schema == AVRO_SCHEMA
+        assert records == AVRO_ROWS, codec
+
+
+def test_avro_fallback_distributed_read(spark, tmp_path):
+    """read_avro without the JVM connector: two container files decode
+    inside mapInPandas into a typed DataFrame (nullable union column,
+    array/map columns intact)."""
+    from tw_etl_spark.sources import avro_fallback as A
     from tw_etl_spark.sources.readers import read_avro
 
-    try:
-        df = read_avro(spark, str(tmp_path / "nope.avro"))
-        df.count()
-    except RuntimeError as e:
-        assert "spark-avro" in str(e)
-    except Exception:
-        pytest.skip("avro present but path empty — environment-specific")
+    d = tmp_path / "avro"
+    d.mkdir()
+    (d / "part-0.avro").write_bytes(
+        A.encode_container(AVRO_SCHEMA, AVRO_ROWS[:1], codec="deflate")
+    )
+    (d / "part-1.avro").write_bytes(
+        A.encode_container(AVRO_SCHEMA, AVRO_ROWS[1:], codec="null")
+    )
+    df = read_avro(spark, str(d))
+    got = {r.id: r for r in df.collect()}
+    assert set(got) == {1, -7}
+    assert got[1].name == "alpha" and got[-7].name is None
+    assert got[1].flags == [1, -2, 300] and got[1].props == {"k": "v"}
+    assert got[-7].ok is False and abs(got[-7].score + 0.25) < 1e-12
+    assert df.schema["name"].nullable
 
 
 def test_compact_parquet_sizes_files(spark, tmp_path):

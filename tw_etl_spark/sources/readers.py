@@ -165,17 +165,21 @@ def write_orc(
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro reader. Spark's Avro support lives in the external
-    ``spark-avro`` package; absent that jar this raises a clear error
-    naming the dependency instead of a cryptic ClassNotFound at
-    action time."""
+    """Avro reader, two tiers. Preferred: Spark's vectorized
+    ``spark-avro`` connector (external package). When that jar is not
+    deployed — this environment cannot install packages — fall back to
+    the pure-Python spec decoder (`sources/avro_fallback.py`): files
+    listed by the ``binaryFile`` source, containers decoded inside
+    ``mapInPandas``, partition-parallel. The fallback trades
+    within-file split granularity for zero dependencies; both tiers
+    return the same rows (round-trip + known-answer tests in
+    tests/test_sources.py)."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: FAILED_TO_LOAD_DATA_SOURCE
-        raise RuntimeError(
-            "Avro support requires the spark-avro package "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-        ) from e
+    except Exception:  # AnalysisException: FAILED_TO_LOAD_DATA_SOURCE
+        from tw_etl_spark.sources.avro_fallback import read_avro_fallback
+
+        return read_avro_fallback(spark, path)
 
 
 def _dir_bytes(spark: SparkSession, path: str) -> int:
