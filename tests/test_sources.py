@@ -339,3 +339,55 @@ def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
     assert after.filter(F.col("l_returnflag") == target).count() == 10
     # ...siblings byte-for-byte untouched
     assert after.filter(F.col("l_returnflag").isin(keep)).count() == before_keep
+
+
+def test_tar_shard_ingestion(spark, tmp_path):
+    """WebDataset-style shard read: two tar shards of PPM/WAV + JSON
+    sidecars decode to member rows inside mapInPandas, group into
+    samples on (shard, key), and the payloads stay byte-identical
+    (probed by the real codec tier)."""
+    import json as _json
+
+    import numpy as np
+
+    from tw_etl_spark.operators import codecs
+    from tw_etl_spark.sources.shards import (
+        group_samples,
+        read_tar_shards,
+        write_tar_shard,
+    )
+
+    rng = np.random.default_rng(7)
+    img = codecs.encode_ppm(rng.integers(0, 256, (5, 4, 3), dtype=np.uint8))
+    wav = codecs.encode_wav(8000, (np.sin(np.arange(400)) * 9000).astype(np.int16))
+    meta = _json.dumps({"lang": "en"}).encode()
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    write_tar_shard(
+        [("000001.ppm", img), ("000001.json", meta), ("000002.wav", wav)],
+        str(d / "shard-0000.tar"),
+    )
+    write_tar_shard(
+        [("000003.ppm", img), ("000003.json", meta)], str(d / "shard-0001.tar")
+    )
+
+    members = read_tar_shards(spark, str(d))
+    assert members.count() == 5
+    got = {
+        (os.path.basename(r.shard), r.key, r.ext): bytes(r.payload)
+        for r in members.collect()
+    }
+    assert got[("shard-0000.tar", "000001", "ppm")] == img
+    assert got[("shard-0000.tar", "000002", "wav")] == wav
+
+    samples = group_samples(members).collect()
+    by_key = {(os.path.basename(r.shard), r.key): r for r in samples}
+    assert len(by_key) == 3
+    s1 = by_key[("shard-0000.tar", "000001")]
+    assert s1.n_parts == 2 and set(s1.parts) == {"ppm", "json"}
+    # payloads survive the shuffle byte-identically: real decode works
+    probe = codecs.probe(bytes(s1.parts["ppm"]))
+    assert (probe["width"], probe["height"]) == (4, 5)
+    s2 = by_key[("shard-0000.tar", "000002")]
+    assert codecs.probe(bytes(s2.parts["wav"]))["sample_rate"] == 8000

@@ -1,0 +1,114 @@
+"""Tar-shard ingestion (WebDataset layout) for multimodal corpora.
+
+The de-facto packaging for 100 TB-scale multimodal training data is
+the WebDataset convention (public: github.com/webdataset/webdataset):
+samples live in plain ``.tar`` shards, one file per modality, grouped
+by basename — ``000123.jpg`` + ``000123.json`` + ``000123.txt`` form
+one sample. It is the shard-file analog of the reference's sidecar
+triple (convert.sh:53-65: media file ↔ ``.json`` ↔
+``_packets.json.gz`` keyed by path).
+
+Scale shape: shards list through Spark's ``binaryFile`` source and
+untar INSIDE ``mapInPandas`` — partition-parallel across shards, the
+payload bytes never leave the map stage until the caller asks for a
+shuffle. Sample grouping is one hash shuffle on (shard, key), which is
+the minimum possible: members of a sample can sit anywhere in the tar.
+Reading a tar requires scanning it sequentially (tar has no index), so
+the unit of parallelism is the shard — exactly why the convention
+keeps shards at ~100 MB-1 GB.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("member", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _split_key(name: str) -> tuple[str, str]:
+    """WebDataset key rule: basename up to the FIRST dot is the sample
+    key; everything after it is the (possibly dotted) extension."""
+    base = os.path.basename(name)
+    if "." in base:
+        key, ext = base.split(".", 1)
+    else:
+        key, ext = base, ""
+    return key, ext
+
+
+def read_tar_shards(spark, path: str) -> DataFrame:
+    """One row per tar member across every shard under ``path``:
+    (shard, member, key, ext, payload, n_bytes)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard_path, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        payload = tf.extractfile(m).read()
+                        key, ext = _split_key(m.name)
+                        rows.append(
+                            {
+                                "shard": shard_path,
+                                "member": m.name,
+                                "key": key,
+                                "ext": ext,
+                                "payload": payload,
+                                "n_bytes": len(payload),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEMBER_SCHEMA.fields])
+
+    return files.select("path", "content").mapInPandas(gen, schema=MEMBER_SCHEMA)
+
+
+def group_samples(members: DataFrame) -> DataFrame:
+    """Member rows → one row per sample: (shard, key, parts) where
+    ``parts`` maps extension → payload. One hash shuffle on
+    (shard, key). A sample carrying the SAME extension twice is
+    malformed under the WebDataset convention; Spark's default
+    duplicate-map-key policy (EXCEPTION) makes that fail loudly here
+    rather than silently picking a winner."""
+    return (
+        members.groupBy("shard", "key")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("ext"), F.col("payload")))
+            ).alias("parts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+    )
+
+
+def write_tar_shard(rows: list[tuple[str, bytes]], out_path: str) -> None:
+    """Fixture/test utility: write (member_name, payload) pairs into one
+    tar shard, deterministic member order and zeroed mtimes."""
+    with tarfile.open(out_path, "w") as tf:
+        for name, payload in rows:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(payload))
