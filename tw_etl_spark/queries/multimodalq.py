@@ -141,3 +141,112 @@ def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rs, "media_id")
         .orderBy("media_id")
     )
+
+
+_IO3_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           doc_id % 2 = 0            AS is_img,
+           4 + doc_id % 5            AS w,
+           3 + doc_id % 4            AS h,
+           100 + doc_id % 50         AS n,
+           hex(encode(text))          AS th,
+           octet_length(encode(text)) AS tlen
+    FROM documents
+), built AS (
+    SELECT *,
+           substr(
+               repeat(th, CAST(CASE WHEN is_img THEN 3 * w * h ELSE 2 * n END
+                               // tlen + 1 AS INT)),
+               1, 2 * CASE WHEN is_img THEN 3 * w * h ELSE 2 * n END
+           ) AS body_hex,
+           CASE WHEN is_img THEN
+               hex(encode('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+                          || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)))
+           ELSE
+               '52494646' || {_le32('36 + 2 * n')} || '57415645'
+               || '666D7420' || '10000000'
+               || '0100' || '0100' || '401F0000' || '803E0000' || '0200' || '1000'
+               || '64617461' || {_le32('2 * n')}
+           END AS head_hex,
+           CASE WHEN is_img THEN 'ppm' ELSE 'wav' END AS codec
+    FROM base
+)
+SELECT doc_id                                  AS media_id,
+       codec,
+       CAST(2 AS BIGINT)                       AS n_parts,
+       md5(head_hex || body_hex)               AS payload_md5,
+       md5(hex(encode('{{"media_id": ' || CAST(doc_id AS VARCHAR)
+                      || ', "codec": "' || codec || '"}}'))) AS sidecar_md5
+FROM built
+ORDER BY media_id
+"""
+
+
+@register(
+    "io3_tar_shard_roundtrip",
+    oracle=_IO3_ORACLE,
+    doc="WebDataset tar-shard ingest surface, driver-scored end to end: "
+    "deterministic PPM/WAV payloads (the m1 byte construction) plus a "
+    "deterministic JSON sidecar per sample are written into 4 tar "
+    "shards ON EXECUTORS (foreachPartition, one shard per hash "
+    "partition of media_id), read back through sources/shards."
+    "read_tar_shards (binaryFile -> untar in mapInPandas), grouped "
+    "into samples on (shard, key), and fingerprinted. A hash match "
+    "proves the tar write/read/group path preserved every byte of "
+    "every member. Reference: the file <-> .json sidecar pairing, "
+    "convert.sh:53-65, at shard-file granularity.",
+    tags=("io", "multimodal", "shards", "ext"),
+)
+def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tw_etl_spark.operators.multimodal import synthesize_sidecar_media_df
+    from tw_etl_spark.sources.shards import group_samples, read_tar_shards
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"tw_etl_spark_io3_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_sidecar_media_df(docs).select(
+        "media_id", F.col("meta.codec").alias("codec"), "payload"
+    )
+
+    n_shards = 4
+
+    def write_shard(rows) -> None:
+        from tw_etl_spark.sources.shards import write_tar_shard
+
+        members = []
+        for r in rows:
+            key = f"{int(r['media_id']):08d}"
+            sidecar = (
+                '{"media_id": %d, "codec": "%s"}' % (int(r["media_id"]), r["codec"])
+            ).encode("utf-8")
+            members.append((f"{key}.{r['codec']}", bytes(r["payload"])))
+            members.append((f"{key}.json", sidecar))
+        if not members:
+            return
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        write_tar_shard(sorted(members), os.path.join(root, f"shard-{pid:04d}.tar"))
+
+    media.repartition(n_shards, F.pmod("media_id", F.lit(n_shards))).foreachPartition(
+        write_shard
+    )
+
+    samples = group_samples(read_tar_shards(spark, root))
+    media_ext = F.filter(F.map_keys("parts"), lambda x: x != "json")[0]
+    return samples.select(
+        F.col("key").cast("long").alias("media_id"),
+        media_ext.alias("codec"),
+        "n_parts",
+        F.md5(F.hex(F.element_at("parts", media_ext))).alias("payload_md5"),
+        F.md5(F.hex(F.element_at("parts", F.lit("json")))).alias("sidecar_md5"),
+    ).orderBy("media_id")
