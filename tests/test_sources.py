@@ -391,3 +391,38 @@ def test_tar_shard_ingestion(spark, tmp_path):
     assert (probe["width"], probe["height"]) == (4, 5)
     s2 = by_key[("shard-0000.tar", "000002")]
     assert codecs.probe(bytes(s2.parts["wav"]))["sample_rate"] == 8000
+
+
+def test_tar_shard_permissive_mode(spark, tmp_path):
+    """A truncated shard fails loudly in failfast mode (naming the
+    shard) and degrades to one countable marker row in permissive mode
+    while the healthy shard still reads fully."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tw_etl_spark.operators import codecs
+    from tw_etl_spark.sources.shards import (
+        CORRUPT_EXT,
+        read_tar_shards,
+        write_tar_shard,
+    )
+
+    rng = np.random.default_rng(3)
+    img = codecs.encode_ppm(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))
+    d = tmp_path / "mixed"
+    d.mkdir()
+    write_tar_shard([("000001.ppm", img)], str(d / "good.tar"))
+    good = (d / "good.tar").read_bytes()
+    # truncate INSIDE the 512-byte header: tarfile tolerates a missing
+    # end-of-archive marker, but not a partial header
+    (d / "bad.tar").write_bytes(good[:200])
+
+    with _pytest.raises(Exception, match="bad.tar"):
+        read_tar_shards(spark, str(d)).collect()
+
+    rows = read_tar_shards(spark, str(d), mode="permissive").collect()
+    corrupt = [r for r in rows if r.ext == CORRUPT_EXT]
+    healthy = [r for r in rows if r.ext == "ppm"]
+    assert len(corrupt) == 1 and corrupt[0].shard.endswith("bad.tar")
+    assert corrupt[0].payload is None
+    assert len(healthy) == 1 and bytes(healthy[0].payload) == img

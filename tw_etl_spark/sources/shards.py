@@ -52,33 +52,61 @@ def _split_key(name: str) -> tuple[str, str]:
     return key, ext
 
 
-def read_tar_shards(spark, path: str) -> DataFrame:
+CORRUPT_EXT = "_corrupt_shard"
+
+
+def read_tar_shards(spark, path: str, mode: str = "failfast") -> DataFrame:
     """One row per tar member across every shard under ``path``:
-    (shard, member, key, ext, payload, n_bytes)."""
+    (shard, member, key, ext, payload, n_bytes).
+
+    ``mode="failfast"`` (default) raises on an unreadable shard, naming
+    it. ``mode="permissive"`` instead emits ONE marker row per corrupt
+    shard (ext = ``CORRUPT_EXT``, null member/key/payload) and keeps
+    going — at 100 TB a single truncated shard must not kill the job,
+    but it must stay countable: filter on the marker ext to quarantine
+    or alert (the posture of Spark's own PERMISSIVE JSON mode)."""
     import pandas as pd
 
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
     files = spark.read.format("binaryFile").load(path)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for shard_path, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
-                    for m in tf:
-                        if not m.isfile():
-                            continue
-                        payload = tf.extractfile(m).read()
-                        key, ext = _split_key(m.name)
-                        rows.append(
-                            {
-                                "shard": shard_path,
-                                "member": m.name,
-                                "key": key,
-                                "ext": ext,
-                                "payload": payload,
-                                "n_bytes": len(payload),
-                            }
-                        )
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                        for m in tf:
+                            if not m.isfile():
+                                continue
+                            payload = tf.extractfile(m).read()
+                            key, ext = _split_key(m.name)
+                            rows.append(
+                                {
+                                    "shard": shard_path,
+                                    "member": m.name,
+                                    "key": key,
+                                    "ext": ext,
+                                    "payload": payload,
+                                    "n_bytes": len(payload),
+                                }
+                            )
+                except (tarfile.TarError, EOFError, OSError) as exc:
+                    if mode == "failfast":
+                        raise ValueError(
+                            f"corrupt tar shard {shard_path}: {exc}"
+                        ) from exc
+                    rows.append(
+                        {
+                            "shard": shard_path,
+                            "member": None,
+                            "key": None,
+                            "ext": CORRUPT_EXT,
+                            "payload": None,
+                            "n_bytes": 0,
+                        }
+                    )
             yield pd.DataFrame(rows, columns=[f.name for f in MEMBER_SCHEMA.fields])
 
     return files.select("path", "content").mapInPandas(gen, schema=MEMBER_SCHEMA)
