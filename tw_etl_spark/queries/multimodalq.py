@@ -205,7 +205,11 @@ def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from tw_etl_spark.operators.multimodal import synthesize_sidecar_media_df
-    from tw_etl_spark.sources.shards import group_samples, read_tar_shards
+    from tw_etl_spark.sources.shards import (
+        group_samples,
+        read_tar_shards,
+        write_tar_shards,
+    )
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"tw_etl_spark_io3_{tag}")
@@ -216,30 +220,26 @@ def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_sidecar_media_df(docs).select(
         "media_id", F.col("meta.codec").alias("codec"), "payload"
     )
-
-    n_shards = 4
-
-    def write_shard(rows) -> None:
-        from tw_etl_spark.sources.shards import write_tar_shard
-
-        members = []
-        for r in rows:
-            key = f"{int(r['media_id']):08d}"
-            sidecar = (
-                '{"media_id": %d, "codec": "%s"}' % (int(r["media_id"]), r["codec"])
-            ).encode("utf-8")
-            members.append((f"{key}.{r['codec']}", bytes(r["payload"])))
-            members.append((f"{key}.json", sidecar))
-        if not members:
-            return
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        write_tar_shard(sorted(members), os.path.join(root, f"shard-{pid:04d}.tar"))
-
-    media.repartition(n_shards, F.pmod("media_id", F.lit(n_shards))).foreachPartition(
-        write_shard
+    key = F.lpad(F.col("media_id").cast("string"), 8, "0")
+    sidecar = F.concat(
+        F.lit('{"media_id": '),
+        F.col("media_id").cast("string"),
+        F.lit(', "codec": "'),
+        F.col("codec"),
+        F.lit('"}'),
+    ).cast("binary")
+    members = media.select(
+        key.alias("key"),
+        F.concat(key, F.lit("."), F.col("codec")).alias("member"),
+        F.col("payload"),
+    ).unionByName(
+        media.select(
+            key.alias("key"),
+            F.concat(key, F.lit(".json")).alias("member"),
+            sidecar.alias("payload"),
+        )
     )
+    write_tar_shards(members, root, n_shards=4)
 
     samples = group_samples(read_tar_shards(spark, root))
     media_ext = F.filter(F.map_keys("parts"), lambda x: x != "json")[0]

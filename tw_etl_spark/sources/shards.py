@@ -131,6 +131,38 @@ def group_samples(members: DataFrame) -> DataFrame:
     )
 
 
+def write_tar_shards(
+    members: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "key",
+    member_col: str = "member",
+    payload_col: str = "payload",
+) -> None:
+    """Write member rows into ``n_shards`` tar shards ON EXECUTORS —
+    the resharding half of the WebDataset contract. Samples stay whole:
+    members hash-partition on ``key_col``, so every member of a sample
+    lands in the same shard. One shard per partition, members sorted
+    by name inside each shard (deterministic bytes given deterministic
+    partitioning). The driver never sees a payload."""
+    rows = members.select(
+        F.col(key_col).alias("_k"),
+        F.col(member_col).alias("_m"),
+        F.col(payload_col).alias("_p"),
+    ).repartition(n_shards, F.pmod(F.xxhash64("_k"), F.lit(n_shards)))
+
+    def write_part(it) -> None:
+        from pyspark import TaskContext
+
+        pairs = [(r["_m"], bytes(r["_p"])) for r in it]
+        if not pairs:
+            return
+        pid = TaskContext.get().partitionId()
+        write_tar_shard(sorted(pairs), os.path.join(out_dir, f"shard-{pid:04d}.tar"))
+
+    rows.foreachPartition(write_part)
+
+
 def write_tar_shard(rows: list[tuple[str, bytes]], out_path: str) -> None:
     """Fixture/test utility: write (member_name, payload) pairs into one
     tar shard, deterministic member order and zeroed mtimes."""
