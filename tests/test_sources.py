@@ -426,3 +426,25 @@ def test_tar_shard_permissive_mode(spark, tmp_path):
     assert len(corrupt) == 1 and corrupt[0].shard.endswith("bad.tar")
     assert corrupt[0].payload is None
     assert len(healthy) == 1 and bytes(healthy[0].payload) == img
+
+
+def test_avro_fallback_rejects_bad_input():
+    import pytest as _pytest
+
+    from tw_etl_spark.sources import avro_fallback as A
+
+    with _pytest.raises(ValueError, match="not an Avro"):
+        A.decode_container(b"PAR1 definitely not avro")
+    payload = A.encode_container(
+        {"type": "record", "name": "R", "fields": [{"name": "x", "type": "long"}]},
+        [{"x": 1}],
+    )
+    # corrupt the block sync marker -> must fail loudly, not mis-parse
+    with _pytest.raises(ValueError, match="sync"):
+        A.decode_container(payload[:-16] + b"\x00" * 16)
+    with _pytest.raises(ValueError, match="codec"):
+        A.encode_container(
+            {"type": "record", "name": "R", "fields": [{"name": "x", "type": "long"}]},
+            [{"x": 1}],
+            codec="snappy",
+        )
