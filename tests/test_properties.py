@@ -89,3 +89,125 @@ def test_exhaustion_is_reachable_and_bounded(retries, poll):
         assert action == STOP_EMPTY_POLL and n == 1
     else:
         assert action == EXHAUSTED_COMPLETE and n == retries
+
+
+# --------------------------------------------------------------- avro
+
+_avro_primitive = st.sampled_from(
+    ["boolean", "int", "long", "float", "double", "bytes", "string"]
+)
+
+
+def _avro_value(typ):
+    return {
+        "boolean": st.booleans(),
+        "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        # float32-representable values so the 4-byte round-trip is exact
+        "float": st.sampled_from([0.0, 1.5, -2.25, 1024.0, -0.0078125]),
+        "double": st.floats(allow_nan=False, allow_infinity=False),
+        "bytes": st.binary(max_size=64),
+        "string": st.text(max_size=64),
+    }[typ]
+
+
+@st.composite
+def _avro_record_and_rows(draw):
+    n_fields = draw(st.integers(min_value=1, max_value=5))
+    fields = []
+    for i in range(n_fields):
+        typ = draw(_avro_primitive)
+        nullable = draw(st.booleans())
+        fields.append(
+            {"name": f"f{i}", "type": ["null", typ] if nullable else typ}
+        )
+    schema = {"type": "record", "name": "P", "fields": fields}
+    rows = []
+    for _ in range(draw(st.integers(min_value=0, max_value=8))):
+        row = {}
+        for f in fields:
+            t = f["type"]
+            if isinstance(t, list):
+                row[f["name"]] = draw(
+                    st.none() | _avro_value(t[1])
+                )
+            else:
+                row[f["name"]] = draw(_avro_value(t))
+        rows.append(row)
+    return schema, rows
+
+
+@given(_avro_record_and_rows(), st.sampled_from(["null", "deflate"]))
+@settings(max_examples=200, deadline=None)
+def test_avro_container_roundtrip_property(schema_rows, codec):
+    """encode -> decode is the identity for any record schema over the
+    supported primitive surface, nullable or not, under both codecs."""
+    from tw_etl_spark.sources import avro_fallback as A
+
+    schema, rows = schema_rows
+    got_schema, got_rows = A.decode_container(
+        A.encode_container(schema, rows, codec=codec)
+    )
+    assert got_schema == schema
+    assert got_rows == rows
+
+
+# ----------------------------------------------------- duplicate spans
+
+
+def _spans_reference(docs: dict[int, list[str]], n: int):
+    """Pure-python oracle for duplicate_spans: per doc, duplicated
+    n-gram start positions -> merged spans -> (count, covered)."""
+    grams: dict[tuple, set[int]] = {}
+    for d, toks in docs.items():
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[i : i + n]), set()).add(d)
+    out = {}
+    for d, toks in docs.items():
+        pos = [
+            i + 1
+            for i in range(len(toks) - n + 1)
+            if len(grams[tuple(toks[i : i + n])]) > 1
+        ]
+        if not pos:
+            continue
+        spans = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p > prev + n:
+                spans.append((start, prev))
+                start = p
+            prev = p
+        spans.append((start, prev))
+        covered = sum(e + n - s for s, e in spans)
+        out[d] = (len(spans), covered)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=3, max_size=14
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_duplicate_spans_matches_reference(spark, token_docs):
+    """Spark duplicate_spans == the pure-python span merge on random
+    tiny-vocabulary corpora (the worst case: nearly every gram recurs,
+    so island merging does real work)."""
+    from tw_etl_spark.operators.dedup import duplicate_spans
+
+    n = 3
+    docs = {i: toks for i, toks in enumerate(token_docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens)
+        for r in duplicate_spans(df, n=n).collect()
+    }
+    assert got == _spans_reference(docs, n)
