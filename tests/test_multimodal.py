@@ -172,6 +172,40 @@ def test_resize_images_plumbing(spark):
     assert merged.apply(lambda r: bytes(r.payload) == bytes(r.payload_src), axis=1).all()
 
 
+def test_m1_oracle_handles_empty_and_null_text(spark, tmp_path):
+    """The Spark synthesizer substitutes b'\\x00' for empty/NULL text
+    (multimodal.py: raw = text.encode() or b'\\x00'); the m1/io3 DuckDB
+    oracles must mirror that fallback instead of dividing by a zero
+    octet_length. Crafted fixture: one NULL-text and one empty-text doc
+    in each codec parity class, plus a normal row."""
+    import os
+    import shutil as _sh
+
+    from tw_etl_spark.catalog import TABLES, table_path
+    from tw_etl_spark.queries import REGISTRY, all_queries
+    from tests.oracle_utils import check_query
+
+    all_queries()  # populate REGISTRY
+
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    for t in TABLES:
+        _sh.copy(table_path(SF_SMOKE, t), table_path(d, t))
+    docs = spark.createDataFrame(
+        [
+            (0, "s", None),  # even -> ppm, NULL text
+            (1, "s", None),  # odd -> wav, NULL text
+            (2, "s", ""),  # even -> ppm, empty text
+            (3, "s", ""),  # odd -> wav, empty text
+            (4, "s", "hello world"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    os.remove(table_path(d, "documents"))
+    docs.toPandas().to_parquet(table_path(d, "documents"))
+    check_query(spark, REGISTRY["m1_media_sidecar_probe"], d)
+
+
 def test_codec_roundtrips_property():
     """Hypothesis: every (h, w) uint8 image round-trips PPM and BMP
     bit-exactly; every PCM16 sample block round-trips WAV."""

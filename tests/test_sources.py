@@ -286,6 +286,29 @@ def test_avro_fallback_distributed_read(spark, tmp_path):
     assert df.schema["name"].nullable
 
 
+def test_read_avro_only_reroutes_missing_connector(spark, tmp_path):
+    """The fallback reroute is scoped to the missing-connector failure:
+    any other error from the JVM path (here: nonexistent path when the
+    connector is absent, surfaced by the FALLBACK's own listing; and a
+    simulated non-connector AnalysisException) must propagate rather
+    than silently change tiers/semantics."""
+    from tw_etl_spark.sources import readers as R
+
+    # A non-connector failure raised by the avro read must propagate.
+    class _FakeReader:
+        def format(self, fmt):
+            return self
+
+        def load(self, path):
+            raise Exception("[PATH_NOT_FOUND] Path does not exist: " + path)
+
+    class _FakeSpark:
+        read = _FakeReader()
+
+    with pytest.raises(Exception, match="PATH_NOT_FOUND"):
+        R.read_avro(_FakeSpark(), str(tmp_path / "nope"))
+
+
 def test_compact_parquet_sizes_files(spark, tmp_path):
     import glob
     import os
@@ -448,3 +471,26 @@ def test_avro_fallback_rejects_bad_input():
             [{"x": 1}],
             codec="snappy",
         )
+
+
+def test_avro_general_union_branch_by_type():
+    """General unions (not just ["null", X]) must tag the branch by the
+    VALUE's type — "5" encodes as string "5", never coerced to int 5 —
+    and a value matching no branch raises instead of corrupting."""
+    import pytest as _pytest
+
+    from tw_etl_spark.sources import avro_fallback as A
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "v", "type": ["int", "string"]}],
+    }
+    rows = [{"v": 5}, {"v": "5"}, {"v": "alpha"}]
+    _, got = A.decode_container(A.encode_container(schema, rows))
+    assert got == rows  # "5" survives as a string, 5 as an int
+    with _pytest.raises(ValueError, match="no union branch"):
+        A.encode_container(schema, [{"v": 1.5}])
+    # bool is not an int branch match (Python bool subclasses int)
+    with _pytest.raises(ValueError, match="no union branch"):
+        A.encode_container(schema, [{"v": True}])

@@ -423,6 +423,46 @@ def test_machine_event_time_timeout(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_machine_event_time_null_ts_key(spark):
+    """An active key whose events all carry null ts has no event-time
+    position: it must carry NO deadline (no timer registered, no fire)
+    rather than crash the stream with a TypeError on
+    setTimeoutTimestamp(None). Keys with real ts still fire normally."""
+    import datetime
+
+    from tw_etl_spark.streaming.state_machine import TIMEOUT_SEQ
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda k: t0 + datetime.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        ("s_null", "online", 0, False, 3, 1, None),  # active, no ts ever
+        ("s_ok", "online", 0, False, 3, 2, m(0)),  # stuck: fires once
+        ("s_wm", "online", 0, False, 3, 3, m(105)),  # drives the watermark
+    ]
+    d = tempfile.mkdtemp(prefix="etwn_")
+    try:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, "b1")
+        )
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(os.path.join(d, "*"))
+        out = retry_machine_stream(
+            stream, timeout_ms=600_000, event_time=True, watermark="1 minute"
+        )
+        got = {
+            (r.stream_id, r.seq, r.action, r.retry_id)
+            for r in run_stream_to_memory(out, "etwn_out", "append").collect()
+        }
+        expected = {
+            ("s_null", 1, START, 1),  # no fire: null ts -> no deadline
+            ("s_ok", 2, START, 1),
+            ("s_ok", TIMEOUT_SEQ, RETRY, 2),  # deadline 10 <= watermark 104
+            ("s_wm", 3, START, 1),  # deadline 115 > watermark: no fire
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_machine_checkpoint_resume(spark):
     """Kill the stream after batch 1, restart from the checkpoint with a
     new query — keyed state must survive (the reference's resume path:

@@ -46,8 +46,10 @@ WITH base AS (
            4 + doc_id % 5            AS w,
            3 + doc_id % 4            AS h,
            100 + doc_id % 50         AS n,
-           hex(encode(text))          AS th,
-           octet_length(encode(text)) AS tlen
+           -- mirror the Spark synthesizer's empty/NULL-text fallback
+           -- (multimodal.py: raw = text.encode() or b'\\x00'): one 0x00 byte
+           coalesce(nullif(hex(encode(coalesce(text, ''))), ''), '00') AS th,
+           greatest(octet_length(encode(coalesce(text, ''))), 1)       AS tlen
     FROM documents
 ), built AS (
     SELECT *,
@@ -150,8 +152,10 @@ WITH base AS (
            4 + doc_id % 5            AS w,
            3 + doc_id % 4            AS h,
            100 + doc_id % 50         AS n,
-           hex(encode(text))          AS th,
-           octet_length(encode(text)) AS tlen
+           -- mirror the Spark synthesizer's empty/NULL-text fallback
+           -- (multimodal.py: raw = text.encode() or b'\\x00'): one 0x00 byte
+           coalesce(nullif(hex(encode(coalesce(text, ''))), ''), '00') AS th,
+           greatest(octet_length(encode(coalesce(text, ''))), 1)       AS tlen
     FROM documents
 ), built AS (
     SELECT *,
@@ -212,7 +216,13 @@ def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"tw_etl_spark_io3_{tag}")
+    # Shard root must satisfy write_tar_shards' shared-filesystem
+    # contract (visible to executors and the read-back). Local mode:
+    # the local tempdir qualifies. Cluster: point TW_ETL_SCRATCH_DIR at
+    # shared storage; the post-write count below fails loudly if the
+    # shards didn't land where the reader looks.
+    scratch = os.environ.get("TW_ETL_SCRATCH_DIR") or tempfile.gettempdir()
+    root = os.path.join(scratch, f"tw_etl_spark_io3_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
 
@@ -240,6 +250,14 @@ def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     write_tar_shards(members, root, n_shards=4)
+    n_found = len([f for f in os.listdir(root) if f.endswith(".tar")])
+    if n_found == 0:
+        raise RuntimeError(
+            f"no tar shards visible under {root!r} after write_tar_shards: "
+            "the shard root must be shared storage visible to executors "
+            "and the reader (set TW_ETL_SCRATCH_DIR on a cluster — "
+            "executor-local /tmp scatters shards across worker disks)"
+        )
 
     samples = group_samples(read_tar_shards(spark, root))
     media_ext = F.filter(F.map_keys("parts"), lambda x: x != "json")[0]

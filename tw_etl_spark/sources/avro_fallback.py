@@ -157,12 +157,46 @@ def decode_container(payload: bytes) -> tuple[dict, list[Any]]:
 # --------------------------------------------------------------- encode
 
 
+def _branch_matches(branch: Any, val: Any) -> bool:
+    """Union-branch resolution by Python type (Avro spec §unions: a
+    union value is tagged with the branch whose type it carries)."""
+    if isinstance(branch, dict):
+        t = branch["type"]
+        if t == "record":
+            return isinstance(val, dict)
+        if t == "array":
+            return isinstance(val, (list, tuple))
+        if t == "map":
+            return isinstance(val, dict)
+        if t == "enum":
+            return isinstance(val, str) and val in branch["symbols"]
+        if t == "fixed":
+            return isinstance(val, (bytes, bytearray))
+        return _branch_matches(t, val)
+    if branch == "null":
+        return val is None
+    if branch == "boolean":
+        return isinstance(val, bool)
+    if branch in ("int", "long"):
+        return isinstance(val, int) and not isinstance(val, bool)
+    if branch in ("float", "double"):
+        # accept ints for float branches only if no int branch exists —
+        # callers wanting that pass floats; keep matching strict here
+        return isinstance(val, float)
+    if branch == "bytes":
+        return isinstance(val, (bytes, bytearray))
+    if branch == "string":
+        return isinstance(val, str)
+    return False
+
+
 def _encode(schema: Any, val: Any, out: bytearray) -> None:
     if isinstance(schema, list):
-        # pick the first matching branch (null vs not-null is the
-        # overwhelmingly common case)
+        # pick the first branch whose type matches the Python value —
+        # nullness alone is not enough for general unions like
+        # ["int","string"], where coercing would silently corrupt data.
         for i, branch in enumerate(schema):
-            if (val is None) == (branch == "null"):
+            if _branch_matches(branch, val):
                 out += _zigzag_encode(i)
                 _encode(branch, val, out)
                 return

@@ -176,7 +176,20 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     tests/test_sources.py)."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception:  # AnalysisException: FAILED_TO_LOAD_DATA_SOURCE
+    except Exception as exc:
+        # Reroute ONLY the missing-connector case to the fallback; any
+        # other failure (bad path, permissions, analysis error while the
+        # connector IS deployed) must surface unchanged — the two tiers
+        # differ in logical-type mapping, so a silent reroute would
+        # change semantics across environments.
+        msg = str(exc)
+        missing_connector = (
+            "FAILED_TO_LOAD_DATA_SOURCE" in msg
+            or "Failed to find data source: avro" in msg
+            or "ClassNotFound" in msg
+        )
+        if not missing_connector:
+            raise
         from tw_etl_spark.sources.avro_fallback import read_avro_fallback
 
         return read_avro_fallback(spark, path)

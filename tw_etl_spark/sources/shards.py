@@ -144,7 +144,17 @@ def write_tar_shards(
     members hash-partition on ``key_col``, so every member of a sample
     lands in the same shard. One shard per partition, members sorted
     by name inside each shard (deterministic bytes given deterministic
-    partitioning). The driver never sees a payload."""
+    partitioning). The driver never sees a payload.
+
+    CONTRACT: ``out_dir`` must be a filesystem path visible to every
+    executor AND to whoever reads the shards back — shared storage on a
+    real cluster (NFS/Lustre/fuse-mounted object store; WebDataset
+    shards are plain files by design), any local dir in local mode.
+    Executors open the path with plain ``tarfile``, so an
+    executor-local ``/tmp`` on a multi-node cluster would scatter
+    shards across worker disks where a driver-side read misses them —
+    callers should verify the expected shard count after writing (io3
+    does)."""
     rows = members.select(
         F.col(key_col).alias("_k"),
         F.col(member_col).alias("_m"),

@@ -175,11 +175,18 @@ def _make_machine(timeout_ms: int | None, event_time: bool):
         )
         if timeout_ms is not None and state.active:
             if event_time:
-                # Spark rejects timestamps at or below the watermark;
-                # clamping only affects WHEN an already-late deadline
-                # fires (next batch), never whether it fires.
-                wm = group_state.getCurrentWatermarkMs()
-                group_state.setTimeoutTimestamp(max(int(deadline_ms), wm + 1))
+                if deadline_ms is None:
+                    # An active key whose events all carry null ts has no
+                    # event-time position yet: it carries no deadline (a
+                    # timer would need a timestamp we don't have). The
+                    # first non-null ts arms it.
+                    pass
+                else:
+                    # Spark rejects timestamps at or below the watermark;
+                    # clamping only affects WHEN an already-late deadline
+                    # fires (next batch), never whether it fires.
+                    wm = group_state.getCurrentWatermarkMs()
+                    group_state.setTimeoutTimestamp(max(int(deadline_ms), wm + 1))
             else:
                 group_state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(rows, columns=["stream_id", "action", "retry_id", "seq"])
