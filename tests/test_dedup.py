@@ -64,6 +64,57 @@ def test_simhash_identical_token_sets_collide(spark):
     assert bad == 0
 
 
+def test_portable_hash_family_matches_pure_python(spark):
+    """The portable (md5) MinHash signatures and SimHash values must
+    equal a from-scratch hashlib re-implementation — the same property
+    the DuckDB oracle pins, re-proven here without SQL in the loop."""
+    import hashlib
+
+    from tw_etl_spark.operators.dedup import (
+        minhash_signatures_portable,
+        simhash_portable_expr,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "the quick brown fox"),
+        (3, "singleword"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def py_minhash(text, k=16):
+        toks = sorted({t for t in text.split(" ") if t})
+        return [
+            min(hashlib.md5(f"{i}:{t}".encode()).hexdigest() for t in toks)
+            for i in range(k)
+        ]
+
+    def py_simhash(text, bits=32):
+        toks = {t for t in text.split(" ") if t}
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        out = 0
+        for b in range(bits):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                out |= 1 << b
+        return out
+
+    sigs = {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures_portable(df, num_hashes=16).collect()
+    }
+    shs = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", simhash_portable_expr(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for doc_id, text in texts:
+        assert sigs[doc_id] == py_minhash(text), doc_id
+        assert shs[doc_id] == py_simhash(text), doc_id
+
+
 def test_exact_dedup_keeps_min_id(spark):
     d = read_table(spark, SF_SMOKE, "documents")
     deduped = exact_dedup(d, content_col="text", id_col="doc_id")

@@ -464,6 +464,121 @@ def minhash_lsh_pairs(
     )
 
 
+def _md5_seed_hash(tok: Column, seed: int) -> Column:
+    """Portable hash family H_seed(token) = md5("<seed>:<token>") hex.
+    Available verbatim in any engine with md5 (the DuckDB oracle
+    included), and the fixed-width lowercase hex string orders
+    lexicographically exactly as the 128-bit value orders numerically —
+    so MIN() over these strings is a valid minhash. Trade-off vs the
+    xxhash64 family: 32-byte strings instead of 8-byte longs in the
+    signature (4x shuffle bytes per hash), which is why the portable
+    family is the ORACLE tier and xxhash64 stays the 100 TB scale tier."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), tok))
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures over the md5 seed-hash family — same plan
+    shape as :func:`minhash_signatures` (one explode + one partially
+    aggregated groupBy), engine-portable values (hash-oracle tier)."""
+    ex = token_set_df(df, id_col, text_col)
+    aggs = [
+        F.min(_md5_seed_hash(F.col("tk"), i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("doc").agg(*aggs)
+    return sig.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH near-dup pairs over the PORTABLE md5 minhash family —
+    the cross-engine-verifiable twin of :func:`minhash_lsh_pairs`
+    (identical banding/candidate/estimate logic; every value
+    reconstructible in SQL, so the whole pipeline sits under the
+    DuckDB hash oracle as dd3p). Band bucket = md5 of the
+    comma-joined signature slice. Same shuffle discipline: bands move
+    (doc, band, bucket) only; signatures re-attach after the distinct."""
+    r = num_hashes // bands
+    sig = minhash_signatures_portable(df, id_col, text_col, num_hashes).cache()
+    banded = sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("signature"), b * r + 1, r), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band"), F.col("bb.bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    est = agree / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_portable_expr(text: Column, bits: int = 32) -> Column:
+    """SimHash over the portable 32-bit hash family: token hash = first
+    8 hex chars of md5(token) parsed as an unsigned 32-bit int —
+    reconstructible in the DuckDB oracle as ('0x'||substr(md5(tk),1,8))
+    ::BIGINT, which puts the signature itself under the hash oracle
+    (dd4p). Same per-bit majority vote as :func:`simhash_expr`."""
+    toks = F.array_distinct(tokens_expr(text))
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+
+    def vote(bit: int):
+        mask = F.lit(1 << bit)
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) > 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return out
+
+
 def simhash_expr(text: Column, bits: int = 32) -> Column:
     """SimHash over the distinct token set: per-bit majority vote of
     32-bit token hashes (crc32 — available in both Spark and the DuckDB

@@ -84,16 +84,25 @@ def register(
 # driver-covered by d2 + dd7) and f10_customer_string_map (string/map
 # families stay driver-covered by p1 + f50, per the verdict's own
 # suggestion).
+# Round-8 rotation: in — dd3p_minhash_lsh_portable +
+# dd4p_simhash_portable (the MinHash-LSH and SimHash pipelines lifted
+# to the hash-oracle tier via the portable md5 hash family — every
+# signature min / band bucket / majority vote reconstructed by the
+# DuckDB oracle; previously the families were rows-only + recall
+# units); out — w1_top3_orders_per_customer (rank/per-group-top-k
+# family stays driver-covered by w20_window_gauntlet, and w1 itself
+# stays bench-timed at sf0.1/sf1 and pytest-oracle-verified) and
+# t9_token_entropy (token-stat family stays driver-covered by
+# t8_tfidf_top_terms + t13_lm_perplexity; t9 stays pytest-oracle).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
 # gated by design — see COVERAGE.md §verification-tiers) live there.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- core flagship (12)
+    # -- core flagship (10)
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_nation_revenue",
-    "w1_top3_orders_per_customer",
     "e1_hourly_rollup",
     "e2_json_extract_avg",
     "e3_sessionization",
@@ -101,8 +110,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d2_exact_dedup",
     "v1_cosine_top_pairs",
     "e5_gap_fill_locf",
-    # -- dedup / similarity [EXT] (5)
+    # -- dedup / similarity [EXT] (7)
     "dd2_jaccard_neardup_pairs",
+    "dd3p_minhash_lsh_portable",
+    "dd4p_simhash_portable",
     "dd6_neardup_components",
     "dd7_neardup_survivors",
     "x2_leakage_aware_split",
@@ -128,9 +139,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "u2_pandas_udaf",
     "u3_grouped_map_zscore",
     "u4_udtf_token_positions",
-    # -- text [EXT] (7)
+    # -- text [EXT] (6)
     "t8_tfidf_top_terms",
-    "t9_token_entropy",
     "t10_pii_redaction",
     "t11_gopher_quality",
     "t12_c4_clean",

@@ -1,10 +1,13 @@
 """Deduplication queries [EXT]: exact, n-gram Jaccard, MinHash-LSH,
 SimHash, embedding-cosine near-dup (SURVEY.md §2.2).
 
-dd2/dd5 are oracle-verified exactly; dd3/dd4 are approximate/engine-
-specific signatures (no SQL twin) — the driver records rows-only and
-tests/test_dedup.py proves recall against the exact-Jaccard ground
-truth.
+dd2/dd5 are oracle-verified exactly; dd3/dd4 are engine-specific
+xxhash64/crc32 signatures (the 100 TB scale tier — no SQL twin; the
+driver records rows-only and tests/test_dedup.py proves recall against
+the exact-Jaccard ground truth). dd3p/dd4p are their PORTABLE md5-family
+twins: identical banding/vote logic with every value reconstructible in
+DuckDB SQL, putting the MinHash-LSH and SimHash pipelines themselves
+under the cross-engine hash oracle.
 """
 
 from __future__ import annotations
@@ -20,7 +23,9 @@ from tw_etl_spark.operators.dedup import (
     exact_jaccard_components,
     exact_jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_portable,
     simhash_expr,
+    simhash_portable_expr,
 )
 from tw_etl_spark.operators.similarity import cosine_threshold_pairs
 from tw_etl_spark.queries import register
@@ -105,6 +110,96 @@ def dd4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "dd3p_minhash_lsh_portable",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
+    sig AS (
+        SELECT doc, r.range AS i, min(md5(r.range::VARCHAR || ':' || tk)) AS h
+        FROM ex CROSS JOIN range(16) r
+        GROUP BY doc, r.range
+    ),
+    sigarr AS (SELECT doc, list(h ORDER BY i) AS sig FROM sig GROUP BY doc),
+    banded AS (
+        SELECT doc, g.range AS band,
+               md5(array_to_string(
+                   list_slice(sig, g.range * 4 + 1, g.range * 4 + 4), ',')) AS bucket
+        FROM sigarr CROSS JOIN range(4) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    )
+    SELECT c.id_a, c.id_b,
+           round(length(list_filter(range(16),
+                                    i -> sa.sig[i + 1] = sb.sig[i + 1])) / 16.0,
+                 6) AS est_jaccard
+    FROM cand c
+    JOIN sigarr sa ON sa.doc = c.id_a
+    JOIN sigarr sb ON sb.doc = c.id_b
+    WHERE length(list_filter(range(16),
+                             i -> sa.sig[i + 1] = sb.sig[i + 1])) / 16.0 >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    doc="MinHash-LSH over the PORTABLE md5 seed-hash family (16 hashes, "
+    "4 bands of 4, est-J >= 0.9): signature mins, band buckets, "
+    "candidate pairs, and the agreement estimate are all reconstructed "
+    "verbatim by the DuckDB oracle, so the entire LSH pipeline — not "
+    "just its recall — sits under the cross-engine hash oracle. The "
+    "xxhash64 family (dd3) remains the scale tier; same plan shape.",
+    tags=("dedup", "minhash", "ext"),
+)
+def dd3p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(
+        d, num_hashes=16, bands=4, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd4p_simhash_portable",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
+    hashes AS (
+        SELECT doc, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM ex
+    ),
+    votes AS (
+        SELECT doc, g.range AS b,
+               sum(CASE WHEN (h >> g.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashes CROSS JOIN range(32) g
+        GROUP BY doc, g.range
+    ),
+    sh AS (
+        SELECT doc, sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc
+    )
+    SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN sh ON sh.doc = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="32-bit SimHash over the PORTABLE hash family (first 8 md5 hex "
+    "chars as uint32): the oracle reconstructs every per-bit majority "
+    "vote, pinning the signature VALUES cross-engine (dd4's crc32 "
+    "variant pins only invariants). Token-less docs carry simhash 0 "
+    "on both sides.",
+    tags=("dedup", "simhash", "ext"),
+)
+def dd4p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", simhash_portable_expr(F.col("text")).alias("simhash")
+        ).orderBy("doc_id")
     )
 
 
