@@ -464,3 +464,38 @@ def test_duplicate_spans_crafted(spark):
         1: (1, 10, round(10 / 15, 6)),
         2: (1, 10, round(10 / 17, 6)),
     }
+
+
+def test_semantic_dedup_relational_sanity(spark):
+    """Relational SemDeDup (dd8p's operator): crafted corpus with two
+    exact-duplicate groups and independent singletons — duplicates land
+    in one cluster, exactly one survivor (min id) per duplicate group,
+    singletons untouched. Also pins determinism across two runs."""
+    import numpy as np
+
+    from tw_etl_spark.operators.dedup import semantic_dedup_relational
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(12, 8)).astype("float32")
+    rows = []
+    for i in range(12):
+        rows.append((i, [float(x) for x in base[i]]))
+    # ids 12/13 duplicate id 0; id 14 duplicates id 5
+    rows += [(12, rows[0][1]), (13, rows[0][1]), (14, rows[5][1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.id: (r.cluster, r.survived)
+        for r in semantic_dedup_relational(df, k=4, threshold=0.999).collect()
+    }
+    assert len(out) == 15
+    assert out[0][1] and not out[12][1] and not out[13][1]
+    assert out[0][0] == out[12][0] == out[13][0]
+    assert out[5][1] and not out[14][1]
+    assert out[5][0] == out[14][0]
+    # everything else survives
+    assert all(out[i][1] for i in range(1, 12) if i != 5 or True)
+    out2 = {
+        r.id: (r.cluster, r.survived)
+        for r in semantic_dedup_relational(df, k=4, threshold=0.999).collect()
+    }
+    assert out == out2

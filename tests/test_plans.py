@@ -112,6 +112,28 @@ def test_quality_batteries_are_narrow_maps(spark):
     assert count_exchanges(c4_clean(d)) == 0
 
 
+def test_t15_classifier_is_a_narrow_map(spark):
+    """The hashed-linear quality classifier (t15) scores per row via an
+    array fold — like the rule batteries it must compile to a
+    shuffle-free narrow map (scan-speed at 100 TB). Assert on the
+    unsorted projection (the query's orderBy exists for oracle
+    determinism only)."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.quality import hashed_linear_score_cols
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    n_tokens, z, score, keep = hashed_linear_score_cols(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        z.alias("z"),
+        score.alias("score"),
+        keep.alias("keep"),
+    )
+    assert count_exchanges(scored) == 0
+
+
 def test_w20_shares_one_exchange_across_window_specs(spark):
     """The window gauntlet evaluates four differently-ordered window
     specs, all partitioned by user_id: one hash Exchange, re-Sorts only.

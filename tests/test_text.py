@@ -350,3 +350,42 @@ def test_top_bigram_stats_matches_expr_forms(spark):
         ).collect()
     }
     assert rel == expr
+
+
+def test_t15_classifier_matches_pure_python(spark):
+    """The hashed-linear classifier's bucket/weight arithmetic must
+    equal a from-scratch hashlib re-implementation (the property the
+    DuckDB oracle pins, re-proven without SQL in the loop)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.quality import hashed_linear_score_cols
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "table scan agg join window sort"),
+        (2, "a"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    n_tokens, z, score, keep = hashed_linear_score_cols(F.col("text"))
+    got = {
+        r.doc_id: (r.n, r.z)
+        for r in df.select(
+            "doc_id", n_tokens.alias("n"), z.alias("z")
+        ).collect()
+    }
+
+    def py_z(text, n_buckets=1024):
+        toks = [t for t in text.split(" ") if t]
+        ws = []
+        for t in toks:
+            bucket = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % n_buckets
+            h = int(hashlib.md5(f"w:{bucket}".encode()).hexdigest()[:8], 16)
+            ws.append((h % 2001 - 1000) / 1000.0)
+        return round(sum(ws) / len(ws), 6) if ws else 0.0
+
+    for doc_id, text in texts:
+        n, zv = got[doc_id]
+        assert n == len([t for t in text.split(" ") if t])
+        assert abs(zv - py_z(text)) < 2e-6, (doc_id, zv, py_z(text))

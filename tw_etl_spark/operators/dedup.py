@@ -1003,3 +1003,116 @@ def duplicate_spans(
         )
         .withColumnRenamed("doc", id_col)
     )
+
+
+def semantic_dedup_relational(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) re-expressed so every intermediate
+    is engine-reconstructible — the hash-oracle twin of
+    :func:`semantic_dedup` (whose MLlib KMeans is a black box to any
+    oracle). Pipeline, pinned step by step in the dd8p oracle:
+
+    1. unit-normalize (double precision, index-order fold — IEEE
+       bit-compatible with DuckDB's ``list_dot_product``);
+    2. seed centroids = unit vectors of the ``k`` smallest ids;
+    3. assign each vector to the nearest centroid (squared L2,
+       ties -> smallest cluster index, via a strictly-less fold);
+    4. ONE Lloyd update: centroid = element-wise mean of its members,
+       rounded to 9 decimals (absorbs cross-engine sum-order noise);
+    5. reassign against the updated centroids;
+    6. within-cluster cosine pairs (unit dot) >= ``threshold``;
+    7. min-label components -> survivor = component representative.
+
+    Returns (id, cluster, survived), one row per input row.
+
+    Scale shape: both assignments are SHUFFLE-FREE narrow maps (the k
+    centroids ride inside the expression as literals — two bounded
+    collects of k rows each, never data-sized); the Lloyd update is one
+    partially-aggregated groupBy producing k rows; the pair join is
+    equi-partitioned on the cluster id exactly as in
+    :func:`semantic_dedup`.
+    """
+    from tw_etl_spark.functions.vectors import dot_expr, l2_norm_expr
+    from tw_etl_spark.operators.text import let_expr
+
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.greatest(l2_norm_expr(v), F.lit(1e-12))
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(v, lambda x: x / norm).alias("u"),
+    )
+    seeds = [list(r.u) for r in unit.orderBy("id").limit(k).collect()]
+    dim = len(seeds[0])
+
+    def assign(cents: list[list[float]]) -> Column:
+        """argmin_j ||u - c_j||^2 with first-wins (smallest j) ties."""
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("u"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                for c in cents
+            ]
+        )
+        return let_expr(
+            dists,
+            lambda ds: F.aggregate(
+                F.sequence(F.lit(1), F.lit(len(cents) - 1)),
+                F.struct(
+                    F.element_at(ds, 1).alias("d"), F.lit(0).alias("j")
+                ),
+                lambda acc, i: F.when(
+                    F.element_at(ds, i + 1) < acc["d"],
+                    F.struct(F.element_at(ds, i + 1).alias("d"), i.alias("j")),
+                ).otherwise(acc),
+            )["j"],
+        )
+
+    a1 = unit.select("id", "u", assign(seeds).alias("c1"))
+    # one Lloyd step: element-wise member mean, rounded to kill
+    # cross-engine float-sum-order noise; empty clusters drop out on
+    # both sides identically.
+    mean_rows = (
+        a1.groupBy("c1")
+        .agg(
+            *[
+                F.round(F.sum(F.col("u")[i]) / F.count(F.lit(1)), 9).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        )
+        .orderBy("c1")
+        .collect()
+    )
+    cents2 = [[float(r[f"m{i}"]) for i in range(dim)] for r in mean_rows]
+    a2 = unit.select("id", "u", assign(cents2).alias("cluster"))
+
+    lhs = a2.select("cluster", F.col("id").alias("id_a"), F.col("u").alias("_ua"))
+    rhs = a2.select("cluster", F.col("id").alias("id_b"), F.col("u").alias("_ub"))
+    pairs = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(dot_expr(F.col("_ua"), F.col("_ub")), 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    return (
+        a2.join(labels.withColumnRenamed("id", "id_"), F.col("id") == F.col("id_"), "left")
+        .select(
+            F.col("id"),
+            F.col("cluster"),
+            (F.col("component").isNull() | (F.col("component") == F.col("id"))).alias(
+                "survived"
+            ),
+        )
+    )

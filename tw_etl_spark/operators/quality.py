@@ -402,3 +402,50 @@ def top_bigram_stats(
             6,
         ).alias("top_frac"),
     )
+
+
+def hashed_linear_score_cols(
+    text: Column,
+    n_buckets: int = 1024,
+    bias: float = 0.0,
+) -> tuple[Column, Column, Column, Column]:
+    """Model-based quality filtering via a hashed linear classifier —
+    the fasttext-style gate the CCNet/LLaMA corpus pipelines run AFTER
+    the rule batteries (Wenzek et al. 2020 §4; public technique). The
+    model here is a deterministic stand-in with the real serving shape:
+    hashing-trick features (token -> md5-prefix bucket mod
+    ``n_buckets``) and a fixed weight table w(j) derived from md5("w:j")
+    — every value reconstructible in any engine with md5, so the whole
+    scorer sits under the DuckDB hash oracle (t15). Swapping in trained
+    weights is a lookup-table change, not a plan change.
+
+    Returns (n_tokens, z, score, keep) columns where z is the mean
+    bucket weight plus ``bias``, score = sigmoid(z), keep = round(z,6)
+    >= 0. Scale shape: a pure per-row array fold — NO shuffle, no
+    Python, whole-stage codegen end to end (plan-asserted); at 100 TB
+    this runs at scan speed like the Gopher/C4 batteries.
+    """
+
+    def weight(tk: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(tk), 1, 4), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).cast("string")
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), bucket)), 1, 8), 16, 10
+        ).cast("long")
+        return (h % 2001 - 1000).cast("double") / 1000.0
+
+    toks = tokens_expr(text)
+    z = let_expr(
+        toks,
+        lambda ts: F.when(
+            F.size(ts) > 0,
+            F.aggregate(ts, F.lit(0.0), lambda acc, t: acc + weight(t))
+            / F.size(ts).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    ) + F.lit(bias)
+    n_tokens = F.size(toks).cast("bigint")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    keep = F.round(z, 6) >= 0
+    return n_tokens, F.round(z, 6), F.round(score, 6), keep

@@ -93,29 +93,39 @@ def register(
 # family stays driver-covered by w20_window_gauntlet, and w1 itself
 # stays bench-timed at sf0.1/sf1 and pytest-oracle-verified) and
 # t9_token_entropy (token-stat family stays driver-covered by
-# t8_tfidf_top_terms + t13_lm_perplexity; t9 stays pytest-oracle).
+# t8_tfidf_top_terms + t13_lm_perplexity; t9 stays pytest-oracle);
+# in — dd8p_semantic_dedup_relational (SemDeDup lifted to the hash
+# oracle: relational fixed-seed k-means + one Lloyd step + survivor
+# components, the oracle replaying every step incl. a recursive-CTE
+# labeling — answers VERDICT r6's note that dd8 was invariant-tier
+# only) and t15_quality_classifier (model-based quality filtering, a
+# NEW family: hashed-linear fasttext-style gate, zero-shuffle narrow
+# map); out — d1_word_count (explode+count family stays driver-covered
+# by t8's explode+count+join; d1 stays bench-timed at sf0.1/sf1 +
+# pytest-oracle) and u1_scalar_udfs (UDF surface keeps three driver
+# slots u2/u3/u4; u1 stays pytest-oracle with its Arrow-parity unit).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
 # gated by design — see COVERAGE.md §verification-tiers) live there.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- core flagship (10)
+    # -- core flagship (9)
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_nation_revenue",
     "e1_hourly_rollup",
     "e2_json_extract_avg",
     "e3_sessionization",
-    "d1_word_count",
     "d2_exact_dedup",
     "v1_cosine_top_pairs",
     "e5_gap_fill_locf",
-    # -- dedup / similarity [EXT] (7)
+    # -- dedup / similarity [EXT] (8)
     "dd2_jaccard_neardup_pairs",
     "dd3p_minhash_lsh_portable",
     "dd4p_simhash_portable",
     "dd6_neardup_components",
     "dd7_neardup_survivors",
+    "dd8p_semantic_dedup_relational",
     "x2_leakage_aware_split",
     "v2_knn_exact",
     # -- ETL / pipeline [EXT] (10)
@@ -134,13 +144,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "st3_watermark_late_drop",
     # -- multimodal [EXT] (1)
     "m1_media_sidecar_probe",
-    # -- UDF surface (4)
-    "u1_scalar_udfs",
+    # -- UDF surface (3)
     "u2_pandas_udaf",
     "u3_grouped_map_zscore",
     "u4_udtf_token_positions",
-    # -- text [EXT] (6)
+    # -- text [EXT] (7)
     "t8_tfidf_top_terms",
+    "t15_quality_classifier",
     "t10_pii_redaction",
     "t11_gopher_quality",
     "t12_c4_clean",

@@ -476,3 +476,103 @@ def dd9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(d, id_col="doc_id", text_col="text", n=8).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "dd8p_semantic_dedup_relational",
+    oracle="""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
+        FROM unitv ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN seeds s
+        )
+    ),
+    a1 AS (
+        SELECT vec_id, u, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT c1, g.range AS i,
+               round(sum(u[g.range + 1]) / count(*), 9) AS mv
+        FROM a1 CROSS JOIN range(64) g
+        GROUP BY c1, g.range
+    ),
+    cents2 AS (
+        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
+        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
+    ),
+    d2 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN cents2 s
+        )
+    ),
+    a2 AS (
+        SELECT vec_id, u, j AS cluster
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM a2 a JOIN a2 b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.u, b.u), 6) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(n, l) AS (
+        SELECT vec_id, vec_id FROM a2
+        UNION
+        SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    lab AS (SELECT n, min(l) AS comp FROM reach GROUP BY n)
+    SELECT a2.vec_id AS id, a2.cluster, (lab.comp = a2.vec_id) AS survived
+    FROM a2 JOIN lab ON lab.n = a2.vec_id
+    ORDER BY id
+    """,
+    doc="SemDeDup under the FULL hash oracle: the relational twin of "
+    "dd8 (semantic_dedup_relational) — unit-normalize, k=8 fixed seed "
+    "centroids (smallest ids), nearest-centroid assignment with "
+    "deterministic tie-break, ONE Lloyd update (means rounded to 9 "
+    "decimals to absorb cross-engine sum-order noise), reassignment, "
+    "within-cluster cosine pairs >= 0.4, min-label components -> "
+    "survivor flag. The oracle replays every step including the "
+    "component labeling (recursive CTE), so clustering, assignment "
+    "arithmetic, and survivor semantics are all byte-pinned. dd8 (MLlib "
+    "KMeans, maxIter=20) remains the production tier; same shuffle "
+    "shape (narrow-map assignments, k-row aggs, cluster-equi pair "
+    "join).",
+    tags=("dedup", "semantic", "embedding", "ext"),
+)
+def dd8p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import semantic_dedup_relational
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_relational(e, k=8, threshold=0.4).orderBy("id")

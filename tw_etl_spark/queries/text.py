@@ -663,3 +663,51 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return top_bigram_stats(d).orderBy("doc_id")
+
+
+@register(
+    "t15_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tk FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               ((('0x' || substr(md5('w:' ||
+                     (('0x' || substr(md5(tk), 1, 4))::BIGINT % 1024)::VARCHAR
+                   ), 1, 8))::BIGINT % 2001 - 1000) / 1000.0) AS w
+        FROM toks
+    ), agg AS (
+        SELECT doc_id, sum(w) / count(*) AS z,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM feats GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           round(coalesce(a.z, 0.0), 6) AS z,
+           round(1 / (1 + exp(-coalesce(a.z, 0.0))), 6) AS score,
+           round(coalesce(a.z, 0.0), 6) >= 0 AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Model-based quality filter (the fasttext-style classifier gate "
+    "of CCNet/LLaMA pipelines, Wenzek et al. 2020): hashing-trick "
+    "features (md5-prefix bucket mod 1024) through a deterministic "
+    "md5-derived weight table, mean-pooled, sigmoid-scored. The weight "
+    "table is engine-reconstructible, so the full scorer is under the "
+    "hash oracle. Spark side is a pure per-row array fold — zero "
+    "shuffle, zero Python, runs at scan speed (plan-asserted in "
+    "tests/test_plans.py).",
+    tags=("text", "quality", "classifier", "ext"),
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.quality import hashed_linear_score_cols
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens, z, score, keep = hashed_linear_score_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        z.alias("z"),
+        score.alias("score"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
