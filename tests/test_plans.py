@@ -112,6 +112,27 @@ def test_quality_batteries_are_narrow_maps(spark):
     assert count_exchanges(c4_clean(d)) == 0
 
 
+def test_dd3p_pair_shuffle_never_carries_signatures(spark):
+    """dd3p's shuffle discipline (same claim as dd3's docstring, here
+    plan-asserted): the candidate-pair distinct shuffles ONLY
+    (id_a, id_b) — on dup-heavy corpora each band bucket emits O(d^2)
+    pairs, so dragging the 16x32-byte signatures (or band buckets)
+    through that exchange would multiply shuffle bytes ~100x."""
+    from tw_etl_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(minhash_lsh_pairs_portable(d))
+    # formatted-explain operator details are blank-line-separated blocks
+    pair_exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if ") Exchange" in b and "hashpartitioning(id_a" in b
+    ]
+    assert pair_exchanges, "expected a hashpartitioning(id_a, id_b) exchange"
+    for block in pair_exchanges:
+        assert "sig" not in block and "bucket" not in block, block
+
+
 def test_t15_classifier_is_a_narrow_map(spark):
     """The hashed-linear quality classifier (t15) scores per row via an
     array fold — like the rule batteries it must compile to a
