@@ -211,3 +211,62 @@ def test_duplicate_spans_matches_reference(spark, token_docs):
         for r in duplicate_spans(df, n=n).collect()
     }
     assert got == _spans_reference(docs, n)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet="abcxyz019", min_size=1, max_size=6
+            ),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_portable_hash_family_property(spark, token_docs):
+    """Portable MinHash signatures and SimHash == the hashlib reference
+    on random corpora (arbitrary tokens incl. empty docs) — generalizes
+    the fixed-case parity test; together with the DuckDB oracle this
+    pins Spark, SQL, and pure python to one definition."""
+    import hashlib
+
+    from tw_etl_spark.operators.dedup import (
+        minhash_signatures_portable,
+        simhash_portable_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_docs)],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures_portable(df, num_hashes=8).collect()
+    }
+    shs = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", simhash_portable_expr(F.col("text"), bits=16).alias("sh")
+        ).collect()
+    }
+    for i, toks in enumerate(token_docs):
+        tset = {t for t in toks if t}
+        if tset:
+            want_sig = [
+                min(hashlib.md5(f"{j}:{t}".encode()).hexdigest() for t in tset)
+                for j in range(8)
+            ]
+            assert sigs[i] == want_sig, i
+        else:
+            assert i not in sigs  # token-less docs have no signature
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in tset]
+        want_sh = 0
+        for b in range(16):
+            if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+                want_sh |= 1 << b
+        assert shs[i] == want_sh, i
