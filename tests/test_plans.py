@@ -121,7 +121,12 @@ def test_dd3p_pair_shuffle_never_carries_signatures(spark):
     from tw_etl_spark.operators.dedup import minhash_lsh_pairs_portable
 
     d = read_table(spark, SF_SMOKE, "documents")
-    plan = explain_str(minhash_lsh_pairs_portable(d))
+    # Parameterization unique to this test: the operator cache()s its
+    # signature frame, and if another test already MATERIALIZED the
+    # same (num_hashes, bands) plan this session, explain renders the
+    # AQE final plan of the cached subtree and the exchange blocks
+    # move. A fresh parameterization keeps the pre-execution shape.
+    plan = explain_str(minhash_lsh_pairs_portable(d, num_hashes=8, bands=2))
     # formatted-explain operator details are blank-line-separated blocks
     pair_exchanges = [
         b

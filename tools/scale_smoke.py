@@ -84,3 +84,26 @@ from tw_etl_spark.operators.similarity import ann_ivfpq_topk
 qdf = v.filter(F.col("vec_id") < 100)
 res = ann_ivfpq_topk(qdf, v, k=3, n_lists=64, nprobe=4)
 print(f"IVF-PQ 100q x 80k corpus: {res.count()} results in {time.time()-t0:.1f}s")
+
+# round 8: portable minhash/simhash + classifier on the 200k-doc corpus
+t0 = time.time()
+from tw_etl_spark.operators.dedup import minhash_signatures_portable, simhash_portable_expr
+sig_n = minhash_signatures_portable(docs, num_hashes=16).count()
+print(f"portable minhash signatures 200k docs: {sig_n} in {time.time()-t0:.1f}s")
+
+t0 = time.time()
+sh_n = docs.select("doc_id", simhash_portable_expr(F.col("text")).alias("sh")).count()
+print(f"portable simhash 200k docs: {sh_n} in {time.time()-t0:.1f}s")
+
+t0 = time.time()
+from tw_etl_spark.operators.quality import hashed_linear_score_cols
+n_tokens, z, score, keep = hashed_linear_score_cols(F.col("text"))
+cls = docs.select("doc_id", z.alias("z"), keep.alias("keep"))
+print(f"hashed-linear classifier 200k docs: kept={cls.filter('keep').count()} in {time.time()-t0:.1f}s")
+
+# relational SemDeDup at 80k vectors, k=64 (k scales with n to bound
+# within-cluster pair cost: E[pairs] ~ n^2/k)
+t0 = time.time()
+from tw_etl_spark.operators.dedup import semantic_dedup_relational
+sd = semantic_dedup_relational(v, k=64, threshold=0.999)
+print(f"relational SemDeDup 80k vecs k=64: survivors={sd.filter('survived').count()} in {time.time()-t0:.1f}s")

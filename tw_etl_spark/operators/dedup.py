@@ -415,7 +415,13 @@ def minhash_lsh_pairs(
     verification touches each surviving pair once.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes).cache()
+    # localCheckpoint, not cache(): the signature frame is read three
+    # times (banding + both re-attach sides), but a CacheManager entry
+    # outlives the call and accumulates across invocations in a
+    # long-lived session (the round-5 storage-leak lesson from
+    # _bitmask_groups); checkpoint blocks are freed by the
+    # ContextCleaner once the caller drops the returned plan.
+    sig = minhash_signatures(df, id_col, text_col, num_hashes).localCheckpoint()
     banded = sig.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -513,7 +519,9 @@ def minhash_lsh_pairs_portable(
     comma-joined signature slice. Same shuffle discipline: bands move
     (doc, band, bucket) only; signatures re-attach after the distinct."""
     r = num_hashes // bands
-    sig = minhash_signatures_portable(df, id_col, text_col, num_hashes).cache()
+    # localCheckpoint for the same storage-hygiene reason as
+    # minhash_lsh_pairs (see note there).
+    sig = minhash_signatures_portable(df, id_col, text_col, num_hashes).localCheckpoint()
     banded = sig.select(
         F.col(id_col).alias("doc"),
         F.explode(
