@@ -151,3 +151,24 @@ def test_e2_from_json_string_encoded_numbers_pinned(spark):
     events = read_table(spark, SF_SMOKE, "events")
     quoted = events.filter(F.col("props").rlike(r'"k"\s*:\s*"')).count()
     assert quoted == 0, "fixture now string-encodes props.k; e2 oracle will diverge"
+
+
+def test_kmv_distinct_exact_branch_and_error(spark):
+    """KMV sketch (a9's operator): groups with < k distinct values are
+    EXACT (the sketch saw everything); groups far past k estimate
+    within the sketch's standard error (~1/sqrt(k-2) ≈ 12.7% at k=64,
+    asserted at 3 sigma)."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(0, 20_000).select(
+        F.when(F.col("id") < 30, "small").otherwise("big").alias("g"),
+        # 30 distinct values in 'small'; 5000 distinct in 'big'
+        F.when(F.col("id") < 30, F.col("id")).otherwise(F.col("id") % 5000).alias("v"),
+    )
+    got = {r.g: (r.est_distinct, r.n_exact_le_k) for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert got["small"] == (30.0, True)
+    est, exact_flag = got["big"]
+    assert not exact_flag
+    assert abs(est - 5000) / 5000 < 3 * 0.127, est

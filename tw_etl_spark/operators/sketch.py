@@ -1,0 +1,63 @@
+"""Portable cardinality sketches [EXT].
+
+``approx_count_distinct`` (a6) runs on Spark's HLL++ — the right
+100 TB tier (fixed-size sketch, mergeable map-side), but its bit
+layout has no DuckDB twin, so it verifies by error band only. This
+module adds the PORTABLE sketch tier: a K-Minimum-Values estimator
+(Bar-Yossef et al. 2002, "Counting distinct elements in a data
+stream") over the md5 hash family. KMV is deterministic given the
+hash: both engines pick the same k smallest hashes, so the ESTIMATE
+ITSELF sits under the cross-engine hash oracle (a7) — the same
+verification pattern as the dd3p/dd4p/dd8p portable twins.
+
+Estimator: hash every distinct value to u in (0,1) (first 12 md5 hex
+chars / 16^12); with d >= k distinct values the k-th smallest hash
+u_k estimates d as (k-1)/u_k; with d < k the sketch holds every
+value and the count is exact.
+
+Scale shape: one distinct on (group, 16-byte hash) — the same
+shuffle exact countDistinct pays — then a per-group top-k on the
+hash (partial-aggregated TakeOrdered shape via window row_number at
+small group counts). The 100 TB path for global cardinality stays
+HLL; KMV is the verification tier and the per-group estimator where
+the oracle contract matters more than sketch size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 16^12 — the hash-fraction denominator; 48 bits stays exact in a double.
+_KMV_DENOM = float(16**12)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Returns one row per group: (group_cols..., est_distinct,
+    n_exact_le_k) where ``est_distinct`` is exact when the group's
+    distinct count is < k (the sketch saw everything) and the KMV
+    estimate (k-1)/u_k otherwise, rounded to 4 decimals.
+    """
+    h = F.md5(F.col(value_col).cast("string")).alias("__h")
+    d = df.select(*group_cols, h).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    ranked = d.withColumn("__rn", F.row_number().over(w))
+    u_k = F.conv(F.substring(F.max(F.when(F.col("__rn") == k, F.col("__h"))), 1, 12), 16, 10).cast(
+        "double"
+    ) / F.lit(_KMV_DENOM)
+    nd = F.count(F.lit(1))
+    return ranked.groupBy(*group_cols).agg(
+        F.round(
+            F.when(nd < k, nd.cast("double")).otherwise(F.lit(float(k - 1)) / u_k),
+            4,
+        ).alias("est_distinct"),
+        (nd < k).alias("n_exact_le_k"),
+    )

@@ -480,6 +480,55 @@ def a6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a9_kmv_distinct",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h FROM events
+    ),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d
+    ),
+    g AS (
+        SELECT event_type, count(*) AS nd,
+               max(CASE WHEN rn = 64 THEN h END) AS hk
+        FROM r GROUP BY event_type
+    ),
+    x AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT g.event_type,
+           round(CASE WHEN nd < 64 THEN nd::DOUBLE
+                      ELSE 63.0 / (('0x' || substr(hk, 1, 12))::BIGINT
+                                   / 281474976710656.0) END, 4) AS est_distinct,
+           nd < 64 AS n_exact_le_k,
+           x.exact_distinct
+    FROM g JOIN x USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="K-Minimum-Values distinct-count sketch (Bar-Yossef et al. "
+    "2002) over the portable md5 hash family — the oracle-verifiable "
+    "twin of a6's HLL tier: both engines pick the same k=64 smallest "
+    "hashes, so the ESTIMATE itself (not just an error band) is "
+    "hash-compared, alongside the exact count for reference. Same "
+    "pattern as the dd3p/dd4p/dd8p portable twins; HLL stays the "
+    "100 TB tier (fixed-size mergeable sketch).",
+    tags=("agg", "approx", "sketch"),
+)
+def a9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sketch import kmv_distinct
+
+    e = _t(spark, sf_dir, "events")
+    est = kmv_distinct(e, ["event_type"], "user_id", k=64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+@register(
     "a7_pivot",
     oracle="""
     SELECT
