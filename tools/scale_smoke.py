@@ -102,7 +102,11 @@ cls = docs.select("doc_id", z.alias("z"), keep.alias("keep"))
 print(f"hashed-linear classifier 200k docs: kept={cls.filter('keep').count()} in {time.time()-t0:.1f}s")
 
 # relational SemDeDup at 80k vectors, k=64 (k scales with n to bound
-# within-cluster pair cost: E[pairs] ~ n^2/k)
+# within-cluster pair cost: E[pairs] ~ n^2/k). Measured r8: 180 s via
+# the blocked-matmul pair kernel (the JVM fold-per-pair join it
+# replaced ran >15 min before being killed); this synthetic corpus is
+# the worst case — threshold 0.999 with ~every vector a near-dup of
+# every other (66 survivors of 80k), so the candidate set is ~10^7 pairs.
 t0 = time.time()
 from tw_etl_spark.operators.dedup import semantic_dedup_relational
 sd = semantic_dedup_relational(v, k=64, threshold=0.999)
