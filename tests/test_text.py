@@ -389,3 +389,31 @@ def test_t15_classifier_matches_pure_python(spark):
         n, zv = got[doc_id]
         assert n == len([t for t in text.split(" ") if t])
         assert abs(zv - py_z(text)) < 2e-6, (doc_id, zv, py_z(text))
+
+
+def test_rolling_hash_portable_matches_pure_python(spark):
+    """t6p's fold == the hashlib/pure-python reference (the property the
+    list_reduce oracle pins, re-proven without SQL)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.text import rolling_hash_portable_expr
+
+    texts = [(0, "alpha beta gamma"), (1, ""), (2, "x"), (3, "a a a b")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r.rh
+        for r in df.select(
+            "doc_id", rolling_hash_portable_expr(F.col("text")).alias("rh")
+        ).collect()
+    }
+
+    def py_rh(text, base=31, mod=1_000_000_007):
+        h = 0
+        for t in [x for x in text.split(" ") if x]:
+            h = (h * base + int(hashlib.md5(t.encode()).hexdigest()[:8], 16)) % mod
+        return h
+
+    for doc_id, text in texts:
+        assert got[doc_id] == py_rh(text), doc_id

@@ -134,6 +134,25 @@ def rolling_hash_expr(text: Column, base: int = 31, mod: int = 1_000_000_007) ->
     )
 
 
+def rolling_hash_portable_expr(
+    text: Column, base: int = 31, mod: int = 1_000_000_007
+) -> Column:
+    """Portable twin of :func:`rolling_hash_expr`: the per-token integer
+    is the first 8 md5 hex chars as uint32 (reconstructible in DuckDB as
+    ``('0x'||substr(md5(t),1,8))::BIGINT``), so the whole Rabin-Karp
+    fold — seed 0, left-to-right, ``(acc*base + h) % mod`` — is
+    replayed verbatim by the t6p oracle via ``list_reduce``. Same
+    narrow-map scale shape; crc32 (t6) stays the cheaper engine tier."""
+    return F.aggregate(
+        tokens_expr(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * base + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        )
+        % mod,
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document text-analysis columns. The
     token array is materialized once as a temp column — four sibling

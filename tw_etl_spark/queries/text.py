@@ -222,6 +222,36 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t6p_rolling_hash_portable",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform({_TOKS},
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007
+           ) AS rhash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Rabin-Karp document fingerprint over the PORTABLE hash family "
+    "(md5-prefix uint32 per token): the DuckDB oracle replays the exact "
+    "fold via list_reduce, pinning every hash VALUE cross-engine — the "
+    "same portable-twin pattern as dd3p/dd4p/a9. t6 (crc32) stays the "
+    "cheaper engine tier.",
+    tags=("text", "hash", "ext"),
+)
+def t6p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.text import rolling_hash_portable_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", rolling_hash_portable_expr(F.col("text")).alias("rhash"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "t7_repetition_filter",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
