@@ -760,3 +760,69 @@ def ann_ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ann_lsh_portable_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN over a DETERMINISTIC md5-derived
+    hyperplane family — the hash-oracle twin of :func:`ann_lsh_topk`
+    (v3p). Plane p's weight i is ((md5("h:p:i")[:8] as uint32) % 2001
+    - 1000)/1000, so any engine with md5 derives the identical planes,
+    buckets, candidate sets, and (round-6, id-tiebroken) top-k — the
+    APPROXIMATE RESULT ITSELF is cross-engine-pinned, not just its
+    recall. Same shuffle shape as the engine tier: both sides shuffle
+    on the bucket, nothing broadcast, nothing driver-side (the plane
+    literals are planes x dim floats folded into the expression).
+
+    Single-table (recall tunable via ``planes``); the engine tier's
+    multi-table OR-amplification stays the production path.
+    """
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.functions.vectors import dot_expr, l2_norm_expr
+
+    dim = len(corpus.select(vec_col).first()[0])
+    w = [
+        [
+            (int(hashlib.md5(f"h:{p}:{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        norm = F.greatest(l2_norm_expr(v), F.lit(1e-12))
+        u = F.transform(v, lambda x: x / norm)
+        df = df.select(F.col(id_col).alias(out_id), u.alias("__u"))
+        bucket = F.lit(0).cast("long")
+        for p in range(planes):
+            wp = F.array(*[F.lit(x) for x in w[p]])
+            bucket = bucket + F.when(
+                dot_expr(F.col("__u"), wp) >= 0, F.lit(1 << p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return df.withColumn("__b", bucket)
+
+    q = prep(queries, "query_id")
+    c = prep(corpus, "cand_id").withColumnRenamed("__u", "__cu")
+    cand = q.join(
+        c.withColumnRenamed("__b", "__cb"),
+        (F.col("__b") == F.col("__cb")) & (F.col("query_id") != F.col("cand_id")),
+    )
+    sim = F.round(dot_expr(F.col("__u"), F.col("__cu")), 6)
+    ranked = cand.select("query_id", "cand_id", sim.alias("sim")).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("cand_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)

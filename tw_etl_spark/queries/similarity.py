@@ -61,6 +61,65 @@ def v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v3p_ann_lsh_portable",
+    oracle="""
+    WITH planes AS (
+        SELECT p.range AS p,
+               list_transform(range(64), i ->
+                   (((('0x' || substr(md5('h:' || p.range::VARCHAR || ':'
+                        || i::VARCHAR), 1, 8))::BIGINT) % 2001) - 1000) / 1000.0
+               ) AS w
+        FROM range(6) p
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    u AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    b AS (
+        SELECT vec_id, u,
+               sum(CASE WHEN list_dot_product(u, w) >= 0
+                        THEN 1::BIGINT << p ELSE 0 END) AS bucket
+        FROM u CROSS JOIN planes
+        GROUP BY vec_id, u
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round(list_dot_product(q.u, c.u), 6) AS sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+    )
+    SELECT query_id, cand_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id
+        ) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="Random-hyperplane LSH ANN over DETERMINISTIC md5-derived "
+    "hyperplanes (6 planes, single table): planes, sign buckets, "
+    "candidate sets, and the round-6/id-tiebroken top-3 re-rank are "
+    "all reconstructed by the DuckDB oracle, so the APPROXIMATE "
+    "RESULT ITSELF hash-matches cross-engine — the portable-twin "
+    "pattern (dd3p/dd4p/dd8p/a9/t6p) applied to ANN. Same shuffle "
+    "shape as v3 (both sides shuffle on bucket, nothing broadcast); "
+    "the engine tier's multi-table OR-amplification stays the recall "
+    "path.",
+    tags=("vector", "ann", "ext"),
+)
+def v3p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.similarity import ann_lsh_portable_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    return ann_lsh_portable_topk(q, v, planes=6, k=3).orderBy("query_id", "rank")
+
+
+@register(
     "v4_ann_ivf",
     oracle=None,  # approximate; recall vs exact asserted in tests/test_similarity.py
     doc="IVF-partitioned ANN (k-means coarse quantizer over a bounded "
