@@ -499,3 +499,45 @@ def test_semantic_dedup_relational_sanity(spark):
         for r in semantic_dedup_relational(df, k=4, threshold=0.999).collect()
     }
     assert out == out2
+
+
+def test_within_cluster_pairs_matches_bruteforce(spark):
+    """The blocked-matmul pair kernel must emit EXACTLY the pairs a
+    naive per-pair dot join emits: same threshold semantics (epsilon
+    prefilter + authoritative rounded verify), within-cluster only —
+    a cross-cluster exact duplicate must NOT pair."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import within_cluster_pairs
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=6)
+        rows.append((i, i % 3, [float(x) for x in v / np.linalg.norm(v)]))
+    # inject near-dups within cluster 0 and across clusters (the
+    # cross-cluster pair must NOT appear)
+    rows.append((100, 0, rows[0][2]))
+    rows.append((101, 1, rows[0][2]))
+    df = spark.createDataFrame(rows, "id long, cluster int, u array<double>")
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in within_cluster_pairs(df, "id", "u", "cluster", 0.8).collect()
+    }
+    # brute force reference in python
+    by_c = {}
+    for i, c, v in rows:
+        by_c.setdefault(c, []).append((i, np.array(v)))
+    want = set()
+    for c, mem in by_c.items():
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                ia, va = mem[x]
+                ib, vb = mem[y]
+                # same rounded-fold contract as the operator
+                if round(float(sum(va[k] * vb[k] for k in range(6))), 6) >= 0.8:
+                    want.add((min(ia, ib), max(ia, ib)))
+    assert got == want and (0, 100) in got and (0, 101) not in got
