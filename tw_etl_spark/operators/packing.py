@@ -30,11 +30,19 @@ def pack_sequences(
     count_col: str,
     budget: int,
     num_buckets: int = 32,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """Assign each row a pack id such that per-pack token counts stay
     ≤ ``budget`` (a single row larger than the budget gets a pack of its
     own). Returns (id_col, n_tok, pack_id, bucket). Deterministic: the
-    same inputs always produce the same packing."""
+    same inputs always produce the same packing — first-fit-decreasing
+    within each hash bucket, rows ordered (count desc, id asc).
+
+    ``bucket_hash="md5"`` buckets by the portable md5-prefix hash
+    instead of xxhash64, making the WHOLE assignment replayable by the
+    DuckDB oracle (x3p: a recursive CTE simulates the per-bucket FFD
+    fold state — remaining-room list — step by step). xxhash64 stays
+    the default (cheaper, engine tier)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -74,7 +82,14 @@ def pack_sequences(
     prepared = df.select(
         F.col(id_col),
         F.col(count_col).cast("bigint").alias("__n"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets))
+        (
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets))
+            if bucket_hash == "xxhash64"
+            else F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % num_buckets
+        )
         .cast("int")
         .alias("__bucket"),
     )

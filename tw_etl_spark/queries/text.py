@@ -388,6 +388,74 @@ def x3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x3p_sequence_packing_portable",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 32) AS bucket
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, n, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY n DESC, doc_id) AS rn
+        FROM base
+    ),
+    counts AS (SELECT bucket, max(rn) AS mx FROM ordered GROUP BY bucket),
+    sim(bucket, step, rem, assigns) AS (
+        SELECT bucket, 0, []::BIGINT[], []::BIGINT[] FROM counts
+        UNION ALL
+        SELECT s.bucket, s.step + 1,
+               CASE WHEN d.n > 256 THEN list_append(s.rem, 0::BIGINT)
+                    WHEN fit.fi IS NULL THEN list_append(s.rem, 256 - d.n)
+                    ELSE list_transform(range(len(s.rem)),
+                            q -> CASE WHEN q = fit.fi THEN s.rem[q + 1] - d.n
+                                      ELSE s.rem[q + 1] END)
+               END,
+               list_append(s.assigns,
+                   CASE WHEN d.n > 256 OR fit.fi IS NULL
+                        THEN len(s.rem)::BIGINT ELSE fit.fi END)
+        FROM sim s
+        JOIN counts c ON c.bucket = s.bucket AND s.step < c.mx
+        JOIN ordered d ON d.bucket = s.bucket AND d.rn = s.step + 1
+        CROSS JOIN LATERAL (
+            SELECT list_filter(
+                       list_transform(range(len(s.rem)),
+                           q -> CASE WHEN s.rem[q + 1] >= d.n THEN q END),
+                       x -> x IS NOT NULL)[1] AS fi
+        ) fit
+    ),
+    final AS (
+        SELECT s.bucket, s.assigns FROM sim s
+        JOIN counts c ON c.bucket = s.bucket AND s.step = c.mx
+    )
+    SELECT o.doc_id, o.n AS n_tok,
+           o.bucket::INT AS bucket,
+           o.bucket::VARCHAR || '_' || f.assigns[o.rn]::VARCHAR AS pack_id
+    FROM ordered o JOIN final f ON f.bucket = o.bucket
+    ORDER BY o.doc_id
+    """,
+    doc="First-fit-decreasing sequence packing under the FULL hash "
+    "oracle: portable md5-prefix bucketing, and a recursive CTE that "
+    "replays the per-bucket FFD fold — the remaining-room list evolves "
+    "step by step exactly as the Arrow-batched packer's loop — so "
+    "every (doc -> pack) ASSIGNMENT is cross-engine-pinned, not just "
+    "the packing invariants. Recursion depth = max docs per bucket "
+    "(docs/32). x3 (xxhash64 buckets, summary stats) stays the engine "
+    "tier.",
+    tags=("pipeline", "packing", "ext"),
+)
+def x3p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(
+        d, "doc_id", "n_tok", budget=256, num_buckets=32, bucket_hash="md5"
+    ).orderBy("doc_id")
+
+
+@register(
     "t9_token_entropy",
     oracle=f"""
     WITH t AS (
