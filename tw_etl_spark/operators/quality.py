@@ -426,7 +426,11 @@ def hashed_linear_score_cols(
     this runs at scan speed like the Gopher/C4 batteries.
     """
 
-    def weight(tk: Column) -> Column:
+    def weight_milli(tk: Column) -> Column:
+        # Integer milli-weights (h % 2001 - 1000 in [-1000, 1000]): the
+        # fold accumulates exact BIGINTs, so the sum is order-independent
+        # and the single final division is the only float op — no signed
+        # zeros, no round-at-boundary flips from partition order.
         bucket = (
             F.conv(F.substring(F.md5(tk), 1, 4), 16, 10).cast("long")
             % F.lit(n_buckets)
@@ -434,18 +438,29 @@ def hashed_linear_score_cols(
         h = F.conv(
             F.substring(F.md5(F.concat(F.lit("w:"), bucket)), 1, 8), 16, 10
         ).cast("long")
-        return (h % 2001 - 1000).cast("double") / 1000.0
+        return h % 2001 - 1000
 
     toks = tokens_expr(text)
     z = let_expr(
         toks,
         lambda ts: F.when(
             F.size(ts) > 0,
-            F.aggregate(ts, F.lit(0.0), lambda acc, t: acc + weight(t))
-            / F.size(ts).cast("double"),
+            F.aggregate(
+                ts,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + weight_milli(t),
+            ).cast("double")
+            / (F.lit(1000.0) * F.size(ts).cast("double")),
         ).otherwise(F.lit(0.0)),
     ) + F.lit(bias)
     n_tokens = F.size(toks).cast("bigint")
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     keep = F.round(z, 6) >= 0
-    return n_tokens, F.round(z, 6), F.round(score, 6), keep
+    # + 0.0 normalizes IEEE -0.0 -> +0.0 (identity for every other value)
+    # so cross-engine value hashes can't diverge on signed zero.
+    return (
+        n_tokens,
+        F.round(z, 6) + F.lit(0.0),
+        F.round(score, 6) + F.lit(0.0),
+        keep,
+    )

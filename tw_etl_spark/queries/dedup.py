@@ -183,7 +183,7 @@ def dd3p(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc, sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
         FROM votes GROUP BY doc
     )
-    SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+    SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
     FROM documents d LEFT JOIN sh ON sh.doc = d.doc_id
     ORDER BY d.doc_id
     """,

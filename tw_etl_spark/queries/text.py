@@ -770,19 +770,23 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest({_TOKS}) AS tk FROM documents
     ), feats AS (
         SELECT doc_id,
-               ((('0x' || substr(md5('w:' ||
+               (('0x' || substr(md5('w:' ||
                      (('0x' || substr(md5(tk), 1, 4))::BIGINT % 1024)::VARCHAR
-                   ), 1, 8))::BIGINT % 2001 - 1000) / 1000.0) AS w
+                   ), 1, 8))::BIGINT % 2001 - 1000) AS w_milli
         FROM toks
     ), agg AS (
-        SELECT doc_id, sum(w) / count(*) AS z,
+        -- exact integer accumulation, one float division at the end:
+        -- order-independent, so no signed-zero / rounding-boundary
+        -- divergence vs Spark's array-order fold
+        SELECT doc_id,
+               sum(w_milli)::BIGINT::DOUBLE / (1000.0 * count(*)) AS z,
                CAST(count(*) AS BIGINT) AS n_tokens
         FROM feats GROUP BY doc_id
     )
     SELECT d.doc_id,
            coalesce(a.n_tokens, 0) AS n_tokens,
-           round(coalesce(a.z, 0.0), 6) AS z,
-           round(1 / (1 + exp(-coalesce(a.z, 0.0))), 6) AS score,
+           round(coalesce(a.z, 0.0), 6) + 0.0 AS z,
+           round(1 / (1 + exp(-coalesce(a.z, 0.0))), 6) + 0.0 AS score,
            round(coalesce(a.z, 0.0), 6) >= 0 AS keep
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id
