@@ -270,3 +270,99 @@ def test_portable_hash_family_property(spark, token_docs):
             if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
                 want_sh |= 1 << b
         assert shs[i] == want_sh, i
+
+
+# ---------------------------------------------------------------------------
+# Round 9: order-independence of the hash-oracle twins' float folds.
+# The r8 regressions (t15 -0.0, dd4p type widening) came from
+# order-dependent float sums diverging between Spark's partition order
+# and DuckDB's scan order.  The fix is exact integer accumulation; these
+# tests pin it by permuting partitioning/row order and asserting the
+# stringified output (the same canonical form the strict oracle harness
+# hashes) is identical.
+# ---------------------------------------------------------------------------
+
+
+def _stringify(df):
+    from tests.oracle_utils import stringify_frame
+
+    return stringify_frame(df.toPandas())
+
+
+def test_t15_scores_order_independent(spark):
+    from tests.conftest import SF_SMOKE
+    from tw_etl_spark.catalog import table_path
+    from tw_etl_spark.operators.quality import hashed_linear_score_cols
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+
+    def score(df):
+        n_tokens, z, sc, keep = hashed_linear_score_cols(F.col("text"))
+        return df.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            z.alias("z"),
+            sc.alias("score"),
+            keep.alias("keep"),
+        )
+
+    base = _stringify(score(docs))
+    permuted = _stringify(
+        score(
+            docs.repartition(7, F.md5(F.col("doc_id").cast("string")))
+            .sortWithinPartitions(F.col("doc_id").desc())
+        )
+    )
+    assert base == permuted
+
+
+def test_dd8p_lloyd_means_order_independent(spark):
+    from tests.conftest import SF_SMOKE
+    from tw_etl_spark.catalog import table_path
+    from tw_etl_spark.operators.dedup import semantic_dedup_relational
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(table_path(SF_SMOKE, "embeddings"))
+    base = _stringify(
+        semantic_dedup_relational(emb).orderBy("id")
+    )
+    permuted = _stringify(
+        semantic_dedup_relational(
+            emb.repartition(11, F.md5(F.col("vec_id").cast("string")))
+            .sortWithinPartitions(F.col("vec_id").desc())
+        ).orderBy("id")
+    )
+    assert base == permuted
+
+
+def test_t15_oracle_scan_order_independent():
+    """The DuckDB side of the same property: feed the t15 oracle's
+    aggregation a permuted scan order and assert identical z values —
+    exact integer accumulation makes sum order irrelevant."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import NULL, _cell_str
+    from tw_etl_spark.catalog import TABLES, table_path
+    from tw_etl_spark.queries import all_queries
+
+    sql = all_queries()["t15_quality_classifier"].oracle
+
+    def run(order_by: str):
+        con = duckdb.connect()
+        for t in TABLES:
+            src = f"read_parquet('{table_path(SF_SMOKE, t)}')"
+            if t == "documents":
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM {src} {order_by}"
+                )
+            else:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        out = con.execute(sql).df()
+        return [
+            tuple(_cell_str(v) for v in row)
+            for row in out.itertuples(index=False, name=None)
+        ]
+
+    assert run("") == run("ORDER BY md5(doc_id::VARCHAR)")

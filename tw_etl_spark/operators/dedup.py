@@ -1105,8 +1105,10 @@ def semantic_dedup_relational(
     2. seed centroids = unit vectors of the ``k`` smallest ids;
     3. assign each vector to the nearest centroid (squared L2,
        ties -> smallest cluster index, via a strictly-less fold);
-    4. ONE Lloyd update: centroid = element-wise mean of its members,
-       rounded to 9 decimals (absorbs cross-engine sum-order noise);
+    4. ONE Lloyd update: centroid = element-wise mean of its members
+       via scaled-integer accumulation (round(u*1e9) as BIGINT, exact
+       sum, one final division) — order-independent by construction,
+       so no cross-engine sum-order divergence is possible;
     5. reassign against the updated centroids;
     6. within-cluster cosine pairs (unit dot) >= ``threshold``;
     7. min-label components -> survivor = component representative.
@@ -1164,14 +1166,27 @@ def semantic_dedup_relational(
         )
 
     a1 = unit.select("id", "u", assign(seeds).alias("c1"))
-    # one Lloyd step: element-wise member mean, rounded to kill
-    # cross-engine float-sum-order noise; empty clusters drop out on
-    # both sides identically.
+    # one Lloyd step: element-wise member mean via SCALED-INTEGER
+    # accumulation — each coordinate is quantized to nano-units
+    # (round(u*1e9) as BIGINT, exact for any partition/scan order),
+    # summed exactly, and divided once at the end.  A float sum here
+    # would be partition-order-dependent on the Spark side and
+    # scan-order-dependent in the DuckDB oracle; rounding the mean
+    # cannot repair a sum that already differs at the last ulp.
+    # Overflow bound: |u| <= 1 so |sum| <= 1e9 * members — safe for
+    # clusters below ~9.2e9 rows.  Empty clusters drop out on both
+    # sides identically.
     mean_rows = (
         a1.groupBy("c1")
         .agg(
             *[
-                F.round(F.sum(F.col("u")[i]) / F.count(F.lit(1)), 9).alias(f"m{i}")
+                F.round(
+                    F.sum(
+                        F.round(F.col("u")[i] * 1e9, 0).cast("long")
+                    ).cast("double")
+                    / (F.lit(1e9) * F.count(F.lit(1)).cast("double")),
+                    9,
+                ).alias(f"m{i}")
                 for i in range(dim)
             ]
         )

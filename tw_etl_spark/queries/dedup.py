@@ -512,8 +512,12 @@ def dd9(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     ),
     m AS (
+        -- scaled-integer Lloyd mean: quantize to nano-units, sum
+        -- exactly (order-independent), divide once — mirrors the Spark
+        -- side bit for bit regardless of scan/partition order
         SELECT c1, g.range AS i,
-               round(sum(u[g.range + 1]) / count(*), 9) AS mv
+               round(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT::DOUBLE
+                     / (1e9 * count(*)), 9) AS mv
         FROM a1 CROSS JOIN range(64) g
         GROUP BY c1, g.range
     ),
@@ -560,8 +564,9 @@ def dd9(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SemDeDup under the FULL hash oracle: the relational twin of "
     "dd8 (semantic_dedup_relational) — unit-normalize, k=8 fixed seed "
     "centroids (smallest ids), nearest-centroid assignment with "
-    "deterministic tie-break, ONE Lloyd update (means rounded to 9 "
-    "decimals to absorb cross-engine sum-order noise), reassignment, "
+    "deterministic tie-break, ONE Lloyd update (means via exact "
+    "scaled-integer accumulation — order-independent on both engines), "
+    "reassignment, "
     "within-cluster cosine pairs >= 0.4, min-label components -> "
     "survivor flag. The oracle replays every step including the "
     "component labeling (recursive CTE), so clustering, assignment "
