@@ -947,3 +947,40 @@ def test_idempotent_sink_replay_never_duplicates(spark):
         assert got == [0, 1, 2, 3, 4, 100, 101, 102, 103]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_event_time_fire_boundary(spark):
+    """The event-time watchdog fires STRICTLY when deadline < watermark:
+    a deadline exactly equal to the final watermark does NOT fire. This
+    pins the boundary the st4 oracle encodes (epoch_ms(last_ts) + T <
+    epoch_ms(t_max) - delay). T=10 min, delay=1 min, global max ts =
+    m(100) -> final watermark m(99)."""
+    import datetime
+
+    from tw_etl_spark.streaming.state_machine import TIMEOUT_SEQ
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda k: t0 + datetime.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        ("s_eq", "online", 0, False, 3, 1, m(89)),  # deadline m(99) == wm
+        ("s_lt", "online", 0, False, 3, 2, m(80)),  # deadline m(90) < wm
+        ("s_gt", "online", 0, False, 3, 3, m(95)),  # deadline m(105) > wm
+        ("s_wm", "online", 0, False, 3, 4, m(100)),  # drives the watermark
+    ]
+    d = tempfile.mkdtemp(prefix="bnd_")
+    try:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, "b1")
+        )
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(os.path.join(d, "*"))
+        out = retry_machine_stream(
+            stream, timeout_ms=600_000, event_time=True, watermark="1 minute"
+        )
+        fired = {
+            r.stream_id
+            for r in run_stream_to_memory(out, "bnd_out", "append").collect()
+            if r.seq == TIMEOUT_SEQ
+        }
+        assert fired == {"s_lt"}  # equality does not fire; only strict-less
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1088,6 +1088,103 @@ def duplicate_spans(
     )
 
 
+def unit_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, u) with u = v / max(||v||, 1e-12) in double precision —
+    index-order fold, IEEE bit-compatible with DuckDB's
+    ``list_dot_product``-based normalization."""
+    from tw_etl_spark.functions.vectors import l2_norm_expr
+
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.greatest(l2_norm_expr(v), F.lit(1e-12))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(v, lambda x: x / norm).alias("u"),
+    )
+
+
+def kmeans_dists_expr(cents: list[list[float]], u_col: str = "u") -> Column:
+    """array of squared-L2 distances from ``u_col`` to each literal
+    centroid, each an index-order fold (engine-reconstructible)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(u_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            for c in cents
+        ]
+    )
+
+
+def kmeans_assign_expr(cents: list[list[float]], u_col: str = "u") -> Column:
+    """argmin_j ||u - c_j||^2 with first-wins (smallest j) ties —
+    a strictly-less fold over the literal-centroid distance array, so
+    both the arithmetic and the tie-break are engine-reconstructible.
+    Shared by dd8p (semantic dedup) and v4p (portable IVF)."""
+    from tw_etl_spark.operators.text import let_expr
+
+    dists = kmeans_dists_expr(cents, u_col)
+    return let_expr(
+        dists,
+        lambda ds: F.aggregate(
+            F.sequence(F.lit(1), F.lit(len(cents) - 1)),
+            F.struct(F.element_at(ds, 1).alias("d"), F.lit(0).alias("j")),
+            lambda acc, i: F.when(
+                F.element_at(ds, i + 1) < acc["d"],
+                F.struct(F.element_at(ds, i + 1).alias("d"), i.alias("j")),
+            ).otherwise(acc),
+        )["j"],
+    )
+
+
+def relational_kmeans_centroids(
+    unit: DataFrame, k: int
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Oracle-replayable k-means: seed centroids = unit vectors of the
+    ``k`` smallest ids, then ONE Lloyd update whose element-wise member
+    means use SCALED-INTEGER accumulation — each coordinate quantized to
+    nano-units (round(u*1e9) as BIGINT, exact for any partition/scan
+    order), summed exactly, divided once at the end.  A float sum here
+    would be partition-order-dependent on the Spark side and
+    scan-order-dependent in the DuckDB oracle; rounding the mean cannot
+    repair a sum that already differs at the last ulp.  Overflow bound:
+    |u| <= 1 so |sum| <= 1e9 * members — safe for clusters below
+    ~9.2e9 rows.  Empty clusters drop out (dense renumber) on both
+    sides identically.
+
+    Returns (seeds, updated_centroids); both collects are k-row bounded.
+    """
+    seeds = [list(r.u) for r in unit.orderBy("id").limit(k).collect()]
+    dim = len(seeds[0])
+    a1 = unit.select("id", "u", kmeans_assign_expr(seeds).alias("c1"))
+    mean_rows = (
+        a1.groupBy("c1")
+        .agg(
+            *[
+                F.round(
+                    F.sum(
+                        F.round(F.col("u")[i] * 1e9, 0).cast("long")
+                    ).cast("double")
+                    / (F.lit(1e9) * F.count(F.lit(1)).cast("double")),
+                    9,
+                ).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        )
+        .orderBy("c1")
+        .collect()
+    )
+    cents2 = [[float(r[f"m{i}"]) for i in range(dim)] for r in mean_rows]
+    return seeds, cents2
+
+
 def semantic_dedup_relational(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1123,78 +1220,9 @@ def semantic_dedup_relational(
     :func:`within_cluster_pairs` (the verify stage keeps the oracle
     contract bit-identical).
     """
-    from tw_etl_spark.functions.vectors import l2_norm_expr
-    from tw_etl_spark.operators.text import let_expr
-
-    v = F.col(vec_col).cast("array<double>")
-    norm = F.greatest(l2_norm_expr(v), F.lit(1e-12))
-    unit = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(v, lambda x: x / norm).alias("u"),
-    )
-    seeds = [list(r.u) for r in unit.orderBy("id").limit(k).collect()]
-    dim = len(seeds[0])
-
-    def assign(cents: list[list[float]]) -> Column:
-        """argmin_j ||u - c_j||^2 with first-wins (smallest j) ties."""
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("u"),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                )
-                for c in cents
-            ]
-        )
-        return let_expr(
-            dists,
-            lambda ds: F.aggregate(
-                F.sequence(F.lit(1), F.lit(len(cents) - 1)),
-                F.struct(
-                    F.element_at(ds, 1).alias("d"), F.lit(0).alias("j")
-                ),
-                lambda acc, i: F.when(
-                    F.element_at(ds, i + 1) < acc["d"],
-                    F.struct(F.element_at(ds, i + 1).alias("d"), i.alias("j")),
-                ).otherwise(acc),
-            )["j"],
-        )
-
-    a1 = unit.select("id", "u", assign(seeds).alias("c1"))
-    # one Lloyd step: element-wise member mean via SCALED-INTEGER
-    # accumulation — each coordinate is quantized to nano-units
-    # (round(u*1e9) as BIGINT, exact for any partition/scan order),
-    # summed exactly, and divided once at the end.  A float sum here
-    # would be partition-order-dependent on the Spark side and
-    # scan-order-dependent in the DuckDB oracle; rounding the mean
-    # cannot repair a sum that already differs at the last ulp.
-    # Overflow bound: |u| <= 1 so |sum| <= 1e9 * members — safe for
-    # clusters below ~9.2e9 rows.  Empty clusters drop out on both
-    # sides identically.
-    mean_rows = (
-        a1.groupBy("c1")
-        .agg(
-            *[
-                F.round(
-                    F.sum(
-                        F.round(F.col("u")[i] * 1e9, 0).cast("long")
-                    ).cast("double")
-                    / (F.lit(1e9) * F.count(F.lit(1)).cast("double")),
-                    9,
-                ).alias(f"m{i}")
-                for i in range(dim)
-            ]
-        )
-        .orderBy("c1")
-        .collect()
-    )
-    cents2 = [[float(r[f"m{i}"]) for i in range(dim)] for r in mean_rows]
-    a2 = unit.select("id", "u", assign(cents2).alias("cluster"))
+    unit = unit_vectors(df, id_col, vec_col)
+    seeds, cents2 = relational_kmeans_centroids(unit, k)
+    a2 = unit.select("id", "u", kmeans_assign_expr(cents2).alias("cluster"))
 
     pairs = within_cluster_pairs(a2, "id", "u", "cluster", threshold)
     labels = connected_components(pairs, "id_a", "id_b")

@@ -826,3 +826,90 @@ def ann_lsh_portable_topk(
         ),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def ann_ivf_portable_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """IVF ANN whose every intermediate is engine-reconstructible — the
+    hash-oracle twin of :func:`ann_ivf_topk` (v4p), built on dd8p's
+    relational k-means (operators.dedup.relational_kmeans_centroids:
+    fixed smallest-id seeds + ONE Lloyd step with exact scaled-integer
+    means).  Coarse quantizer, inverted-list assignment, nprobe probe
+    lists, candidate join, and the round-6/id-tiebroken exact re-rank
+    are all replayed verbatim by the DuckDB oracle, so the APPROXIMATE
+    RESULT ITSELF is cross-engine-pinned — the same step v3p took for
+    LSH.  The engine tier (numpy kmeans, Arrow-batched assignment)
+    remains the production path; this twin fixes n_lists=k-means-k.
+
+    Plan shape matches the engine tier: both assignments are
+    SHUFFLE-FREE narrow maps (centroid literals ride in the
+    expression), the candidate join hash-partitions both sides on
+    list_id, candidate volume = |corpus| * nprobe / n_lists per query.
+    """
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.functions.vectors import dot_expr
+    from tw_etl_spark.operators.dedup import (
+        kmeans_assign_expr,
+        kmeans_dists_expr,
+        relational_kmeans_centroids,
+        unit_vectors,
+    )
+    from tw_etl_spark.operators.text import let_expr
+
+    uc = unit_vectors(corpus, id_col, vec_col)
+    _, cents = relational_kmeans_centroids(uc, n_lists)
+    nprobe = min(nprobe, len(cents))
+
+    c = uc.select(
+        F.col("id").alias("cand_id"),
+        F.col("u").alias("cu"),
+        kmeans_assign_expr(cents).alias("list_id"),
+    )
+    # query side probes its nprobe nearest lists: sort (dist, j) struct
+    # array — Spark array_sort orders structs field-by-field, matching
+    # the oracle's ORDER BY dist, j — and explode the first nprobe js.
+    probes = let_expr(
+        kmeans_dists_expr(cents),
+        lambda ds: F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                        lambda j: F.struct(
+                            F.element_at(ds, j + 1).alias("d"), j.alias("j")
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+            lambda s: s["j"],
+        ),
+    )
+    q = unit_vectors(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("u").alias("qu"),
+        F.explode(probes).alias("list_id"),
+    )
+
+    # corpus rows live in exactly ONE list and probe lists are distinct,
+    # so (query, cand) pairs are unique — no dedup needed before ranking
+    cand = q.join(c, "list_id").filter(F.col("query_id") != F.col("cand_id"))
+    sim = F.round(dot_expr(F.col("qu"), F.col("cu")), 6) + F.lit(0.0)
+    ranked = cand.select(
+        "query_id", "cand_id", sim.alias("sim")
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("cand_id")))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rank") <= k)

@@ -104,6 +104,18 @@ def register(
 # by t8's explode+count+join; d1 stays bench-timed at sf0.1/sf1 +
 # pytest-oracle) and u1_scalar_udfs (UDF surface keeps three driver
 # slots u2/u3/u4; u1 stays pytest-oracle with its Arrow-parity unit).
+# Round-9 rotation (VERDICT r8 #4/#8): in — v4p_ann_ivf_portable (IVF
+# ANN lifted to the hash-oracle tier: dd8p's relational k-means as the
+# coarse quantizer, inverted lists / nprobe probes / exact re-rank all
+# replayed by the oracle — closes the last recall-only ANN family) and
+# st4_event_time_watchdog (the R19 event-time watchdog timer — the one
+# streaming behavior previously outside the driver window — with the
+# transition table AND the ms-precision fire rule pinned relationally);
+# out — dd6_neardup_components (component labeling stays driver-covered
+# by dd7_neardup_survivors, which consumes the same components, and by
+# dd8p's recursive-CTE labeling; dd6 stays pytest-oracle) and
+# v2_knn_exact (per-query ranked cosine top-k stays driver-covered by
+# v1 pairs + v4p's exact re-rank; v2 stays pytest-oracle + bench-timed).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
@@ -119,15 +131,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d2_exact_dedup",
     "v1_cosine_top_pairs",
     "e5_gap_fill_locf",
-    # -- dedup / similarity [EXT] (8)
+    # -- dedup / similarity [EXT] (7)
     "dd2_jaccard_neardup_pairs",
     "dd3p_minhash_lsh_portable",
     "dd4p_simhash_portable",
-    "dd6_neardup_components",
+    "v4p_ann_ivf_portable",
     "dd7_neardup_survivors",
     "dd8p_semantic_dedup_relational",
     "x2_leakage_aware_split",
-    "v2_knn_exact",
     # -- ETL / pipeline [EXT] (10)
     "p1_filename_parse",
     "io1_ingest_roundtrip",
@@ -138,7 +149,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x8_merge_upsert",
     "io2_columnar_roundtrip",
     "x10_scd2_merge",
-    # -- streaming (3)
+    # -- streaming (4)
+    "st4_event_time_watchdog",
     "st1_stream_hourly_rollup",
     "st2_stream_stateful_gauntlet",
     "st3_watermark_late_drop",

@@ -120,6 +120,109 @@ def v3p(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v4p_ann_ivf_portable",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
+        FROM unitv ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN seeds s
+        )
+    ),
+    a1 AS (
+        SELECT vec_id, u, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        -- scaled-integer Lloyd mean, identical to dd8p's oracle
+        SELECT c1, g.range AS i,
+               round(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT::DOUBLE
+                     / (1e9 * count(*)), 9) AS mv
+        FROM a1 CROSS JOIN range(64) g
+        GROUP BY c1, g.range
+    ),
+    cents2 AS (
+        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
+        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
+    ),
+    d2 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN cents2 s
+        )
+    ),
+    clist AS (
+        SELECT vec_id AS cand_id, u AS cu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, u AS qu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2 WHERE vec_id < 20
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT query_id, cand_id,
+               round(list_dot_product(qu, cu), 6) + 0.0 AS sim
+        FROM qprobe q JOIN clist c
+          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id
+        ) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="IVF ANN under the FULL hash oracle — the portable twin of v4, "
+    "closing the last recall-only-gated ANN family: dd8p's relational "
+    "k-means (smallest-id seeds + one Lloyd step with exact "
+    "scaled-integer means) is the coarse quantizer; inverted-list "
+    "assignment, nprobe=2 probe lists, the list_id candidate join, and "
+    "the round-6/id-tiebroken top-3 exact re-rank are all replayed by "
+    "the DuckDB oracle, so the APPROXIMATE RESULT ITSELF "
+    "hash-matches cross-engine. Same plan shape as v4: narrow-map "
+    "assignments (centroid literals in the expression), candidate join "
+    "hash-partitioned on list_id, volume |corpus|*nprobe/n_lists.",
+    tags=("vector", "ann", "ext"),
+)
+def v4p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.similarity import ann_ivf_portable_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    return ann_ivf_portable_topk(q, v, n_lists=8, nprobe=2, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
     "v4_ann_ivf",
     oracle=None,  # approximate; recall vs exact asserted in tests/test_similarity.py
     doc="IVF-partitioned ANN (k-means coarse quantizer over a bounded "

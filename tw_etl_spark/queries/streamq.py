@@ -445,3 +445,146 @@ def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("batch_id")
         .orderBy("win_start")
     )
+
+
+@register(
+    "st4_event_time_watchdog",
+    oracle="""
+    WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+    spans AS (
+        SELECT user_id,
+               min(ts) AS t_on,
+               max(ts) AS t_done,
+               1 + user_id % 3 AS retries,
+               (user_id % 5 = 0) AS poll,
+               (user_id % 2 = 0) AS has_done,
+               CASE WHEN user_id % 4 >= 2 THEN 1 ELSE 0 END AS dl_size
+        FROM e GROUP BY user_id
+    ),
+    gmax AS (SELECT max(ts) AS t_max FROM e),
+    st AS (
+        -- key state after replaying its (<= 2)-event log, transition
+        -- table = streaming/state_machine.py step(): download_done with
+        -- empty result stops a poll attempt, exhausts past retries,
+        -- else retries; non-empty continues (still active)
+        SELECT user_id, retries, poll,
+               CASE WHEN NOT has_done THEN TRUE
+                    WHEN dl_size <= 0 AND poll THEN FALSE
+                    WHEN 2 > retries THEN FALSE
+                    ELSE TRUE END AS active,
+               CASE WHEN NOT has_done THEN 1
+                    WHEN dl_size <= 0 AND poll THEN 0
+                    WHEN 2 > retries THEN 0
+                    ELSE 2 END AS retry_id,
+               CASE WHEN has_done THEN t_done ELSE t_on END AS last_ts
+        FROM spans
+    ),
+    emitted AS (
+        SELECT user_id, 1::BIGINT AS seq, 'start' AS action, 1 AS retry_id
+        FROM spans
+        UNION ALL
+        SELECT user_id, 2::BIGINT,
+               CASE WHEN dl_size <= 0 AND poll THEN 'stop_empty_poll'
+                    WHEN 2 > retries THEN 'exhausted_complete'
+                    WHEN dl_size <= 0 THEN 'retry'
+                    ELSE 'continue' END,
+               CASE WHEN dl_size <= 0 AND poll THEN 0
+                    WHEN 2 > retries THEN 0
+                    ELSE 2 END
+        FROM spans WHERE has_done
+        UNION ALL
+        -- watchdog fire: an active key fires exactly once, with the
+        -- empty-download transition, iff its deadline (ms-floored last
+        -- event time + 10 min) is STRICTLY below the final watermark
+        -- (ms-floored global max ts - 1 min). Both floors mirror the
+        -- engine: Spark tracks event-time stats in whole milliseconds
+        -- and fires timers with deadline < watermark (boundary pinned
+        -- by tests/test_streaming.py::test_event_time_fire_boundary).
+        SELECT s.user_id, CAST(-1 AS BIGINT),
+               CASE WHEN s.poll THEN 'stop_empty_poll'
+                    WHEN s.retry_id + 1 > s.retries THEN 'exhausted_complete'
+                    ELSE 'retry' END,
+               CASE WHEN s.poll THEN 0
+                    WHEN s.retry_id + 1 > s.retries THEN 0
+                    ELSE s.retry_id + 1 END
+        FROM st s, gmax g
+        WHERE s.active
+          AND epoch_ms(s.last_ts) + 600000 < epoch_ms(g.t_max) - 60000
+    )
+    SELECT user_id, seq, action, CAST(retry_id AS INTEGER) AS retry_id
+    FROM emitted ORDER BY user_id, seq
+    """,
+    doc="Event-time watchdog of the R19 retry machine, driver-scored "
+    "end to end — the reference's healthcheck TODO (manager.py:250-266) "
+    "as a DETERMINISTIC event-time timer. A crafted per-user event log "
+    "is derived from the events table (online at first activity; for "
+    "even users a download_done at last activity whose emptiness / "
+    "retry budget / poll-ness are user_id-derived, covering every "
+    "transition branch), streamed through "
+    "retry_machine_stream(event_time=True, watermark='1 minute', "
+    "T=10 min) via applyInPandasWithState + EventTimeTimeout under an "
+    "availableNow drain. Keys left active whose deadline passed the "
+    "final watermark fire exactly once with the empty-download "
+    "transition (seq=-1). The oracle replays the transition table AND "
+    "the fire rule relationally at the engine's own ms precision, so "
+    "keyed state, timer registration, and watermark arithmetic are all "
+    "under the cross-engine hash.",
+    tags=("streaming", "state", "watchdog", "timer"),
+)
+def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.streaming.state_machine import EVENT_SCHEMA, retry_machine_stream
+    from tw_etl_spark.streaming.windows import run_stream_to_memory
+
+    src, tag = _scratch(sf_dir, "st4")
+    u = F.col("user_id")
+    spans = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_on"), F.max("ts").alias("t_done"))
+        .select(
+            u.alias("uid"),
+            u.cast("string").alias("stream_id"),
+            (u % 5 == 0).alias("poll_attempt"),
+            (1 + u % 3).cast("int").alias("retries"),
+            "t_on",
+            "t_done",
+        )
+    )
+    online = spans.select(
+        "stream_id",
+        F.lit("online").alias("event"),
+        F.lit(0).cast("long").alias("size"),
+        "poll_attempt",
+        "retries",
+        F.lit(1).cast("long").alias("seq"),
+        F.col("t_on").alias("ts"),
+    )
+    done = spans.filter(F.col("uid") % 2 == 0).select(
+        "stream_id",
+        F.lit("download_done").alias("event"),
+        F.when(F.col("uid") % 4 >= 2, 1).otherwise(0).cast("long").alias("size"),
+        "poll_attempt",
+        "retries",
+        F.lit(2).cast("long").alias("seq"),
+        F.col("t_done").alias("ts"),
+    )
+    # single parquet file -> single data micro-batch, so the machine
+    # sees each key's full log at once and the fire schedule is the
+    # pure event-time function the oracle replays
+    online.unionByName(done).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    out = retry_machine_stream(
+        stream, timeout_ms=600_000, event_time=True, watermark="1 minute"
+    )
+    return (
+        run_stream_to_memory(out, f"st4_{tag}", "append")
+        .select(
+            F.col("stream_id").cast("bigint").alias("user_id"),
+            "seq",
+            "action",
+            F.col("retry_id").cast("int").alias("retry_id"),
+        )
+        .orderBy("user_id", "seq")
+    )

@@ -223,8 +223,11 @@ def retry_machine_stream(
     pending timer per key per batch, so HOW MANY deadlines a stuck key
     burns through depends only on the watermark trajectory: a
     single-batch ``availableNow`` drain fires each stuck key exactly
-    once iff ``last_ts + timeout_ms <= max(ts) - watermark_delay``
-    (pinned by tests/test_streaming.py::test_machine_event_time_timeout).
+    once iff ``last_ts + timeout_ms < max(ts) - watermark_delay``
+    (STRICTLY less, in whole milliseconds — a deadline exactly equal to
+    the final watermark does not fire; pinned by
+    tests/test_streaming.py::test_machine_event_time_timeout and
+    ::test_event_time_fire_boundary).
     Works under ``availableNow``: timers due at the final watermark
     fire in the engine's state-cleanup batch, then the query
     terminates — unlike ProcessingTimeTimeout, which never lets
