@@ -263,3 +263,42 @@ def test_j9_interval_join_pushes_filters_and_rechecks_exactly(spark):
     assert "CartesianProduct" not in plan
     # the exact interval predicate survives as the join residual
     assert "l_shipdate" in plan and ">= start" in plan and "< end" in plan
+
+
+def test_v4p_ivf_assignments_are_narrow_maps(spark):
+    """v4p's shuffle discipline: both centroid assignments ride as
+    literal-centroid expressions (zero exchanges on the corpus list
+    assignment), and the full query's only exchanges are the list_id
+    candidate join + the per-query rank window — never a shuffle of
+    the k-means itself (its two collects are k-row bounded)."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        kmeans_assign_expr,
+        relational_kmeans_centroids,
+        unit_vectors,
+    )
+    from tw_etl_spark.operators.similarity import ann_ivf_portable_topk
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    uc = unit_vectors(emb)
+    _, cents = relational_kmeans_centroids(uc, 4)
+    assigned = uc.select("id", kmeans_assign_expr(cents).alias("list_id"))
+    assert count_exchanges(assigned) == 0  # narrow map, scan speed
+
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = explain_str(ann_ivf_portable_topk(q, emb, n_lists=4, nprobe=2, k=3))
+    blocks = [b for b in plan.split("\n\n") if ") Exchange" in b]
+    # the candidate join either BROADCASTS the (small) probe side — the
+    # plan Catalyst picks here, ideal when |queries| << |corpus| — or
+    # hash-partitions both sides on list_id when stats flip it to SMJ;
+    # either way the only other exchange is the per-query rank window,
+    # and the corpus is never shuffled for the k-means itself
+    if "BroadcastHashJoin" in plan or "BroadcastExchange" in plan:
+        shuffles = [b for b in blocks if "BroadcastExchange" not in b]
+        assert len(shuffles) <= 1, f"unexpected extra shuffles:\n{plan}"
+    else:
+        assert len(blocks) <= 3, f"unexpected extra shuffles:\n{plan}"
+        assert sum("list_id" in b for b in blocks) >= 2, (
+            "non-broadcast candidate join must partition on list_id"
+        )

@@ -50,3 +50,26 @@ def test_every_oracle_plans_in_duckdb():
         except Exception as exc:
             bad.append((name, str(exc)[:200]))
     assert not bad, bad
+
+
+def test_documented_counts_match_registry():
+    """Single-source-of-truth guard (VERDICT r8 #7): the registry counts
+    documented in COVERAGE.md and README.md must equal what
+    ``all_queries()`` actually exposes. Docs carry the canonical phrase
+    '<N> registered' / '<M> oracle-bearing'; this test fails whenever a
+    registration lands without the docs being refreshed."""
+    import re
+
+    n_reg = len(_SPECS)
+    n_orc = sum(1 for s in _SPECS.values() if s.oracle is not None)
+    for path in ("COVERAGE.md", "README.md"):
+        text = open(path).read()
+        reg = re.search(r"(\d+) registered", text)
+        orc = re.search(r"(\d+) oracle-bearing", text)
+        assert reg and orc, f"{path}: canonical count phrases missing"
+        assert int(reg.group(1)) == n_reg, (
+            f"{path} says {reg.group(1)} registered; registry has {n_reg}"
+        )
+        assert int(orc.group(1)) == n_orc, (
+            f"{path} says {orc.group(1)} oracle-bearing; registry has {n_orc}"
+        )
