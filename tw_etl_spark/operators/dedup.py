@@ -1161,19 +1161,25 @@ def relational_kmeans_centroids(
 
     Returns (seeds, updated_centroids); both collects are k-row bounded.
     """
+    from tw_etl_spark.functions.rounding import exact_round_ratio
+
     seeds = [list(r.u) for r in unit.orderBy("id").limit(k).collect()]
     dim = len(seeds[0])
     a1 = unit.select("id", "u", kmeans_assign_expr(seeds).alias("c1"))
+    # mean in nano-units rounded to the nearest integer IN INTEGER
+    # ARITHMETIC (exact_round_ratio): s/c regularly lands on exact
+    # decimal halves where float round(x, 9) diverges cross-engine
     mean_rows = (
         a1.groupBy("c1")
         .agg(
             *[
-                F.round(
-                    F.sum(
-                        F.round(F.col("u")[i] * 1e9, 0).cast("long")
-                    ).cast("double")
-                    / (F.lit(1e9) * F.count(F.lit(1)).cast("double")),
-                    9,
+                (
+                    exact_round_ratio(
+                        F.sum(F.round(F.col("u")[i] * 1e9, 0).cast("long")),
+                        F.count(F.lit(1)),
+                        0,
+                    )
+                    / F.lit(1e9)
                 ).alias(f"m{i}")
                 for i in range(dim)
             ]

@@ -420,11 +420,18 @@ def hashed_linear_score_cols(
     weights is a lookup-table change, not a plan change.
 
     Returns (n_tokens, z, score, keep) columns where z is the mean
-    bucket weight plus ``bias``, score = sigmoid(z), keep = round(z,6)
-    >= 0. Scale shape: a pure per-row array fold — NO shuffle, no
-    Python, whole-stage codegen end to end (plan-asserted); at 100 TB
-    this runs at scan speed like the Gopher/C4 batteries.
+    bucket weight plus ``bias``, score = sigmoid(z), keep = z >= 0.
+    z is rounded to 6 digits via EXACT integer arithmetic
+    (functions.rounding.exact_round_ratio) — the milli-weight sum and
+    token count are exact integers, so z = s/(1000n) routinely lands on
+    exact decimal halves (s/96000 at sf0.1 did) where Spark's
+    shortest-repr rounding and DuckDB's binary-double rounding
+    disagree; rounding the true rational in integer space removes the
+    boundary entirely.  Scale shape: a pure per-row array fold — NO
+    shuffle, no Python, whole-stage codegen end to end (plan-asserted);
+    at 100 TB this runs at scan speed like the Gopher/C4 batteries.
     """
+    from tw_etl_spark.functions.rounding import exact_round_ratio
 
     def weight_milli(tk: Column) -> Column:
         # Integer milli-weights (h % 2001 - 1000 in [-1000, 1000]): the
@@ -441,26 +448,38 @@ def hashed_linear_score_cols(
         return h % 2001 - 1000
 
     toks = tokens_expr(text)
-    z = let_expr(
+
+    def milli_sum(ts: Column) -> Column:
+        return F.aggregate(
+            ts, F.lit(0).cast("long"), lambda acc, t: acc + weight_milli(t)
+        )
+
+    # exact 6-digit z: round-half-away of the true rational s/(1000n)
+    z6 = let_expr(
         toks,
         lambda ts: F.when(
             F.size(ts) > 0,
-            F.aggregate(
-                ts,
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + weight_milli(t),
-            ).cast("double")
+            exact_round_ratio(milli_sum(ts), F.size(ts).cast("long") * 1000, 6),
+        ).otherwise(F.lit(0.0)),
+    ) + F.lit(bias)
+    # unrounded z feeds the sigmoid (transcendental output: plain
+    # round-6 is safe — only exact integer ratios hit decimal halves)
+    z_raw = let_expr(
+        toks,
+        lambda ts: F.when(
+            F.size(ts) > 0,
+            milli_sum(ts).cast("double")
             / (F.lit(1000.0) * F.size(ts).cast("double")),
         ).otherwise(F.lit(0.0)),
     ) + F.lit(bias)
     n_tokens = F.size(toks).cast("bigint")
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    keep = F.round(z, 6) >= 0
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_raw))
+    keep = z6 >= 0
     # + 0.0 normalizes IEEE -0.0 -> +0.0 (identity for every other value)
     # so cross-engine value hashes can't diverge on signed zero.
     return (
         n_tokens,
-        F.round(z, 6) + F.lit(0.0),
+        z6 + F.lit(0.0),
         F.round(score, 6) + F.lit(0.0),
         keep,
     )

@@ -913,3 +913,276 @@ def ann_ivf_portable_topk(
         .cast("bigint"),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def cosine_topk_quantized_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Int8-quantized candidate cut + exact re-rank with every
+    intermediate engine-reconstructible — the hash-oracle twin of
+    :func:`cosine_topk_quantized` (v5p).  Components quantize to
+    round(u * 127) (|u| <= 1, so no data-dependent scale is needed);
+    the coarse score is an INTEGER dot product — exact, hence immune
+    to fold order on any engine — and the k*rerank_factor candidate
+    cut breaks ties by id.  Survivors re-rank on the exact float dot
+    (round 6, id tiebreak), so the output contract matches the engine
+    tier bit for bit where recall allows.
+
+    The twin scores |queries| x |corpus| pairs relationally (fine for
+    the pinned probe set); the engine tier's broadcast int8 matmul
+    remains the scale path — same quantizer, same cut rule.
+    """
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.functions.vectors import dot_expr
+    from tw_etl_spark.operators.dedup import unit_vectors
+
+    def prep(df: DataFrame, out_id: str, u_col: str, q_col: str) -> DataFrame:
+        u = unit_vectors(df, id_col, vec_col)
+        return u.select(
+            F.col("id").alias(out_id),
+            F.col("u").alias(u_col),
+            F.transform(
+                F.col("u"), lambda x: F.round(x * 127.0, 0).cast("long")
+            ).alias(q_col),
+        )
+
+    q = prep(queries, "query_id", "qu", "q8")
+    c = prep(corpus, "neighbor_id", "cu", "c8")
+    coarse = F.aggregate(
+        F.zip_with(F.col("q8"), F.col("c8"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qu", "cu", coarse.alias("coarse"))
+        .withColumn(
+            "cut",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("coarse"), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("cut") <= k * rerank_factor)
+    )
+    sim = F.round(dot_expr(F.col("qu"), F.col("cu")), 6) + F.lit(0.0)
+    return (
+        scored.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_sim"), F.col("neighbor_id")
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ann_ivfpq_portable_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 4,
+    k: int = 3,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ ANN with every stage engine-reconstructible — the
+    hash-oracle twin of :func:`ann_ivfpq_topk` (v6p).  Three pinned
+    stages, each reusing the relational k-means of dd8p/v4p
+    (operators.dedup.relational_kmeans_centroids):
+
+    1. coarse IVF exactly as v4p (n_lists, nprobe);
+    2. product quantization: the unit vector splits into ``m_sub``
+       subspaces; each subspace trains its own ``k_codes``-centroid
+       codebook (smallest-id seeds + one exact scaled-integer Lloyd
+       step) and every corpus row encodes to its nearest codeword
+       (first-wins ties) — ``m_sub`` codes instead of the full vector;
+    3. ADC scoring: candidate score = sum over subspaces of
+       dot(query_subvector, codeword[code]), folded in subspace order
+       (bitwise-identical on both engines); the k*rerank_factor
+       id-tiebroken survivors re-rank on the exact round-6 float dot.
+
+    The engine tier (numpy codebooks, uint8 codes in the shuffle, ADC
+    table lookup) remains the scale path; the twin pins the RESULT of
+    the same algorithm at fixed small parameters.
+    """
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.functions.vectors import dot_expr
+    from tw_etl_spark.operators.dedup import (
+        kmeans_assign_expr,
+        kmeans_dists_expr,
+        relational_kmeans_centroids,
+        unit_vectors,
+    )
+    from tw_etl_spark.operators.text import let_expr
+
+    uc = unit_vectors(corpus, id_col, vec_col)
+    dim = len(uc.select("u").first()[0])
+    sub_d = dim // m_sub
+    assert sub_d * m_sub == dim, "dim must split evenly into m_sub subspaces"
+
+    # --- stage 1: coarse IVF (shared construction with v4p) ---
+    _, coarse_cents = relational_kmeans_centroids(uc, n_lists)
+    nprobe = min(nprobe, len(coarse_cents))
+
+    # --- stage 2: per-subspace codebooks (k-row collects each) ---
+    codebooks = []  # codebooks[s] = list of k_codes centroids (sub_d floats)
+    for s in range(m_sub):
+        sub = uc.select(
+            "id", F.slice(F.col("u"), s * sub_d + 1, sub_d).alias("u")
+        )
+        _, cents_s = relational_kmeans_centroids(sub, k_codes)
+        codebooks.append(cents_s)
+
+    def codes_expr() -> Column:
+        return F.array(
+            *[
+                kmeans_assign_expr_on(
+                    codebooks[s], F.slice(F.col("u"), s * sub_d + 1, sub_d)
+                )
+                for s in range(m_sub)
+            ]
+        )
+
+    def kmeans_assign_expr_on(cents, sub_col):
+        # kmeans_assign_expr reads F.col("u"); rebind via a let over the
+        # subvector so each subspace's argmin fold sees its own slice
+        return let_expr(
+            sub_col,
+            lambda sv: F.aggregate(
+                F.sequence(F.lit(1), F.lit(len(cents) - 1)),
+                F.struct(_sqd(sv, cents[0]).alias("d"), F.lit(0).alias("j")),
+                lambda acc, i: let_expr(
+                    _dists_arr(sv, cents),
+                    lambda ds: F.when(
+                        F.element_at(ds, i + 1) < acc["d"],
+                        F.struct(
+                            F.element_at(ds, i + 1).alias("d"), i.alias("j")
+                        ),
+                    ).otherwise(acc),
+                ),
+            )["j"],
+        )
+
+    def _sqd(sv, c):
+        return F.aggregate(
+            F.zip_with(
+                sv,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def _dists_arr(sv, cents):
+        return F.array(*[_sqd(sv, c) for c in cents])
+
+    c = uc.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("u").alias("cu"),
+        kmeans_assign_expr(coarse_cents).alias("list_id"),
+        codes_expr().alias("codes"),
+    )
+
+    probes = let_expr(
+        kmeans_dists_expr(coarse_cents),
+        lambda ds: F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(len(coarse_cents) - 1)),
+                        lambda j: F.struct(
+                            F.element_at(ds, j + 1).alias("d"), j.alias("j")
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+            lambda st: st["j"],
+        ),
+    )
+    q = unit_vectors(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("u").alias("qu"),
+        F.explode(probes).alias("list_id"),
+    )
+
+    # --- stage 3: ADC scoring + exact re-rank ---
+    # nested literal: cents_lit[s][c] = codeword c of subspace s
+    cents_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cw])
+                    for cw in codebooks[s]
+                ]
+            )
+            for s in range(m_sub)
+        ]
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qu"), s * sub_d + 1, sub_d),
+                F.element_at(
+                    F.element_at(cents_lit, s + 1),
+                    F.element_at(F.col("codes"), s + 1) + 1,
+                ),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda a2, t: a2 + t,
+        ),
+    )
+    cand = (
+        q.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qu", "cu", adc.alias("adc"))
+        .withColumn(
+            "cut",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("adc"), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("cut") <= k * rerank_factor)
+    )
+    sim = F.round(dot_expr(F.col("qu"), F.col("cu")), 6) + F.lit(0.0)
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_sim"), F.col("neighbor_id")
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

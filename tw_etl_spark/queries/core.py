@@ -36,7 +36,7 @@ from tw_etl_spark.queries import register
         round(sum(l_extendedprice), 2)                                     AS sum_base_price,
         round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-        round(avg(l_quantity), 6)                                          AS avg_qty,
+        (CASE WHEN (sum(l_quantity)::BIGINT) < 0 THEN -(((abs(sum(l_quantity)::BIGINT)::BIGINT * 1000000) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(l_quantity)::BIGINT)::BIGINT * 1000000) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(l_quantity)::BIGINT)::BIGINT * 1000000) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(l_quantity)::BIGINT)::BIGINT * 1000000) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) AS avg_qty,
         round(avg(l_extendedprice), 6)                                     AS avg_price,
         round(avg(l_discount), 6)                                          AS avg_disc,
         count(*)                                                           AS count_order

@@ -70,11 +70,11 @@ def dd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           round(sh / (sa.n + sb.n - sh), 6) AS jaccard
+           (CASE WHEN (sh) < 0 THEN -(((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) AS jaccard
     FROM shared
     JOIN sizes sa ON id_a = sa.doc
     JOIN sizes sb ON id_b = sb.doc
-    WHERE round(sh / (sa.n + sb.n - sh), 6) >= 0.95
+    WHERE (CASE WHEN (sh) < 0 THEN -(((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) >= 0.95
     ORDER BY id_a, id_b
     """,
     doc="Exact token-set Jaccard near-dup pairs (≥0.95). The exact "
@@ -246,7 +246,7 @@ _PAIRS_CTE = f"""
         FROM shared
         JOIN sizes sa ON id_a = sa.doc
         JOIN sizes sb ON id_b = sb.doc
-        WHERE round(sh / (sa.n + sb.n - sh), 6) >= 0.95
+        WHERE (CASE WHEN (sh) < 0 THEN -(((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) >= 0.95
     ),
     und AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM pairs
@@ -456,7 +456,7 @@ def dd8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT)        AS n_dup_spans,
            CAST(sum(span_toks) AS BIGINT)  AS dup_tokens,
-           round(sum(span_toks) * 1.0 / any_value(n_tok), 6) AS dup_frac
+           (CASE WHEN (sum(span_toks)::BIGINT) < 0 THEN -(((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) // ((any_value(n_tok))::BIGINT)) + CASE WHEN 2 * ((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) % ((any_value(n_tok))::BIGINT)) >= ((any_value(n_tok))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) // ((any_value(n_tok))::BIGINT)) + CASE WHEN 2 * ((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) % ((any_value(n_tok))::BIGINT)) >= ((any_value(n_tok))::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) AS dup_frac
     FROM spans GROUP BY doc_id ORDER BY doc_id
     """,
     doc="Cross-document duplicated-span detection (exact-substring "
@@ -516,8 +516,7 @@ def dd9(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- exactly (order-independent), divide once — mirrors the Spark
         -- side bit for bit regardless of scan/partition order
         SELECT c1, g.range AS i,
-               round(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT::DOUBLE
-                     / (1e9 * count(*)), 9) AS mv
+               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
         FROM a1 CROSS JOIN range(64) g
         GROUP BY c1, g.range
     ),

@@ -391,7 +391,7 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM shared
         JOIN sizes sa ON id_a = sa.doc
         JOIN sizes sb ON id_b = sb.doc
-        WHERE round(sh / (sa.n + sb.n - sh), 6) >= 0.95
+        WHERE (CASE WHEN (sh) < 0 THEN -(((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) >= 0.95
     ),
     und AS (
         SELECT id_a AS a, id_b AS b FROM pairs

@@ -311,7 +311,7 @@ def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang,
         source,
         CAST(count(*) AS BIGINT)     AS n_docs,
-        round(avg(n_chars), 6)       AS avg_chars,
+        (CASE WHEN (sum(n_chars)) < 0 THEN -(((abs(sum(n_chars))::BIGINT * 1000000) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(n_chars))::BIGINT * 1000000) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(n_chars))::BIGINT * 1000000) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(n_chars))::BIGINT * 1000000) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) AS avg_chars,
         CAST(grouping(lang) AS BIGINT)   AS g_lang,
         CAST(grouping(source) AS BIGINT) AS g_source
     FROM documents

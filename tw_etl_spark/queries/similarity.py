@@ -153,8 +153,7 @@ def v3p(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         -- scaled-integer Lloyd mean, identical to dd8p's oracle
         SELECT c1, g.range AS i,
-               round(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT::DOUBLE
-                     / (1e9 * count(*)), 9) AS mv
+               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
         FROM a1 CROSS JOIN range(64) g
         GROUP BY c1, g.range
     ),
@@ -238,6 +237,74 @@ def v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v5p_knn_quantized_portable",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    u AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    q8 AS (
+        SELECT vec_id, u,
+               list_transform(u, x -> round(x * 127.0)::BIGINT) AS q
+        FROM u
+    ),
+    -- integer coarse scores: exact, order-independent on any engine
+    -- (|q| <= 127, dim 64 -> |dot| <= 1,032,256, double-exact too)
+    coarse AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               a.u AS qu, b.u AS cu,
+               list_dot_product(
+                   list_transform(a.q, x -> x::DOUBLE),
+                   list_transform(b.q, x -> x::DOUBLE)
+               )::BIGINT AS coarse
+        FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 20
+    ),
+    cut AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY coarse DESC, neighbor_id
+            ) AS cutrank
+            FROM coarse
+        ) WHERE cutrank <= 12
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qu, cu), 6) + 0.0 AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_dot_product(qu, cu), 6) + 0.0 DESC,
+                            neighbor_id
+               ) AS rank
+        FROM cut
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="Int8-quantized KNN under the FULL hash oracle — the portable "
+    "twin of v5: round(u*127) quantization, INTEGER coarse dot "
+    "products (exact, fold-order-immune by construction — the same "
+    "order-independence discipline as t15/dd8p applied to the "
+    "candidate cut), k*rerank_factor=12 id-tiebroken cut, exact "
+    "round-6 float re-rank to top-3. Quantizer and cut rule match the "
+    "engine tier (similarity.cosine_topk_quantized), which remains "
+    "the scale path (broadcast int8 matmul, 4x shuffle/memory cut).",
+    tags=("vector", "knn", "quantized", "ext"),
+)
+def v5p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.similarity import cosine_topk_quantized_portable
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    return cosine_topk_quantized_portable(q, v, k=3, rerank_factor=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
     "v5_knn_quantized",
     oracle=None,  # int8 candidate cut is approximate; recall unit-tested
     doc="Top-k with an int8-quantized candidate pass (4x smaller "
@@ -256,6 +323,191 @@ def v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", F.round("cos_sim", 6))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "v6p_ann_ivfpq_portable",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
+        FROM unitv ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN seeds s
+        )
+    ),
+    a1 AS (
+        SELECT vec_id, u, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT c1, g.range AS i,
+               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
+        FROM a1 CROSS JOIN range(64) g
+        GROUP BY c1, g.range
+    ),
+    cents2 AS (
+        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
+        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
+    ),
+    d2 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN cents2 s
+        )
+    ),
+    clist AS (
+        SELECT vec_id AS cand_id, u AS cu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, u AS qu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2 WHERE vec_id < 20
+        ) WHERE rn <= 2
+    ),
+    psub AS (
+        SELECT vec_id, s.range AS s,
+               list_slice(u, s.range * 8 + 1, s.range * 8 + 8) AS us
+        FROM unitv CROSS JOIN range(8) s
+    ),
+    pseeds AS (
+        SELECT s, us AS c,
+               row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS j
+        FROM psub
+        QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= 4
+    ),
+    pd1 AS (
+        SELECT vec_id, s, us, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.s, n.us, p.j,
+                   list_transform(range(8), i -> n.us[i + 1] - p.c[i + 1]) AS dv
+            FROM psub n JOIN pseeds p ON p.s = n.s
+        )
+    ),
+    pa1 AS (
+        SELECT vec_id, s, us, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY dist, j
+            ) AS rn FROM pd1
+        ) WHERE rn = 1
+    ),
+    pm AS (
+        SELECT s, c1, g.range AS i,
+               (CASE WHEN (sum(round(us[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(us[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(us[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(us[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(us[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
+        FROM pa1 CROSS JOIN range(8) g
+        GROUP BY s, c1, g.range
+    ),
+    pcents AS (
+        SELECT s, row_number() OVER (PARTITION BY s ORDER BY c1) - 1 AS j, c
+        FROM (SELECT s, c1, list(mv ORDER BY i) AS c FROM pm GROUP BY s, c1)
+    ),
+    pd2 AS (
+        SELECT vec_id, s, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.s, p.j,
+                   list_transform(range(8), i -> n.us[i + 1] - p.c[i + 1]) AS dv
+            FROM psub n JOIN pcents p ON p.s = n.s
+        )
+    ),
+    pcodes AS (
+        SELECT vec_id, s, j AS code
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY dist, j
+            ) AS rn FROM pd2
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT q.query_id, c.cand_id, q.qu
+        FROM qprobe q JOIN clist c
+          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
+    ),
+    partials AS (
+        SELECT p.query_id, p.cand_id, cs.s,
+               list_dot_product(
+                   list_slice(p.qu, cs.s * 8 + 1, cs.s * 8 + 8), pc.c
+               ) AS part
+        FROM pairs p
+        JOIN pcodes cs ON cs.vec_id = p.cand_id
+        JOIN pcents pc ON pc.s = cs.s AND pc.j = cs.code
+    ),
+    adcs AS (
+        -- subspace-order fold with a 0.0 seed, mirroring the Spark
+        -- side's aggregate() bit for bit
+        SELECT query_id, cand_id,
+               list_reduce(list_prepend(0.0, list(part ORDER BY s)),
+                           (a, b) -> a + b) AS adc
+        FROM partials GROUP BY query_id, cand_id
+    ),
+    cut AS (
+        SELECT query_id, cand_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc DESC, cand_id
+            ) AS rn FROM adcs
+        ) WHERE rn <= 12
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        SELECT t.query_id, t.cand_id AS neighbor_id,
+               round(list_dot_product(uq.u, uc2.u), 6) + 0.0 AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY t.query_id
+                   ORDER BY round(list_dot_product(uq.u, uc2.u), 6) + 0.0
+                            DESC, t.cand_id
+               ) AS rank
+        FROM cut t
+        JOIN unitv uq ON uq.vec_id = t.query_id
+        JOIN unitv uc2 ON uc2.vec_id = t.cand_id
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="IVF-PQ ANN under the FULL hash oracle — the portable twin of "
+    "v6, completing the ANN family set (v3p LSH, v4p IVF, v5p int8, "
+    "v6p IVF-PQ): coarse IVF exactly as v4p; per-subspace PQ codebooks "
+    "(8 subspaces x 4 codewords) each trained by the same relational "
+    "k-means (smallest-id seeds + one exact scaled-integer Lloyd "
+    "step); corpus rows encode to nearest codewords; ADC candidate "
+    "scores fold dot(query_subvector, codeword[code]) in subspace "
+    "order with a 0.0 seed on both engines; id-tiebroken cut of 12, "
+    "exact round-6 re-rank to top-3. The engine tier (v6: uint8 codes "
+    "in the shuffle, 64x volume cut, numpy ADC) remains the scale "
+    "path.",
+    tags=("vector", "ann", "pq", "ext"),
+)
+def v6p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.similarity import ann_ivfpq_portable_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    return ann_ivfpq_portable_topk(
+        q, v, n_lists=8, nprobe=2, m_sub=8, k_codes=4, k=3, rerank_factor=4
+    ).orderBy("query_id", "rank")
 
 
 @register(

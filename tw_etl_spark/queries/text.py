@@ -27,6 +27,12 @@ from tw_etl_spark.queries import register
 # DuckDB fragment: cleaned token list of `text`
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+from tw_etl_spark.functions.rounding import sql_round_ratio  # noqa: E402
+
+# t15's exact 6-digit z (see functions/rounding.py for why float
+# round() cannot be used on integer ratios)
+_Z6 = sql_round_ratio("a.s", "a.n_tokens * 1000", 6)
+
 
 @register(
     "t1_token_stats",
@@ -605,7 +611,7 @@ _QLINES = (
     )
     SELECT doc_id,
            CAST(n_words AS BIGINT)                          AS g_n_words,
-           round(sum_len / safe_words, 6)                   AS g_mean_word_len,
+           (CASE WHEN (sum_len) < 0 THEN -(((abs(sum_len)::BIGINT * 1000000) // ((safe_words)::BIGINT)) + CASE WHEN 2 * ((abs(sum_len)::BIGINT * 1000000) % ((safe_words)::BIGINT)) >= ((safe_words)::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum_len)::BIGINT * 1000000) // ((safe_words)::BIGINT)) + CASE WHEN 2 * ((abs(sum_len)::BIGINT * 1000000) % ((safe_words)::BIGINT)) >= ((safe_words)::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) AS g_mean_word_len,
            (n_words >= 50 AND n_words <= 100000)            AS g_word_count_ok,
            (sum_len / safe_words >= 3.0 AND sum_len / safe_words <= 10.0) AS g_word_len_ok,
            (n_sym / safe_words <= 0.1)                      AS g_symbol_ok,
@@ -742,8 +748,7 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            CAST(COALESCE(mx.top_cnt, 0) AS BIGINT) AS top_cnt,
-           round(least(COALESCE(mx.top_cnt, 0) * 2.0
-                       / greatest(len(t.toks), 1), 1.0), 6) AS top_frac
+           least((CASE WHEN (COALESCE(mx.top_cnt, 0) * 2) < 0 THEN -(((abs(COALESCE(mx.top_cnt, 0) * 2)::BIGINT * 1000000) // ((greatest(len(t.toks), 1))::BIGINT)) + CASE WHEN 2 * ((abs(COALESCE(mx.top_cnt, 0) * 2)::BIGINT * 1000000) % ((greatest(len(t.toks), 1))::BIGINT)) >= ((greatest(len(t.toks), 1))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(COALESCE(mx.top_cnt, 0) * 2)::BIGINT * 1000000) // ((greatest(len(t.toks), 1))::BIGINT)) + CASE WHEN 2 * ((abs(COALESCE(mx.top_cnt, 0) * 2)::BIGINT * 1000000) % ((greatest(len(t.toks), 1))::BIGINT)) >= ((greatest(len(t.toks), 1))::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0), 1.0) AS top_frac
     FROM t LEFT JOIN mx USING (doc_id)
     ORDER BY t.doc_id
     """,
@@ -775,19 +780,21 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ), 1, 8))::BIGINT % 2001 - 1000) AS w_milli
         FROM toks
     ), agg AS (
-        -- exact integer accumulation, one float division at the end:
-        -- order-independent, so no signed-zero / rounding-boundary
-        -- divergence vs Spark's array-order fold
+        -- exact integer accumulation: order-independent sum, and the
+        -- 6-digit rounding happens in INTEGER space (see
+        -- functions/rounding.py) — z = s/(1000n) lands on exact
+        -- decimal halves where float round() diverges cross-engine
         SELECT doc_id,
-               sum(w_milli)::BIGINT::DOUBLE / (1000.0 * count(*)) AS z,
+               sum(w_milli)::BIGINT AS s,
                CAST(count(*) AS BIGINT) AS n_tokens
         FROM feats GROUP BY doc_id
     )
     SELECT d.doc_id,
            coalesce(a.n_tokens, 0) AS n_tokens,
-           round(coalesce(a.z, 0.0), 6) + 0.0 AS z,
-           round(1 / (1 + exp(-coalesce(a.z, 0.0))), 6) + 0.0 AS score,
-           round(coalesce(a.z, 0.0), 6) >= 0 AS keep
+           coalesce({_Z6}, 0.0) + 0.0 AS z,
+           round(1 / (1 + exp(-coalesce(a.s::DOUBLE
+                 / (1000.0 * a.n_tokens), 0.0))), 6) + 0.0 AS score,
+           coalesce({_Z6}, 0.0) >= 0 AS keep
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id
     """,
