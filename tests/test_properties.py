@@ -366,3 +366,57 @@ def test_t15_oracle_scan_order_independent():
         ]
 
     assert run("") == run("ORDER BY md5(doc_id::VARCHAR)")
+
+
+@given(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.integers(min_value=1, max_value=10**6),
+    st.sampled_from([0, 2, 4, 6]),
+)
+@settings(max_examples=500, deadline=None)
+def test_sql_round_ratio_matches_exact_rational(num, den, digits):
+    """sql_round_ratio must equal round-half-away-from-zero of the TRUE
+    rational num/den (computed via fractions), for any sign and scale —
+    the property float round() lacks at exact decimal halves."""
+    import duckdb
+    from fractions import Fraction
+
+    from tw_etl_spark.functions.rounding import sql_round_ratio
+
+    got = duckdb.sql(
+        f"SELECT {sql_round_ratio(str(num), str(den), digits)} AS r"
+    ).fetchone()[0]
+    s = 10 ** digits
+    f = Fraction(num, den) * s
+    q, rem = divmod(abs(f.numerator), f.denominator)
+    exp = q + (1 if 2 * rem >= f.denominator else 0)
+    if num < 0:
+        exp = -exp
+    assert got == exp / s, (num, den, digits, got, exp / s)
+
+
+def test_spark_exact_round_ratio_matches_sql(spark):
+    """The Spark Column form and the DuckDB SQL form of exact rounding
+    agree cell-for-cell on a boundary-heavy grid (denominators that
+    divide powers of ten, where float round() diverges)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from tw_etl_spark.functions.rounding import exact_round_ratio, sql_round_ratio
+
+    cases = [
+        (n, d)
+        for d in (1, 2, 16, 1000, 16000, 96000, 2 * 10**6)
+        for n in (-96001, -6186, -1, 0, 1, 3, 647, 2074, 6186, 10**7)
+    ]
+    sdf = spark.createDataFrame(cases, "n long, d long").select(
+        "n", "d", exact_round_ratio(F.col("n"), F.col("d"), 6).alias("r")
+    )
+    got = {(r.n, r.d): r.r for r in sdf.collect()}
+    vals = ", ".join(f"({n}, {d})" for n, d in cases)
+    oracle = duckdb.sql(
+        f"SELECT n, d, {sql_round_ratio('n', 'd', 6)} AS r "
+        f"FROM (VALUES {vals}) t(n, d)"
+    ).fetchall()
+    for n, d, r in oracle:
+        assert got[(n, d)] == r, (n, d, got[(n, d)], r)
