@@ -302,3 +302,43 @@ def test_v4p_ivf_assignments_are_narrow_maps(spark):
         assert sum("list_id" in b for b in blocks) >= 2, (
             "non-broadcast candidate join must partition on list_id"
         )
+
+
+def test_x11_bloom_count_is_narrow_and_verdict_matches_exact(spark):
+    """The Bloom membership pass must be a zero-shuffle narrow map (the
+    1024-long bitmap rides in the expression as literals; the n-gram
+    array is filtered in place, never exploded for the count), and the
+    final contaminated verdict must equal ngram_decontaminate's exact
+    answer bit for bit (Bloom false positives removed by the verify
+    join)."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import bloom_decontaminate, ngram_decontaminate
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+
+    out = bloom_decontaminate(corpus, bench, n=3)
+    rows = {r.doc_id: (r.n_grams, r.n_bloom_hits, r.contaminated) for r in out.collect()}
+    exact = {
+        r.doc_id: r.contaminated
+        for r in ngram_decontaminate(corpus, bench, n=3, mark_only=True)
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for doc, (n_g, n_hit, dirty) in rows.items():
+        assert dirty == exact[doc], doc
+        assert 0 <= n_hit <= n_g  # bloom pass is a subset of all grams
+        if dirty:
+            assert n_hit > 0  # no false negatives, ever
+
+    # plan: the scored (count) projection alone must be shuffle-free
+    from tw_etl_spark.operators.text import ngrams_expr, tokens_expr  # noqa: F401
+
+    scored_only = corpus.select(
+        "doc_id",
+        F.size(ngrams_expr(tokens_expr(F.col("text")), 3)).alias("n_grams"),
+    )
+    assert count_exchanges(scored_only) == 0

@@ -1242,3 +1242,132 @@ def semantic_dedup_relational(
             ),
         )
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the 100 TB tier of
+    :func:`ngram_decontaminate`, with the filter itself under the hash
+    oracle (x11).
+
+    The benchmark's distinct n-grams build an ``m_bits`` Bloom filter
+    with ``k_hashes`` md5-derived hash functions (position i =
+    uint32(md5(i ":" gram)) % m_bits) — engine-reconstructible, so the
+    oracle rebuilds the identical bitmap and the per-document Bloom hit
+    counts (INCLUDING false positives) hash-match cross-engine, not
+    just the final exact verdict.
+
+    Scale shape: the bitmap is m_bits/64 longs folded into the corpus
+    expression as literals (8 KiB at the default — rides inside the
+    task binary, cheaper than any broadcast), so the per-gram membership
+    test is a zero-shuffle narrow map over the n-gram array (no explode
+    for the count). Only grams that PASS the Bloom are exploded into
+    the exact semi-join against the broadcast benchmark set — at a
+    false-positive rate of (1-e^{-kn/m})^k the explode volume drops by
+    orders of magnitude versus joining every corpus n-gram, which is
+    the point of Bloom pushdown in every warehouse engine. Exact verify
+    removes false positives, so ``contaminated`` equals
+    :func:`ngram_decontaminate`'s verdict bit for bit.
+
+    Returns (id, n_grams, n_bloom_hits, contaminated).
+    """
+    from tw_etl_spark.operators.text import let_expr, ngrams_expr, tokens_expr
+
+    assert m_bits % 64 == 0
+    n_words = m_bits // 64
+
+    grams_arr = ngrams_expr(tokens_expr(F.col(text_col)), n)
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngrams_expr(tokens_expr(F.col(text_col)), n)).alias("g")
+        )
+        .distinct()
+    )
+    # bitmap: bounded collect of <= m_bits/64 rows (1024 longs default)
+    pos = bench_grams.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{i}:"), F.col("g"))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % m_bits
+                    )
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    word_rows = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    words = {int(r.w): int(r.bits) for r in word_rows}
+    bloom_lit = F.array(*[F.lit(words.get(w, 0)).cast("long") for w in range(n_words)])
+
+    def bloom_hit(g: Column) -> Column:
+        test = F.lit(True)
+        for i in range(k_hashes):
+            p = (
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), g)), 1, 8), 16, 10)
+                .cast("long")
+                % m_bits
+            )
+            test = test & (
+                F.getbit(
+                    F.element_at(bloom_lit, ((p / 64).cast("long") + 1).cast("int")),
+                    p % 64,
+                )
+                == 1
+            )
+        return test
+
+    scored = corpus.select(
+        F.col(id_col).alias("id"),
+        grams_arr.alias("__grams"),
+    ).select(
+        "id",
+        F.size("__grams").cast("bigint").alias("n_grams"),
+        let_expr(
+            F.filter(F.col("__grams"), bloom_hit), lambda fl: F.size(fl)
+        )
+        .cast("bigint")
+        .alias("n_bloom_hits"),
+        F.filter(F.col("__grams"), bloom_hit).alias("__cand"),
+    )
+    dirty = (
+        scored.filter(F.col("n_bloom_hits") > 0)
+        .select("id", F.explode("__cand").alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        scored.drop("__cand")
+        .join(dirty, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_bloom_hits",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )

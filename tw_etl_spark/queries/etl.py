@@ -536,6 +536,86 @@ def x5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x11_bloom_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END AS tg
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(tg) AS g FROM grams WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+    pos AS (
+        SELECT DISTINCT (('0x' || substr(md5(i.range::VARCHAR || ':' || g),
+                          1, 8))::BIGINT % 65536) AS p
+        FROM bench CROSS JOIN range(3) i
+    ),
+    bm AS (
+        SELECT p // 64 AS w, bit_or(1::UBIGINT << (p % 64)::INT) AS bits
+        FROM pos GROUP BY 1
+    ),
+    bmap AS (
+        -- dense 1024-word bitmap, identical to the literal array the
+        -- Spark side folds into its expression
+        SELECT list(coalesce(b.bits, 0::UBIGINT) ORDER BY r.range) AS bits
+        FROM range(1024) r LEFT JOIN bm b ON b.w = r.range
+    ),
+    ghit AS (
+        SELECT doc_id,
+               ((bits[((('0x' || substr(md5('0:' || g), 1, 8))::BIGINT % 65536) // 64) + 1] >> ((('0x' || substr(md5('0:' || g), 1, 8))::BIGINT % 65536) % 64)::INT) & 1) = 1
+               AND ((bits[((('0x' || substr(md5('1:' || g), 1, 8))::BIGINT % 65536) // 64) + 1] >> ((('0x' || substr(md5('1:' || g), 1, 8))::BIGINT % 65536) % 64)::INT) & 1) = 1
+               AND ((bits[((('0x' || substr(md5('2:' || g), 1, 8))::BIGINT % 65536) // 64) + 1] >> ((('0x' || substr(md5('2:' || g), 1, 8))::BIGINT % 65536) % 64)::INT) & 1) = 1 AS hit,
+               g IN (SELECT g FROM bench) AS exact
+        FROM (SELECT doc_id, unnest(tg) AS g FROM corpus), bmap
+    ),
+    hits AS (
+        SELECT doc_id,
+               count(*) AS n_g,
+               count(*) FILTER (hit) AS n_hit,
+               bool_or(exact) AS dirty
+        FROM ghit GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(h.n_g, 0)::BIGINT AS n_grams,
+           coalesce(h.n_hit, 0)::BIGINT AS n_bloom_hits,
+           coalesce(h.dirty, FALSE) AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    ORDER BY c.doc_id
+    """,
+    doc="Bloom-prefiltered decontamination — the 100 TB tier of x5, "
+    "with the FILTER ITSELF under the hash oracle: the benchmark "
+    "slice's trigrams build a 65536-bit / 3-hash md5-derived Bloom "
+    "bitmap that both engines reconstruct bit for bit, so the per-doc "
+    "Bloom hit counts (INCLUDING false positives) hash-match, not just "
+    "the exact verdict. Spark folds the 1024-long bitmap into the "
+    "corpus expression as literals (8 KiB in the task binary): the "
+    "membership test is a zero-shuffle narrow map over the n-gram "
+    "array, and only Bloom-passing grams explode into the exact "
+    "broadcast semi-join — Bloom pushdown exactly as warehouse engines "
+    "apply it, cutting the explode/join volume by the false-positive "
+    "rate. contaminated equals x5's exact verdict bit for bit.",
+    tags=("pipeline", "dedup", "contamination", "bloom", "ext"),
+)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return bloom_decontaminate(
+        corpus, bench, n=3, m_bits=65536, k_hashes=3
+    ).orderBy("doc_id")
+
+
+@register(
     "x6_deterministic_shuffle",
     oracle="""
     SELECT doc_id,
