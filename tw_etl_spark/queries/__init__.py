@@ -116,6 +116,12 @@ def register(
 # dd8p's recursive-CTE labeling; dd6 stays pytest-oracle) and
 # v2_knn_exact (per-query ranked cosine top-k stays driver-covered by
 # v1 pairs + v4p's exact re-rank; v2 stays pytest-oracle + bench-timed).
+# Also in — x11_bloom_decontaminate (Bloom-prefiltered decontamination:
+# the bitmap itself under the hash oracle via per-doc false-positive
+# counts, plus the exact verdict); out — x5_benchmark_decontaminate
+# (x11's exact verdict IS x5's semantics — same benchmark slice, same
+# trigram semi-join — so the family keeps a driver slot with strictly
+# more behavior pinned; x5 stays pytest-oracle).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
@@ -145,7 +151,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p4_tiered_routing",
     "x1_training_data_pipeline",
     "x4_stratified_mix",
-    "x5_benchmark_decontaminate",
+    "x11_bloom_decontaminate",
     "x8_merge_upsert",
     "io2_columnar_roundtrip",
     "x10_scd2_merge",
