@@ -111,3 +111,16 @@ t0 = time.time()
 from tw_etl_spark.operators.dedup import semantic_dedup_relational
 sd = semantic_dedup_relational(v, k=64, threshold=0.999)
 print(f"relational SemDeDup 80k vecs k=64: survivors={sd.filter('survived').count()} in {time.time()-t0:.1f}s")
+
+# round 9: portable IVF twin + Bloom decontamination at 10x
+t0 = time.time()
+from tw_etl_spark.operators.similarity import ann_ivf_portable_topk
+rp = ann_ivf_portable_topk(qdf, v, n_lists=8, nprobe=2, k=3)
+print(f"portable IVF twin 100q x 80k corpus: {rp.count()} results in {time.time()-t0:.1f}s")
+
+t0 = time.time()
+from tw_etl_spark.operators.dedup import bloom_decontaminate
+bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+corpus_docs = docs.filter(F.col("doc_id") % 97 != 0)
+bd = bloom_decontaminate(corpus_docs, bench_docs, n=3)
+print(f"bloom decontaminate 200k docs: dirty={bd.filter('contaminated').count()} in {time.time()-t0:.1f}s")
