@@ -417,3 +417,31 @@ def test_rolling_hash_portable_matches_pure_python(spark):
 
     for doc_id, text in texts:
         assert got[doc_id] == py_rh(text), doc_id
+
+
+def test_bpe_merges_known_answer(spark):
+    """Hand-computed BPE on a crafted corpus, including the overlap
+    rule: 'aaaa' merging (a,a) left-to-right -> [aa, aa] (not three
+    overlapping pairs). Corpus: 'low low low lower aaaa'."""
+    from tw_etl_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame(
+        [("low low low lower aaaa",)], "text string"
+    )
+    got = [
+        (r.merge_round, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(df, rounds=4).orderBy("merge_round").collect()
+    ]
+    # word freqs: low:3, lower:1, aaaa:1
+    # round 1 pair counts: (l,o):4 (o,w):4 (w,e):1 (e,r):1 (a,a):3
+    #   tie (l,o) vs (o,w) at 4 -> lexicographic: (l,o)
+    # round 2: (lo,w):4 wins
+    # round 3: (low,e):1 (e,r):1 (a,a):3 -> (a,a) merges OVERLAP-FREE
+    # round 4: 'aaaa' is now [aa,aa] so (aa,aa):1 ties with (low,e),(e,r)
+    #   -> lexicographic smallest (aa,aa)
+    assert got == [
+        (1, "l", "o", 4),
+        (2, "lo", "w", 4),
+        (3, "a", "a", 3),
+        (4, "aa", "aa", 1),
+    ]

@@ -1,0 +1,109 @@
+"""Relational BPE merge training — the tokenizer-training step of an
+LLM data pipeline (byte-pair encoding, Sennrich et al. 2016, the
+public algorithm), expressed so every round is engine-reconstructible
+and the learned merge table sits under the cross-engine hash oracle
+(t16).
+
+Representation trick: a word's symbol sequence is a single STRING with
+every symbol wrapped in sentinels — ``\\x02 sym \\x03`` — so one BPE
+merge of pair (L, R) is exactly ``replace(enc, αLω αRω, αLRω)``:
+built-in string replace is left-to-right non-overlapping in Spark
+(UTF8String.replace) and DuckDB alike, which is precisely BPE's merge
+rule ("aaa" merging (a,a) -> [aa, a]), and full sentinel delimiting
+makes cross-symbol false matches impossible. No per-element fold, no
+UDF — each round is one narrow-map rewrite of the (distinct-word,
+frequency) table plus one pair-count aggregation.
+
+Scale shape: training runs on the DISTINCT word-frequency table (the
+classic formulation) — vocabulary-sized, not corpus-sized, so a 100 TB
+corpus first collapses through one word-count shuffle and every merge
+round then touches |vocab| rows. Per round: one explode+groupBy for
+pair counts (shuffle over distinct pairs, partially aggregated
+map-side) and a 1-row argmax collect. Production BPE trainers keep
+incremental pair-count deltas instead of recounting; the recount form
+here is the oracle-replayable twin — DuckDB unrolls the same rounds as
+chained CTEs and must land on the identical merge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SYM_L = "\x02"  # symbol-start sentinel (never in the token stream)
+SYM_R = "\x03"  # symbol-end sentinel
+
+
+def _pairs_expr(syms: Column) -> Column:
+    """Adjacent symbol pairs as structs (all occurrences, including
+    overlaps — the classic get_stats counting)."""
+    from tw_etl_spark.operators.text import let_expr
+
+    return let_expr(
+        syms,
+        lambda s: F.when(
+            F.size(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda i: F.struct(
+                    F.element_at(s, i).alias("l"),
+                    F.element_at(s, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>")),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 6,
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges over the corpus; returns a
+    ``rounds``-row DataFrame (merge_round, lhs, rhs, pair_count) where
+    pair_count is the winning pair's frequency-weighted count at merge
+    time. Ties break lexicographically on (lhs, rhs) — deterministic on
+    any engine. The per-round argmax is a bounded 1-row collect (like
+    the k-means centroid collects); the vocabulary table is cached
+    across rounds."""
+    from tw_etl_spark.operators.text import tokens_expr
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .filter(~F.col("w").contains(SYM_L) & ~F.col("w").contains(SYM_R))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    cur = words.select(
+        "f",
+        F.regexp_replace("w", "(.)", SYM_L + "$1" + SYM_R).alias("enc"),
+    ).cache()
+
+    out = []
+    for r in range(1, rounds + 1):
+        syms = F.split(
+            F.col("enc").substr(F.lit(2), F.length("enc") - 2), SYM_R + SYM_L
+        )
+        best = (
+            cur.select("f", F.explode(_pairs_expr(syms)).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .first()
+        )
+        out.append((r, best.l, best.r, int(best.c)))
+        nxt = cur.select(
+            "f",
+            F.replace(
+                F.col("enc"),
+                F.lit(SYM_L + best.l + SYM_R + SYM_L + best.r + SYM_R),
+                F.lit(SYM_L + best.l + best.r + SYM_R),
+            ).alias("enc"),
+        ).cache()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        out, "merge_round int, lhs string, rhs string, pair_count long"
+    )

@@ -820,3 +820,73 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         keep.alias("keep"),
     ).orderBy("doc_id")
+
+
+def _bpe_oracle(rounds: int = 6) -> str:
+    """Unrolled-CTE DuckDB replay of bpe_merges: chained
+    (pair-count argmax -> sentinel-string replace) rounds over the
+    distinct word-frequency table; see operators/bpe.py for the
+    representation argument."""
+    head = f"""
+    WITH w0 AS (
+        SELECT w, count(*)::BIGINT AS f
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+        WHERE NOT contains(w, chr(2)) AND NOT contains(w, chr(3))
+        GROUP BY w
+    ),
+    e0 AS (
+        SELECT f, regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS enc
+        FROM w0
+    )"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        parts.append(f""",
+    b{r} AS (
+        SELECT pr.l AS l, pr.r AS r, sum(f)::BIGINT AS c
+        FROM (
+            SELECT f, unnest(list_transform(range(1, len(s)),
+                                 i -> {{'l': s[i], 'r': s[i + 1]}})) AS pr
+            FROM (SELECT f, string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(3) || chr(2)) AS s
+                  FROM {prev})
+        )
+        GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1
+    ),
+    e{r} AS (
+        SELECT f, replace(enc,
+                          chr(2) || b.l || chr(3) || chr(2) || b.r || chr(3),
+                          chr(2) || b.l || b.r || chr(3)) AS enc
+        FROM {prev}, b{r} b
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, l AS lhs, r AS rhs, c AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + f"\n    {sel}\n    ORDER BY merge_round\n    "
+
+
+@register(
+    "t16_bpe_merges",
+    oracle=_bpe_oracle(6),
+    doc="BPE merge training (Sennrich et al. 2016) under the FULL hash "
+    "oracle — the tokenizer-training step of an LLM data pipeline as a "
+    "relational iteration: the corpus collapses to its distinct "
+    "word-frequency table, symbol sequences live as sentinel-delimited "
+    "strings so each merge is ONE left-to-right string replace "
+    "(identical non-overlapping semantics in Spark and DuckDB — 'aaa' "
+    "merging (a,a) -> [aa, a]), and each round is a pair-count "
+    "aggregation + 1-row argmax (count desc, then lexicographic "
+    "tie-break) + a narrow-map vocabulary rewrite. The oracle unrolls "
+    "the same six rounds as chained CTEs and must land on the "
+    "identical merge table — pinning an ITERATIVE training algorithm, "
+    "not just a one-shot query. Scale: rounds touch |vocab| rows, not "
+    "the corpus; production trainers keep incremental pair deltas, "
+    "this recount form is the verification twin.",
+    tags=("text", "bpe", "tokenizer", "ext"),
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.bpe import bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges(d, rounds=6).orderBy("merge_round")
