@@ -1,0 +1,417 @@
+"""Seeded relational query generator for cross-engine differential
+testing (SQLancer-style).
+
+Round 8 shipped two red driver rows because the *fixed* oracle corpus
+couldn't exercise every cross-engine semantic edge (DECIMAL widening,
+signed zero).  The strict harness (tests/oracle_utils.py) now catches
+those classes — this module generates the *queries*: random logical
+plans over the fixture tables, rendered in a restricted ANSI subset on
+which Spark SQL and DuckDB agree EXACTLY, so thousands of
+projection/filter/agg/join shapes can be hash-compared between engines
+instead of the hand-written 113.
+
+The dialect subset is the load-bearing design decision.  Everything the
+generator can emit was chosen (and the exclusions documented) so that a
+mismatch is a real engine/harness bug, not dialect noise:
+
+- integer arithmetic only via ``+ - *`` with literal-bounded
+  multiplicands (ANSI overflow-safe in both engines: |value| stays well
+  under 2^63 at any fixture SF);
+- ``abs(x) % k`` with literal ``k >= 2`` — sign-of-dividend rules never
+  fire, no division-by-zero;
+- NO division (Spark ``/`` yields DOUBLE, DuckDB too, but 0-denominator
+  -> Infinity-vs-NULL differences), NO double->int CAST (Spark
+  truncates, DuckDB rounds half-even);
+- ``SUM`` always wrapped ``CAST(SUM(..) AS BIGINT)`` (DuckDB widens
+  BIGINT sums to HUGEINT — the dd4p lesson);
+- float arithmetic allowed ROW-LEVEL only (IEEE-deterministic per row);
+  float *aggregates* restricted to MIN/MAX (order-independent);
+- string ops on ASCII fixture columns only; comparisons restricted to
+  ``= <> LIKE IN`` (binary collation agreement is then trivial);
+- ``||`` for concat (NULL-propagating in both; ``concat()`` is not:
+  DuckDB treats NULL as '');
+- NULLs are *injected* via NULLIF (the fixtures are non-null), so
+  three-valued logic, IS [NOT] NULL, COALESCE and null-safe aggregation
+  are genuinely exercised;
+- ORDER BY every output alias ASC NULLS FIRST before any LIMIT (full
+  tiebreak; Spark's default null ordering differs from DuckDB's);
+- GROUP BY is positional (``GROUP BY 1``) — alias-vs-expression group
+  resolution differs across dialects.
+
+Determinism: every query is a pure function of an integer seed
+(``random.Random(seed)``), so a failure reproduces from its seed number
+and CI pins a fixed seed range.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tw_etl_spark.catalog import read_table
+
+# Fuzzable fixture columns by type.  events is excluded (nano-timestamp
+# normalization makes its Spark view a *derived* table — read_table
+# handles it, but the point here is engine parity on identical scans);
+# documents.text is excluded from projections (payload-sized cells slow
+# the hash without adding semantics beyond what lang/source cover).
+TABLE_COLS: dict[str, dict[str, list[str]]] = {
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "float": ["o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "ts": ["o_orderdate"],
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "float": ["c_acctbal"],
+        "str": ["c_name", "c_mktsegment"],
+        "ts": [],
+    },
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "float": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "ts": ["l_shipdate"],
+    },
+    "documents": {
+        "int": ["doc_id", "n_chars"],
+        "float": [],
+        "str": ["lang", "source"],
+        "ts": [],
+    },
+}
+
+# Literal pools: mix of values that exist in the fixtures (selective
+# predicates) and values that don't (empty-result paths are valid
+# differential tests too).
+_STR_LITERALS = [
+    "F", "O", "P", "A", "N", "R", "en", "de", "web", "BUILDING",
+    "1-URGENT", "Customer#", "zzz-not-present",
+]
+_LIKE_PATTERNS = ["%a%", "A%", "%1", "%e_", "Cu%", "%#00%", "%zqx%"]
+
+JOINS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+]
+
+
+@dataclass
+class FuzzQuery:
+    """One generated query: a SQL string valid (and semantics-identical)
+    in both Spark SQL and DuckDB, the tables it reads, and the query
+    shape (for reporting)."""
+
+    seed: int
+    sql: str
+    tables: tuple[str, ...]
+    shape: str  # scan | agg | join | join_agg
+
+
+class _Gen:
+    def __init__(self, rng: random.Random, table: str):
+        self.rng = rng
+        self.cols = TABLE_COLS[table]
+
+    # -- scalar integer expressions (BIGINT-kind in both engines) -----
+    def int_expr(self, depth: int = 0) -> str:
+        r = self.rng
+        leaf_choices = ["col", "lit"]
+        if self.cols["str"]:
+            leaf_choices.append("length")
+        if self.cols["ts"]:
+            leaf_choices.append("extract")
+        if depth >= 3:
+            kind = r.choice(leaf_choices)
+        else:
+            kind = r.choice(
+                leaf_choices
+                + ["add", "sub", "mul_lit", "mod", "case", "coalesce", "nullif"]
+            )
+        if kind == "col" and self.cols["int"]:
+            # CAST pins INTEGER cols to BIGINT so +/- never overflows
+            # 32-bit intermediates under ANSI mode.
+            return f"CAST({r.choice(self.cols['int'])} AS BIGINT)"
+        if kind == "length":
+            return f"LENGTH({r.choice(self.cols['str'])})"
+        if kind == "extract":
+            fn = r.choice(["YEAR", "MONTH", "DAY"])
+            return f"CAST({fn}({r.choice(self.cols['ts'])}) AS BIGINT)"
+        if kind == "add":
+            return f"({self.int_expr(depth + 1)} + {self.int_expr(depth + 1)})"
+        if kind == "sub":
+            return f"({self.int_expr(depth + 1)} - {self.int_expr(depth + 1)})"
+        if kind == "mul_lit":
+            # multiplicand bounded so depth-3 nesting stays << 2^63
+            return f"({self.int_expr(depth + 1)} * {r.randint(-9, 9)})"
+        if kind == "mod":
+            return f"(ABS({self.int_expr(depth + 1)}) % {r.randint(2, 97)})"
+        if kind == "case":
+            return (
+                f"CASE WHEN {self.bool_expr(depth + 1)} "
+                f"THEN {self.int_expr(depth + 1)} "
+                f"ELSE {self.int_expr(depth + 1)} END"
+            )
+        if kind == "coalesce":
+            return f"COALESCE({self.int_expr(depth + 1)}, {r.randint(-100, 100)})"
+        if kind == "nullif":
+            # primary NULL injector: NULLIF(abs(e) % k, m) is NULL on a
+            # predictable residue class in BOTH engines
+            k = r.randint(2, 13)
+            return (
+                f"NULLIF((ABS({self.int_expr(depth + 1)}) % {k}), "
+                f"{r.randint(0, k - 1)})"
+            )
+        return str(r.randint(-1000, 1000))
+
+    # -- scalar float expressions (row-level IEEE ops only) -----------
+    def float_expr(self, depth: int = 0) -> str:
+        r = self.rng
+        if not self.cols["float"]:
+            return f"CAST({self.int_expr(depth)} AS DOUBLE)"
+        if depth >= 2 or r.random() < 0.45:
+            return r.choice(self.cols["float"])
+        op = r.choice(["+", "-", "*"])
+        return f"({self.float_expr(depth + 1)} {op} {self.float_expr(depth + 1)})"
+
+    # -- string expressions (ASCII-only columns) ----------------------
+    def str_expr(self) -> str:
+        r = self.rng
+        col = r.choice(self.cols["str"])
+        kind = r.choice(["col", "upper", "lower", "substr", "concat"])
+        if kind == "upper":
+            return f"UPPER({col})"
+        if kind == "lower":
+            return f"LOWER({col})"
+        if kind == "substr":
+            return f"SUBSTR({col}, {r.randint(1, 4)}, {r.randint(0, 6)})"
+        if kind == "concat":
+            other = r.choice(self.cols["str"])
+            return f"({col} || '-' || {other})"
+        return col
+
+    # -- boolean expressions ------------------------------------------
+    def bool_expr(self, depth: int = 0) -> str:
+        r = self.rng
+        if depth >= 3:
+            kinds = ["int_cmp", "str_eq"]
+        else:
+            kinds = [
+                "int_cmp", "int_cmp", "between", "str_eq", "like", "in",
+                "float_cmp", "is_null", "and", "or", "not",
+            ]
+        kind = r.choice(kinds)
+        if kind == "int_cmp":
+            op = r.choice(["<", "<=", "=", "<>", ">", ">="])
+            return f"({self.int_expr(depth + 1)} {op} {self.int_expr(depth + 1)})"
+        if kind == "between":
+            lo = r.randint(-50, 500)
+            return f"({self.int_expr(depth + 1)} BETWEEN {lo} AND {lo + r.randint(0, 500)})"
+        if kind == "str_eq":
+            op = r.choice(["=", "<>"])
+            return f"({self.str_expr()} {op} '{r.choice(_STR_LITERALS)}')"
+        if kind == "like":
+            return f"({self.rng.choice(self.cols['str'])} LIKE '{r.choice(_LIKE_PATTERNS)}')"
+        if kind == "in":
+            n = r.randint(1, 3)
+            lits = ", ".join(f"'{r.choice(_STR_LITERALS)}'" for _ in range(n))
+            return f"({self.rng.choice(self.cols['str'])} IN ({lits}))"
+        if kind == "float_cmp" and self.cols["float"]:
+            op = r.choice(["<", ">", "<=", ">="])
+            lit = round(r.uniform(-1000, 10000), 2)
+            return f"({r.choice(self.cols['float'])} {op} {lit})"
+        if kind == "is_null":
+            neg = r.choice(["", " NOT"])
+            return f"({self.int_expr(depth + 1)} IS{neg} NULL)"
+        if kind == "and":
+            return f"({self.bool_expr(depth + 1)} AND {self.bool_expr(depth + 1)})"
+        if kind == "or":
+            return f"({self.bool_expr(depth + 1)} OR {self.bool_expr(depth + 1)})"
+        if kind == "not":
+            return f"(NOT {self.bool_expr(depth + 1)})"
+        return f"({self.int_expr(depth + 1)} < {self.int_expr(depth + 1)})"
+
+    def proj_expr(self) -> str:
+        kind = self.rng.choice(["int", "int", "str", "float", "bool"])
+        if kind == "int":
+            return self.int_expr()
+        if kind == "str":
+            return self.str_expr()
+        if kind == "float" and self.cols["float"]:
+            return self.float_expr()
+        if kind == "bool":
+            return f"({self.bool_expr()})"
+        return self.int_expr()
+
+
+class _JoinGen(_Gen):
+    """Expression generator whose column pool spans both join sides —
+    column names are globally unique across the fixture tables, so no
+    qualification is needed and the same SQL parses in both engines."""
+
+    def __init__(self, rng: random.Random, left: str, right: str):
+        self.rng = rng
+        self.cols = {
+            k: TABLE_COLS[left][k] + TABLE_COLS[right][k]
+            for k in ("int", "float", "str", "ts")
+        }
+
+
+def _order_and_limit(rng: random.Random, n_cols: int, allow_limit: bool = True) -> str:
+    order = ", ".join(f"c{i} ASC NULLS FIRST" for i in range(n_cols))
+    sql = f" ORDER BY {order}"
+    if allow_limit and rng.random() < 0.5:
+        # full-tuple tiebreak above means any LIMIT prefix is unique up
+        # to identical rows, which hash identically
+        sql += f" LIMIT {rng.randint(1, 200)}"
+    return sql
+
+
+def _agg_items(g: _Gen, rng: random.Random) -> list[str]:
+    items = []
+    n = rng.randint(1, 4)
+    for _ in range(n):
+        kind = rng.choice(["sum", "cnt", "cntd", "min_int", "max_int", "minmax_float"])
+        if kind == "sum":
+            items.append(f"CAST(SUM({g.int_expr()}) AS BIGINT)")
+        elif kind == "cnt":
+            items.append(f"COUNT({g.int_expr()})" if rng.random() < 0.5 else "COUNT(*)")
+        elif kind == "cntd":
+            items.append(f"COUNT(DISTINCT {g.int_expr()})")
+        elif kind == "min_int":
+            items.append(f"MIN({g.int_expr()})")
+        elif kind == "max_int":
+            items.append(f"MAX({g.int_expr()})")
+        else:
+            fn = rng.choice(["MIN", "MAX"])
+            if g.cols["float"]:
+                items.append(f"{fn}({rng.choice(g.cols['float'])})")
+            else:
+                items.append(f"{fn}({g.int_expr()})")
+    return items
+
+
+def generate(seed: int) -> FuzzQuery:
+    """Generate one deterministic differential query from a seed."""
+    rng = random.Random(seed)
+    shape = rng.choice(["scan", "scan", "agg", "agg", "join", "join_agg"])
+
+    if shape in ("scan", "agg"):
+        table = rng.choice(list(TABLE_COLS))
+        g = _Gen(rng, table)
+        tables: tuple[str, ...] = (table,)
+        from_clause = table
+    else:
+        left, right, lk, rk = rng.choice(JOINS)
+        g = _JoinGen(rng, left, right)
+        tables = (left, right)
+        how = rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+        from_clause = f"{left} {how} {right} ON {lk} = {rk}"
+
+    where = f" WHERE {g.bool_expr()}" if rng.random() < 0.85 else ""
+
+    if shape in ("scan", "join"):
+        n_proj = rng.randint(1, 5)
+        projs = [f"{g.proj_expr()} AS c{i}" for i in range(n_proj)]
+        sql = (
+            f"SELECT {', '.join(projs)} FROM {from_clause}{where}"
+            f"{_order_and_limit(rng, n_proj)}"
+        )
+    else:
+        key = rng.choice(["int_mod", "str"])
+        if key == "int_mod":
+            key_sql = f"(ABS({g.int_expr()}) % {rng.randint(2, 12)})"
+        else:
+            key_sql = g.str_expr()
+        aggs = _agg_items(g, rng)
+        cols = [f"{key_sql} AS c0"] + [f"{a} AS c{i + 1}" for i, a in enumerate(aggs)]
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {from_clause}{where} "
+            f"GROUP BY 1{_order_and_limit(rng, len(cols), allow_limit=False)}"
+        )
+    return FuzzQuery(seed=seed, sql=sql, tables=tables, shape=shape)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Create temp views for the fuzzable tables (catalog-normalized
+    reads, same path every registered query uses)."""
+    for t in TABLE_COLS:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def run_spark_sql(spark: SparkSession, q: FuzzQuery, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(q.sql)
+
+
+def run_spark_dataframe(spark: SparkSession, q: FuzzQuery, sf_dir: str) -> DataFrame | None:
+    """Re-express the generated query through the DataFrame API (the
+    engine's native idiom) for single-table shapes: scan shapes become
+    where/selectExpr/orderBy/limit, agg shapes become
+    where/groupBy/agg.  Returns None for join shapes (the SQL path
+    covers those; re-deriving qualified join plans from the shared
+    namespace adds parser surface, not engine surface).
+
+    This gives a three-way differential: Spark-SQL vs Spark-DataFrame
+    (two distinct logical-plan constructions through one Catalyst) vs
+    DuckDB.
+    """
+    if len(q.tables) != 1:
+        return None
+    import re
+
+    df = read_table(spark, sf_dir, q.tables[0])
+    m = re.match(
+        r"SELECT (?P<projs>.*) FROM (?P<tbl>\w+)"
+        r"(?: WHERE (?P<where>.*?))?"
+        r"(?: GROUP BY 1)?"
+        r" ORDER BY (?P<order>[^;]*?)(?: LIMIT (?P<limit>\d+))?$",
+        q.sql,
+        re.DOTALL,
+    )
+    if not m:  # pragma: no cover — shapes above always match
+        return None
+    if m.group("where"):
+        df = df.where(F.expr(m.group("where")))
+    projs = _split_top_level(m.group("projs"))
+    if "GROUP BY 1" in q.sql:
+        key = projs[0]
+        key_expr = key[: key.rindex(" AS ")]
+        aggs = [F.expr(p[: p.rindex(" AS ")]).alias(f"c{i + 1}") for i, p in enumerate(projs[1:])]
+        df = df.groupBy(F.expr(key_expr).alias("c0")).agg(*aggs)
+    else:
+        df = df.selectExpr(*projs)
+    n_order = len(m.group("order").split(", "))
+    df = df.orderBy(*[F.expr(f"c{i}").asc_nulls_first() for i in range(n_order)])
+    if m.group("limit"):
+        df = df.limit(int(m.group("limit")))
+    return df
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a projection list on top-level commas (paren- and
+    quote-aware)."""
+    out, depth, cur, in_str = [], 0, [], False
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    out.append("".join(cur).strip())
+    return out
