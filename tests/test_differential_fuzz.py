@@ -45,7 +45,7 @@ def test_generator_is_deterministic():
 
 def test_generator_covers_all_shapes():
     shapes = {relgen.generate(s).shape for s in range(N_CI_SEEDS)}
-    assert shapes == {"scan", "agg", "join", "join_agg"}, shapes
+    assert shapes == set(relgen.SHAPES), shapes
 
 
 def test_dataframe_path_exercised():

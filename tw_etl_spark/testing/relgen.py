@@ -99,6 +99,21 @@ JOINS = [
     ("lineitem", "orders", "l_orderkey", "o_orderkey"),
 ]
 
+# Per-table unique key: appended to window ORDER BY clauses so
+# ROW_NUMBER / LAG / LEAD orderings are total (deterministic in both
+# engines).  RANK/DENSE_RANK don't need it (ties share a rank).
+# lineitem is deliberately ABSENT: its nominal (l_orderkey,
+# l_linenumber) key is NOT unique in the fixtures (measured 6000 rows /
+# 4599 distinct pairs at sf0.001), so no total order exists and
+# sequence-sensitive window results would be engine-dependent — seed
+# 414 of the first wide sweep caught exactly that.  Window shapes are
+# generated only over these tables.
+UNIQUE_KEYS = {
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+}
+
 
 @dataclass
 class FuzzQuery:
@@ -295,22 +310,72 @@ def _agg_items(g: _Gen, rng: random.Random) -> list[str]:
     return items
 
 
+def _window_items(g: _Gen, rng: random.Random, table: str) -> list[str]:
+    """Window expressions whose results are deterministic: RANK and
+    DENSE_RANK tie-share (any order expr is fine); ROW_NUMBER, LAG and
+    LEAD get the table's unique key appended for a total order;
+    partition-wide SUM/COUNT are order-free (SUM cast to BIGINT — DuckDB
+    widens window sums to HUGEINT just like plain ones)."""
+    part = f"(ABS({g.int_expr()}) % {rng.randint(2, 8)})"
+    order_expr = g.int_expr()
+    uniq = ", ".join(f"{k} ASC NULLS FIRST" for k in UNIQUE_KEYS[table])
+    total_order = f"{order_expr} ASC NULLS FIRST, {uniq}"
+    items = []
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["row_number", "rank", "dense_rank", "lag", "lead", "psum", "pcount"])
+        if kind == "row_number":
+            items.append(f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {total_order})")
+        elif kind == "rank":
+            items.append(
+                f"RANK() OVER (PARTITION BY {part} ORDER BY {order_expr} ASC NULLS FIRST)"
+            )
+        elif kind == "dense_rank":
+            items.append(
+                f"DENSE_RANK() OVER (PARTITION BY {part} ORDER BY {order_expr} ASC NULLS FIRST)"
+            )
+        elif kind == "lag":
+            items.append(
+                f"LAG({g.int_expr()}, 1) OVER (PARTITION BY {part} ORDER BY {total_order})"
+            )
+        elif kind == "lead":
+            items.append(
+                f"LEAD({g.int_expr()}, 1) OVER (PARTITION BY {part} ORDER BY {total_order})"
+            )
+        elif kind == "psum":
+            items.append(
+                f"CAST(SUM({g.int_expr()}) OVER (PARTITION BY {part}) AS BIGINT)"
+            )
+        else:
+            items.append(f"COUNT(*) OVER (PARTITION BY {part})")
+    return items
+
+
+# Shape weights.  scan/agg/join exercise the core; window/setop/subq/
+# distinct exercise the analytic, set-semantics and subquery planners.
+_SHAPES = [
+    "scan", "scan", "agg", "agg", "join", "join_agg",
+    "window", "window", "setop", "subq", "distinct",
+]
+
+SHAPES = tuple(dict.fromkeys(_SHAPES))
+
+
 def generate(seed: int) -> FuzzQuery:
     """Generate one deterministic differential query from a seed."""
     rng = random.Random(seed)
-    shape = rng.choice(["scan", "scan", "agg", "agg", "join", "join_agg"])
+    shape = rng.choice(_SHAPES)
 
-    if shape in ("scan", "agg"):
-        table = rng.choice(list(TABLE_COLS))
-        g = _Gen(rng, table)
-        tables: tuple[str, ...] = (table,)
-        from_clause = table
-    else:
+    if shape in ("join", "join_agg"):
         left, right, lk, rk = rng.choice(JOINS)
-        g = _JoinGen(rng, left, right)
-        tables = (left, right)
+        g: _Gen = _JoinGen(rng, left, right)
+        tables: tuple[str, ...] = (left, right)
         how = rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
         from_clause = f"{left} {how} {right} ON {lk} = {rk}"
+    else:
+        table = rng.choice(list(TABLE_COLS))
+        g = _Gen(rng, table)
+        tables = (table,)
+        from_clause = table
 
     where = f" WHERE {g.bool_expr()}" if rng.random() < 0.85 else ""
 
@@ -321,7 +386,7 @@ def generate(seed: int) -> FuzzQuery:
             f"SELECT {', '.join(projs)} FROM {from_clause}{where}"
             f"{_order_and_limit(rng, n_proj)}"
         )
-    else:
+    elif shape in ("agg", "join_agg"):
         key = rng.choice(["int_mod", "str"])
         if key == "int_mod":
             key_sql = f"(ABS({g.int_expr()}) % {rng.randint(2, 12)})"
@@ -329,9 +394,84 @@ def generate(seed: int) -> FuzzQuery:
             key_sql = g.str_expr()
         aggs = _agg_items(g, rng)
         cols = [f"{key_sql} AS c0"] + [f"{a} AS c{i + 1}" for i, a in enumerate(aggs)]
+        having = f" HAVING COUNT(*) > {rng.randint(0, 20)}" if rng.random() < 0.4 else ""
         sql = (
             f"SELECT {', '.join(cols)} FROM {from_clause}{where} "
-            f"GROUP BY 1{_order_and_limit(rng, len(cols), allow_limit=False)}"
+            f"GROUP BY 1{having}{_order_and_limit(rng, len(cols), allow_limit=False)}"
+        )
+    elif shape == "window":
+        if tables[0] not in UNIQUE_KEYS:
+            table = rng.choice(sorted(UNIQUE_KEYS))
+            g = _Gen(rng, table)
+            tables = (table,)
+            from_clause = table
+            where = f" WHERE {g.bool_expr()}" if rng.random() < 0.85 else ""
+        items = _window_items(g, rng, tables[0])
+        uniq_cols = UNIQUE_KEYS[tables[0]]
+        cols = [f"{c} AS c{i}" for i, c in enumerate(uniq_cols + items)]
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {from_clause}{where}"
+            f"{_order_and_limit(rng, len(cols))}"
+        )
+    elif shape == "setop":
+        op = rng.choice(["UNION ALL", "UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        # identical projections on both branches => identical types (a
+        # set-op type-resolution mismatch can't produce dialect noise);
+        # float exprs excluded: set semantics compare cells for equality
+        # and we don't want -0.0/0.0 representative-choice in play
+        n_proj = rng.randint(1, 3)
+        projs = []
+        for _ in range(n_proj):
+            projs.append(g.int_expr() if rng.random() < 0.6 else g.str_expr())
+        branch = "SELECT " + ", ".join(f"{p} AS c{i}" for i, p in enumerate(projs))
+        where2 = f" WHERE {g.bool_expr()}" if rng.random() < 0.85 else ""
+        sql = (
+            f"{branch} FROM {from_clause}{where} {op} "
+            f"{branch} FROM {from_clause}{where2}"
+            f"{_order_and_limit(rng, n_proj, allow_limit=False)}"
+        )
+    elif shape == "subq":
+        # IN / NOT IN / EXISTS / NOT EXISTS against the table's join
+        # partner; subquery keys are non-null fixture PKs, so NOT IN's
+        # null-aware semantics agree trivially
+        outer, inner, fk, pk = rng.choice(JOINS)
+        g = _Gen(rng, outer)
+        gi = _Gen(rng, inner)
+        tables = (outer, inner)
+        kind = rng.choice(["in", "not_in", "exists", "not_exists"])
+        inner_where = f" WHERE {gi.bool_expr()}" if rng.random() < 0.7 else ""
+        if kind in ("in", "not_in"):
+            neg = "NOT " if kind == "not_in" else ""
+            pred = f"{fk} {neg}IN (SELECT {pk} FROM {inner}{inner_where})"
+        else:
+            neg = "NOT " if kind == "not_exists" else ""
+            corr = f"{pk} = {fk}"
+            extra = f" AND {gi.bool_expr()}" if rng.random() < 0.7 else ""
+            pred = f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE {corr}{extra})"
+        outer_pred = f" AND {g.bool_expr()}" if rng.random() < 0.5 else ""
+        n_proj = rng.randint(1, 3)
+        projs = [f"{g.proj_expr()} AS c{i}" for i in range(n_proj)]
+        sql = (
+            f"SELECT {', '.join(projs)} FROM {outer} WHERE {pred}{outer_pred}"
+            f"{_order_and_limit(rng, n_proj)}"
+        )
+    else:  # distinct
+        n_proj = rng.randint(1, 3)
+        projs = []
+        for _ in range(n_proj):
+            # int/str/bool only: set semantics on floats would hinge on
+            # which -0.0/0.0 representative survives
+            k = rng.choice(["int", "int", "str", "bool"])
+            if k == "int":
+                projs.append(g.int_expr())
+            elif k == "str":
+                projs.append(g.str_expr())
+            else:
+                projs.append(f"({g.bool_expr()})")
+        cols = [f"{p} AS c{i}" for i, p in enumerate(projs)]
+        sql = (
+            f"SELECT DISTINCT {', '.join(cols)} FROM {from_clause}{where}"
+            f"{_order_and_limit(rng, n_proj, allow_limit=False)}"
         )
     return FuzzQuery(seed=seed, sql=sql, tables=tables, shape=shape)
 
@@ -361,6 +501,16 @@ def run_spark_dataframe(spark: SparkSession, q: FuzzQuery, sf_dir: str) -> DataF
     DuckDB.
     """
     if len(q.tables) != 1:
+        return None
+    # SQL-only shapes: subqueries can't be expressed through F.expr in
+    # a where(); set ops / DISTINCT / HAVING have their own DataFrame
+    # verbs but re-deriving them from SQL adds parser surface, not
+    # engine surface.  (Window shapes DO run here — selectExpr accepts
+    # OVER clauses.)
+    if any(
+        t in q.sql
+        for t in ("(SELECT", " UNION ", " INTERSECT ", " EXCEPT ", " HAVING ", "SELECT DISTINCT")
+    ):
         return None
     import re
 
