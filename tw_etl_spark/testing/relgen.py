@@ -387,17 +387,22 @@ def generate(seed: int) -> FuzzQuery:
             f"{_order_and_limit(rng, n_proj)}"
         )
     elif shape in ("agg", "join_agg"):
-        key = rng.choice(["int_mod", "str"])
-        if key == "int_mod":
-            key_sql = f"(ABS({g.int_expr()}) % {rng.randint(2, 12)})"
-        else:
-            key_sql = g.str_expr()
+        n_keys = rng.choice([1, 1, 2])
+        keys = []
+        for _ in range(n_keys):
+            if rng.random() < 0.5:
+                keys.append(f"(ABS({g.int_expr()}) % {rng.randint(2, 12)})")
+            else:
+                keys.append(g.str_expr())
         aggs = _agg_items(g, rng)
-        cols = [f"{key_sql} AS c0"] + [f"{a} AS c{i + 1}" for i, a in enumerate(aggs)]
+        cols = [f"{k} AS c{i}" for i, k in enumerate(keys)] + [
+            f"{a} AS c{i + n_keys}" for i, a in enumerate(aggs)
+        ]
+        group = ", ".join(str(i + 1) for i in range(n_keys))
         having = f" HAVING COUNT(*) > {rng.randint(0, 20)}" if rng.random() < 0.4 else ""
         sql = (
             f"SELECT {', '.join(cols)} FROM {from_clause}{where} "
-            f"GROUP BY 1{having}{_order_and_limit(rng, len(cols), allow_limit=False)}"
+            f"GROUP BY {group}{having}{_order_and_limit(rng, len(cols), allow_limit=False)}"
         )
     elif shape == "window":
         if tables[0] not in UNIQUE_KEYS:
@@ -518,7 +523,7 @@ def run_spark_dataframe(spark: SparkSession, q: FuzzQuery, sf_dir: str) -> DataF
     m = re.match(
         r"SELECT (?P<projs>.*) FROM (?P<tbl>\w+)"
         r"(?: WHERE (?P<where>.*?))?"
-        r"(?: GROUP BY 1)?"
+        r"(?: GROUP BY (?P<group>[\d, ]+?))?"
         r" ORDER BY (?P<order>[^;]*?)(?: LIMIT (?P<limit>\d+))?$",
         q.sql,
         re.DOTALL,
@@ -528,11 +533,17 @@ def run_spark_dataframe(spark: SparkSession, q: FuzzQuery, sf_dir: str) -> DataF
     if m.group("where"):
         df = df.where(F.expr(m.group("where")))
     projs = _split_top_level(m.group("projs"))
-    if "GROUP BY 1" in q.sql:
-        key = projs[0]
-        key_expr = key[: key.rindex(" AS ")]
-        aggs = [F.expr(p[: p.rindex(" AS ")]).alias(f"c{i + 1}") for i, p in enumerate(projs[1:])]
-        df = df.groupBy(F.expr(key_expr).alias("c0")).agg(*aggs)
+    if m.group("group"):
+        n_keys = len(m.group("group").split(","))
+        grp_cols = [
+            F.expr(p[: p.rindex(" AS ")]).alias(f"c{i}")
+            for i, p in enumerate(projs[:n_keys])
+        ]
+        aggs = [
+            F.expr(p[: p.rindex(" AS ")]).alias(f"c{i + n_keys}")
+            for i, p in enumerate(projs[n_keys:])
+        ]
+        df = df.groupBy(*grp_cols).agg(*aggs)
     else:
         df = df.selectExpr(*projs)
     n_order = len(m.group("order").split(", "))
