@@ -38,6 +38,28 @@ def test_differential_fuzz_seed(spark, seed):
         assert_frames_match(df.toPandas(), oracle_pdf, f"seed{seed}:df [{q.sql}]")
 
 
+def test_known_divergence_rollup_on_empty_input(spark):
+    """Documented engine divergence the first rollup fuzz sweep found:
+    GROUP BY ROLLUP/CUBE/GROUPING SETS over an EMPTY input emits the
+    () grouping-set grand-total row in DuckDB (and PostgreSQL, per the
+    SQL standard) but ZERO rows in Spark.  Plain global aggregation
+    (no grouping sets) agrees between the engines (1 row).  The
+    generator therefore never pairs grouping-set shapes with a WHERE
+    clause; this test pins the divergence so a future Spark version
+    changing the behavior is noticed."""
+    relgen.register_views(spark, SF_SMOKE)
+    sql = (
+        "SELECT o_orderstatus AS k, COUNT(*) AS n FROM orders "
+        "WHERE 1=0 GROUP BY ROLLUP (o_orderstatus)"
+    )
+    assert spark.sql(sql).count() == 0  # Spark: no rows
+    assert len(run_oracle(sql, SF_SMOKE)) == 1  # DuckDB: grand-total row
+    # sanity: both agree on plain global aggregation over empty input
+    sql2 = "SELECT COUNT(*) AS n FROM orders WHERE 1=0"
+    assert spark.sql(sql2).count() == 1
+    assert len(run_oracle(sql2, SF_SMOKE)) == 1
+
+
 def test_generator_is_deterministic():
     for seed in (0, 7, 123, 4096):
         assert relgen.generate(seed).sql == relgen.generate(seed).sql
@@ -51,5 +73,5 @@ def test_generator_covers_all_shapes():
 def test_dataframe_path_exercised():
     """The three-way differential is only real if the DataFrame
     re-expression actually runs for a meaningful share of seeds."""
-    n = sum(1 for s in range(N_CI_SEEDS) if len(relgen.generate(s).tables) == 1)
-    assert n >= N_CI_SEEDS // 3, n
+    n = sum(1 for s in range(N_CI_SEEDS) if relgen.generate(s).parts is not None)
+    assert n >= N_CI_SEEDS // 2, n

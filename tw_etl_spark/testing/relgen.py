@@ -119,12 +119,29 @@ UNIQUE_KEYS = {
 class FuzzQuery:
     """One generated query: a SQL string valid (and semantics-identical)
     in both Spark SQL and DuckDB, the tables it reads, and the query
-    shape (for reporting)."""
+    shape (for reporting).
+
+    ``parts`` carries the structured form (projections, predicate, join
+    spec, grouping arity, order/limit) for shapes the DataFrame API can
+    re-express directly; it is None for SQL-only shapes (set ops,
+    subqueries, DISTINCT, HAVING, ROLLUP/CUBE/GROUPING SETS)."""
 
     seed: int
     sql: str
     tables: tuple[str, ...]
-    shape: str  # scan | agg | join | join_agg
+    shape: str  # scan | agg | join | join_agg | window | setop | subq | distinct
+    parts: "QueryParts | None" = None
+
+
+@dataclass
+class QueryParts:
+    """Structured query components for the DataFrame re-expression."""
+
+    projs: list[str]  # aliased projection/agg expressions, in order
+    where: str | None = None
+    join: tuple[str, str, str, str, str] | None = None  # left, right, lk, rk, how
+    n_keys: int = 0  # leading projs that are GROUP BY keys (0 = no agg)
+    limit: int | None = None
 
 
 class _Gen:
@@ -276,14 +293,18 @@ class _JoinGen(_Gen):
         }
 
 
-def _order_and_limit(rng: random.Random, n_cols: int, allow_limit: bool = True) -> str:
+def _order_and_limit(
+    rng: random.Random, n_cols: int, allow_limit: bool = True
+) -> tuple[str, int | None]:
     order = ", ".join(f"c{i} ASC NULLS FIRST" for i in range(n_cols))
     sql = f" ORDER BY {order}"
+    limit = None
     if allow_limit and rng.random() < 0.5:
         # full-tuple tiebreak above means any LIMIT prefix is unique up
         # to identical rows, which hash identically
-        sql += f" LIMIT {rng.randint(1, 200)}"
-    return sql
+        limit = rng.randint(1, 200)
+        sql += f" LIMIT {limit}"
+    return sql, limit
 
 
 def _agg_items(g: _Gen, rng: random.Random) -> list[str]:
@@ -379,13 +400,17 @@ def generate(seed: int) -> FuzzQuery:
 
     where = f" WHERE {g.bool_expr()}" if rng.random() < 0.85 else ""
 
+    join_spec = None
+    if shape in ("join", "join_agg"):
+        join_spec = (left, right, lk, rk, "left" if how == "LEFT JOIN" else "inner")
+    bare_where = where[len(" WHERE "):] if where else None
+
     if shape in ("scan", "join"):
         n_proj = rng.randint(1, 5)
         projs = [f"{g.proj_expr()} AS c{i}" for i in range(n_proj)]
-        sql = (
-            f"SELECT {', '.join(projs)} FROM {from_clause}{where}"
-            f"{_order_and_limit(rng, n_proj)}"
-        )
+        tail, limit = _order_and_limit(rng, n_proj)
+        sql = f"SELECT {', '.join(projs)} FROM {from_clause}{where}{tail}"
+        parts = QueryParts(projs=projs, where=bare_where, join=join_spec, limit=limit)
     elif shape in ("agg", "join_agg"):
         n_keys = rng.choice([1, 1, 2])
         keys = []
@@ -395,15 +420,65 @@ def generate(seed: int) -> FuzzQuery:
             else:
                 keys.append(g.str_expr())
         aggs = _agg_items(g, rng)
-        cols = [f"{k} AS c{i}" for i, k in enumerate(keys)] + [
-            f"{a} AS c{i + n_keys}" for i, a in enumerate(aggs)
-        ]
-        group = ", ".join(str(i + 1) for i in range(n_keys))
-        having = f" HAVING COUNT(*) > {rng.randint(0, 20)}" if rng.random() < 0.4 else ""
-        sql = (
-            f"SELECT {', '.join(cols)} FROM {from_clause}{where} "
-            f"GROUP BY {group}{having}{_order_and_limit(rng, len(cols), allow_limit=False)}"
-        )
+        grouping_variant = None
+        if n_keys == 2 and rng.random() < 0.4:
+            grouping_variant = rng.choice(["ROLLUP", "CUBE", "GROUPING SETS"])
+        if grouping_variant:
+            # super-aggregate shapes: repeat the key expressions in the
+            # grouping clause (positional refs are not valid inside
+            # ROLLUP in both dialects) and disambiguate data-NULL keys
+            # from super-aggregate NULL keys with GROUPING() columns
+            # (TINYINT in Spark, BIGINT in DuckDB -> cast both).
+            # NO WHERE clause here — a documented engine divergence the
+            # first fuzz sweep of these shapes found: over an EMPTY
+            # input, DuckDB (like PostgreSQL, per the SQL standard)
+            # emits the () grouping-set grand-total row, Spark emits
+            # zero rows (tests/test_differential_fuzz.py::
+            # test_known_divergence_rollup_on_empty_input pins it).
+            # Fixture tables are non-empty, so dropping WHERE keeps the
+            # generated queries out of the divergent case.
+            where = ""
+            if grouping_variant == "GROUPING SETS":
+                group = (
+                    f"GROUPING SETS (({keys[0]}, {keys[1]}), ({keys[0]}), ())"
+                )
+            else:
+                group = f"{grouping_variant} ({keys[0]}, {keys[1]})"
+            cols = (
+                [f"{k} AS c{i}" for i, k in enumerate(keys)]
+                + [
+                    f"CAST(GROUPING({k}) AS BIGINT) AS c{i + 2}"
+                    for i, k in enumerate(keys)
+                ]
+                + [f"{a} AS c{i + 4}" for i, a in enumerate(aggs)]
+            )
+            tail, _ = _order_and_limit(rng, len(cols), allow_limit=False)
+            sql = (
+                f"SELECT {', '.join(cols)} FROM {from_clause}{where} "
+                f"GROUP BY {group}{tail}"
+            )
+            parts = None  # SQL-only (DataFrame rollup()/cube() exist but
+            # GROUPING() on expression keys doesn't round-trip F.expr)
+        else:
+            cols = [f"{k} AS c{i}" for i, k in enumerate(keys)] + [
+                f"{a} AS c{i + n_keys}" for i, a in enumerate(aggs)
+            ]
+            group = ", ".join(str(i + 1) for i in range(n_keys))
+            having = (
+                f" HAVING COUNT(*) > {rng.randint(0, 20)}" if rng.random() < 0.4 else ""
+            )
+            tail, _ = _order_and_limit(rng, len(cols), allow_limit=False)
+            sql = (
+                f"SELECT {', '.join(cols)} FROM {from_clause}{where} "
+                f"GROUP BY {group}{having}{tail}"
+            )
+            parts = (
+                None
+                if having
+                else QueryParts(
+                    projs=cols, where=bare_where, join=join_spec, n_keys=n_keys
+                )
+            )
     elif shape == "window":
         if tables[0] not in UNIQUE_KEYS:
             table = rng.choice(sorted(UNIQUE_KEYS))
@@ -411,13 +486,13 @@ def generate(seed: int) -> FuzzQuery:
             tables = (table,)
             from_clause = table
             where = f" WHERE {g.bool_expr()}" if rng.random() < 0.85 else ""
+            bare_where = where[len(" WHERE "):] if where else None
         items = _window_items(g, rng, tables[0])
         uniq_cols = UNIQUE_KEYS[tables[0]]
         cols = [f"{c} AS c{i}" for i, c in enumerate(uniq_cols + items)]
-        sql = (
-            f"SELECT {', '.join(cols)} FROM {from_clause}{where}"
-            f"{_order_and_limit(rng, len(cols))}"
-        )
+        tail, limit = _order_and_limit(rng, len(cols))
+        sql = f"SELECT {', '.join(cols)} FROM {from_clause}{where}{tail}"
+        parts = QueryParts(projs=cols, where=bare_where, limit=limit)
     elif shape == "setop":
         op = rng.choice(["UNION ALL", "UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
         # identical projections on both branches => identical types (a
@@ -430,11 +505,12 @@ def generate(seed: int) -> FuzzQuery:
             projs.append(g.int_expr() if rng.random() < 0.6 else g.str_expr())
         branch = "SELECT " + ", ".join(f"{p} AS c{i}" for i, p in enumerate(projs))
         where2 = f" WHERE {g.bool_expr()}" if rng.random() < 0.85 else ""
+        tail, _ = _order_and_limit(rng, n_proj, allow_limit=False)
         sql = (
             f"{branch} FROM {from_clause}{where} {op} "
-            f"{branch} FROM {from_clause}{where2}"
-            f"{_order_and_limit(rng, n_proj, allow_limit=False)}"
+            f"{branch} FROM {from_clause}{where2}{tail}"
         )
+        parts = None
     elif shape == "subq":
         # IN / NOT IN / EXISTS / NOT EXISTS against the table's join
         # partner; subquery keys are non-null fixture PKs, so NOT IN's
@@ -456,10 +532,11 @@ def generate(seed: int) -> FuzzQuery:
         outer_pred = f" AND {g.bool_expr()}" if rng.random() < 0.5 else ""
         n_proj = rng.randint(1, 3)
         projs = [f"{g.proj_expr()} AS c{i}" for i in range(n_proj)]
+        tail, _ = _order_and_limit(rng, n_proj)
         sql = (
-            f"SELECT {', '.join(projs)} FROM {outer} WHERE {pred}{outer_pred}"
-            f"{_order_and_limit(rng, n_proj)}"
+            f"SELECT {', '.join(projs)} FROM {outer} WHERE {pred}{outer_pred}{tail}"
         )
+        parts = None
     else:  # distinct
         n_proj = rng.randint(1, 3)
         projs = []
@@ -474,11 +551,10 @@ def generate(seed: int) -> FuzzQuery:
             else:
                 projs.append(f"({g.bool_expr()})")
         cols = [f"{p} AS c{i}" for i, p in enumerate(projs)]
-        sql = (
-            f"SELECT DISTINCT {', '.join(cols)} FROM {from_clause}{where}"
-            f"{_order_and_limit(rng, n_proj, allow_limit=False)}"
-        )
-    return FuzzQuery(seed=seed, sql=sql, tables=tables, shape=shape)
+        tail, _ = _order_and_limit(rng, n_proj, allow_limit=False)
+        sql = f"SELECT DISTINCT {', '.join(cols)} FROM {from_clause}{where}{tail}"
+        parts = None
+    return FuzzQuery(seed=seed, sql=sql, tables=tables, shape=shape, parts=parts)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -495,84 +571,46 @@ def run_spark_sql(spark: SparkSession, q: FuzzQuery, sf_dir: str) -> DataFrame:
 
 def run_spark_dataframe(spark: SparkSession, q: FuzzQuery, sf_dir: str) -> DataFrame | None:
     """Re-express the generated query through the DataFrame API (the
-    engine's native idiom) for single-table shapes: scan shapes become
-    where/selectExpr/orderBy/limit, agg shapes become
-    where/groupBy/agg.  Returns None for join shapes (the SQL path
-    covers those; re-deriving qualified join plans from the shared
-    namespace adds parser surface, not engine surface).
+    engine's native idiom) from its structured ``parts``: scan/window
+    shapes become where/selectExpr/orderBy/limit (selectExpr accepts
+    OVER clauses), agg shapes become where/groupBy/agg, join shapes
+    become read.join(read).  Returns None for SQL-only shapes
+    (``parts is None``): subqueries can't be expressed through F.expr
+    in a where(); set ops / DISTINCT / HAVING / ROLLUP have DataFrame
+    verbs but re-deriving them adds translation surface, not engine
+    surface.
 
     This gives a three-way differential: Spark-SQL vs Spark-DataFrame
     (two distinct logical-plan constructions through one Catalyst) vs
     DuckDB.
     """
-    if len(q.tables) != 1:
+    p = q.parts
+    if p is None:
         return None
-    # SQL-only shapes: subqueries can't be expressed through F.expr in
-    # a where(); set ops / DISTINCT / HAVING have their own DataFrame
-    # verbs but re-deriving them from SQL adds parser surface, not
-    # engine surface.  (Window shapes DO run here — selectExpr accepts
-    # OVER clauses.)
-    if any(
-        t in q.sql
-        for t in ("(SELECT", " UNION ", " INTERSECT ", " EXCEPT ", " HAVING ", "SELECT DISTINCT")
-    ):
-        return None
-    import re
-
-    df = read_table(spark, sf_dir, q.tables[0])
-    m = re.match(
-        r"SELECT (?P<projs>.*) FROM (?P<tbl>\w+)"
-        r"(?: WHERE (?P<where>.*?))?"
-        r"(?: GROUP BY (?P<group>[\d, ]+?))?"
-        r" ORDER BY (?P<order>[^;]*?)(?: LIMIT (?P<limit>\d+))?$",
-        q.sql,
-        re.DOTALL,
-    )
-    if not m:  # pragma: no cover — shapes above always match
-        return None
-    if m.group("where"):
-        df = df.where(F.expr(m.group("where")))
-    projs = _split_top_level(m.group("projs"))
-    if m.group("group"):
-        n_keys = len(m.group("group").split(","))
-        grp_cols = [
-            F.expr(p[: p.rindex(" AS ")]).alias(f"c{i}")
-            for i, p in enumerate(projs[:n_keys])
-        ]
-        aggs = [
-            F.expr(p[: p.rindex(" AS ")]).alias(f"c{i + n_keys}")
-            for i, p in enumerate(projs[n_keys:])
-        ]
-        df = df.groupBy(*grp_cols).agg(*aggs)
+    if p.join is not None:
+        left, right, lk, rk, how = p.join
+        df = read_table(spark, sf_dir, left).join(
+            read_table(spark, sf_dir, right), on=F.col(lk) == F.col(rk), how=how
+        )
     else:
-        df = df.selectExpr(*projs)
-    n_order = len(m.group("order").split(", "))
-    df = df.orderBy(*[F.expr(f"c{i}").asc_nulls_first() for i in range(n_order)])
-    if m.group("limit"):
-        df = df.limit(int(m.group("limit")))
+        df = read_table(spark, sf_dir, q.tables[0])
+    if p.where:
+        df = df.where(F.expr(p.where))
+
+    def unalias(proj: str, i: int):
+        # the alias is always the LAST " AS " (CAST(x AS BIGINT) has
+        # earlier ones)
+        return F.expr(proj[: proj.rindex(" AS ")]).alias(f"c{i}")
+
+    if p.n_keys:
+        grp = [unalias(c, i) for i, c in enumerate(p.projs[: p.n_keys])]
+        aggs = [
+            unalias(c, i + p.n_keys) for i, c in enumerate(p.projs[p.n_keys:])
+        ]
+        df = df.groupBy(*grp).agg(*aggs)
+    else:
+        df = df.selectExpr(*p.projs)
+    df = df.orderBy(*[F.col(f"c{i}").asc_nulls_first() for i in range(len(p.projs))])
+    if p.limit is not None:
+        df = df.limit(p.limit)
     return df
-
-
-def _split_top_level(s: str) -> list[str]:
-    """Split a projection list on top-level commas (paren- and
-    quote-aware)."""
-    out, depth, cur, in_str = [], 0, [], False
-    for ch in s:
-        if in_str:
-            cur.append(ch)
-            if ch == "'":
-                in_str = False
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-            continue
-        cur.append(ch)
-    out.append("".join(cur).strip())
-    return out
