@@ -44,6 +44,29 @@ def test_stream_equals_batch_fuzz(spark, seed):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# one seed per window kind (session / sliding / tumbling)
+RESTART_SEEDS = [0, 1, 11]
+
+
+@pytest.mark.parametrize("seed", RESTART_SEEDS)
+def test_restart_from_checkpoint_converges_to_batch(spark, seed):
+    """Kill-and-resume equivalence: run half the corpus, restart from
+    the checkpoint with the rest revealed, and require the update-mode
+    state to converge to the batch aggregate exactly.  Catches both
+    reprocessing (phase-A rows double-counted after restart) and state
+    loss (phase-A-only windows missing)."""
+    scenario = streamgen.make_scenario(seed)
+    d = tempfile.mkdtemp(prefix=f"stream_restart_{seed}_")
+    try:
+        got, want = streamgen.run_scenario_restart(spark, scenario, d)
+        assert got == want, (
+            f"{scenario}: restart state diverges from batch "
+            f"({len(got)} vs {len(want)} keys)"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_scenarios_cover_all_kinds():
     kinds = {streamgen.make_scenario(s).kind for s in CI_SEEDS}
     assert kinds == {"tumbling", "sliding", "session"}, kinds

@@ -186,6 +186,79 @@ def run_scenario(spark: SparkSession, scenario: StreamScenario, replay_dir: str)
     return canon(got), canon(want)
 
 
+def run_scenario_restart(
+    spark: SparkSession, scenario: StreamScenario, work_dir: str
+) -> tuple[dict, dict]:
+    """Two-phase checkpointed replay: reveal half the replay files, run
+    the scenario to completion (availableNow, update-mode foreachBatch
+    into a driver-side dict), then reveal the rest and RESTART from the
+    same checkpoint.  The restarted run must resume from committed
+    state — not reprocess phase A — and the final dict must equal the
+    batch aggregate over the full corpus.
+
+    Returns (streamed_state, batch_state) keyed by
+    (window_start, *group_cols) with the agg tuple as value.
+    """
+    import glob
+
+    pdf = gen_corpus(scenario)
+    staging = os.path.join(work_dir, "staging")
+    replay = os.path.join(work_dir, "replay")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(replay, exist_ok=True)
+    write_replay(scenario, pdf, staging)
+    files = sorted(glob.glob(os.path.join(staging, "*.parquet")))
+    split = max(1, len(files) // 2)
+
+    state: dict = {}
+    group_cols = scenario.group_cols
+    agg_names = scenario.agg_names
+    # session windows can MERGE as events arrive, so Spark only allows
+    # complete/append output for them — use complete (each batch is the
+    # full snapshot, dict rebuilt); tumbling/sliding use update (each
+    # batch carries only changed rows, dict converges)
+    mode = "complete" if scenario.kind == "session" else "update"
+
+    def apply_updates(bdf: DataFrame, _bid: int) -> None:
+        rows = bdf.collect()
+        if mode == "complete":
+            state.clear()
+        for r in rows:
+            key = (r.win.start, *[r[c] for c in group_cols])
+            state[key] = tuple(r[a] for a in agg_names)
+
+    def run_phase() -> None:
+        batch_schema = spark.read.parquet(staging).schema
+        stream_df = (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", scenario.max_files_per_trigger)
+            .parquet(replay)
+        )
+        q = (
+            build_plan(stream_df, scenario, watermark="365 days")
+            .writeStream.outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(apply_updates)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:split]:
+        os.link(f, os.path.join(replay, os.path.basename(f)))
+    run_phase()
+    for f in files[split:]:
+        os.link(f, os.path.join(replay, os.path.basename(f)))
+    run_phase()
+
+    want_df = build_plan(spark.read.parquet(staging), scenario, watermark=None)
+    want = {
+        (r.win.start, *[r[c] for c in group_cols]): tuple(r[a] for a in agg_names)
+        for r in want_df.collect()
+    }
+    return state, want
+
+
 def canon(df: DataFrame) -> pd.DataFrame:
     pdf = df.toPandas()
     if "win" in pdf.columns:
