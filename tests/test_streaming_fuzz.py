@@ -67,6 +67,48 @@ def test_restart_from_checkpoint_converges_to_batch(spark, seed):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# tumbling/sliding only: session boundaries are data-dependent, so a
+# dropped row can split a session into windows that legitimately don't
+# exist in batch
+LATEDROP_SEEDS = [1, 9, 11]
+
+
+@pytest.mark.parametrize("seed", LATEDROP_SEEDS)
+def test_watermark_latedrop_containment(spark, seed):
+    """With a tight watermark and shuffled arrival, finalized append-
+    mode windows must be CONTAINED in the batch result: no duplicate
+    emissions, no invented windows, and subset-consistent aggregates
+    (count/sum never exceed batch, min/max within batch bounds)."""
+    scenario = streamgen.make_scenario(seed)
+    assert scenario.kind in ("tumbling", "sliding")
+    pdf = streamgen.gen_corpus(scenario)
+    d = tempfile.mkdtemp(prefix=f"stream_late_{seed}_")
+    try:
+        streamgen.write_replay(scenario, pdf, d)
+        got, want = streamgen.run_scenario_latedrop(spark, scenario, d, "10 minutes")
+        # non-vacuity: the pinned seeds finalize thousands of windows
+        # (and fewer than batch — drops + unfinalized tail windows)
+        assert 0 < len(got) <= len(want), (len(got), len(want))
+        keys = [c for c in ["win_start", "win_end"] + scenario.group_cols if c in want.columns]
+        gk = got.set_index(keys)
+        wk = want.set_index(keys)
+        assert gk.index.is_unique, "duplicate finalized window emission"
+        missing = gk.index.difference(wk.index)
+        assert missing.empty, f"windows emitted that batch doesn't have: {missing[:5]}"
+        joined = gk.join(wk, lsuffix="_s", rsuffix="_b")
+        for a in scenario.agg_names:
+            s, b = joined[f"{a}_s"], joined[f"{a}_b"]
+            if a in ("n", "sv"):
+                assert (s <= b).all(), f"{a}: stream exceeds batch"
+                assert (s > 0).all() if a == "n" else True
+            elif a == "mn":
+                assert (s >= b).all(), "min below batch min"
+            elif a == "mx":
+                assert (s <= b).all(), "max above batch max"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_scenarios_cover_all_kinds():
     kinds = {streamgen.make_scenario(s).kind for s in CI_SEEDS}
     assert kinds == {"tumbling", "sliding", "session"}, kinds

@@ -259,6 +259,39 @@ def run_scenario_restart(
     return state, want
 
 
+def run_scenario_latedrop(
+    spark: SparkSession, scenario: StreamScenario, replay_dir: str, watermark: str
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Run the scenario with a TIGHT watermark in append mode (only
+    finalized windows are emitted; rows later than the watermark are
+    dropped) and return (stream_result, batch_result).
+
+    Which rows drop depends on micro-batch boundaries, so no exact
+    golden exists — the caller asserts the CONTAINMENT property
+    instead: every finalized (window, key) appears at most once, exists
+    in batch, and its aggregates are subset-consistent (count/sum no
+    greater, min no smaller, max no larger).  Only meaningful for
+    tumbling/sliding kinds: session-window boundaries are
+    data-dependent, so dropping a row can produce split sessions that
+    legitimately don't exist in batch.
+    """
+    from tw_etl_spark.streaming.windows import run_stream_to_memory
+
+    batch_df = spark.read.parquet(replay_dir)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", scenario.max_files_per_trigger)
+        .parquet(replay_dir)
+    )
+    got = run_stream_to_memory(
+        build_plan(stream_df, scenario, watermark=watermark),
+        f"stream_latedrop_{scenario.seed}",
+        output_mode="append",
+    )
+    want = build_plan(batch_df, scenario, watermark=None)
+    return canon(got), canon(want)
+
+
 def canon(df: DataFrame) -> pd.DataFrame:
     pdf = df.toPandas()
     if "win" in pdf.columns:
