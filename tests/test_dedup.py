@@ -541,3 +541,29 @@ def test_within_cluster_pairs_matches_bruteforce(spark):
                 if round(float(sum(va[k] * vb[k] for k in range(6))), 6) >= 0.8:
                     want.add((min(ia, ib), max(ia, ib)))
     assert got == want and (0, 100) in got and (0, 101) not in got
+
+
+def test_span_dedup_rewrite_crafted(spark):
+    """Known-answer check for the C4-style span-removal rewrite with
+    chunk_tokens=3: doc 1 owns both chunks first; doc 2 repeats doc 1's
+    first chunk (dropped) plus a unique partial chunk (kept); doc 3
+    repeats doc 1 verbatim (fully emptied); doc 4 is token-less."""
+    from tw_etl_spark.operators.dedup import span_dedup_rewrite
+
+    rows = [
+        (1, "a b c d e f"),     # chunks: "a b c", "d e f" — both kept
+        (2, "a b c zz"),        # "a b c" dropped, partial "zz" kept
+        (3, "a b c d e f"),     # both chunks dropped -> ''
+        (4, ""),                # no tokens -> '' with 0/0 counts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in span_dedup_rewrite(df, chunk_tokens=3).collect()
+    }
+    assert got == {
+        1: ("a b c d e f", 2, 0),
+        2: ("zz", 1, 1),
+        3: ("", 0, 2),
+        4: ("", 0, 0),
+    }

@@ -342,3 +342,20 @@ def test_x11_bloom_count_is_narrow_and_verdict_matches_exact(spark):
         F.size(ngrams_expr(tokens_expr(F.col("text")), 3)).alias("n_grams"),
     )
     assert count_exchanges(scored_only) == 0
+
+
+def test_dd10_span_rewrite_two_data_exchanges(spark):
+    """dd10's data path must shuffle exactly twice — once keyed on the
+    chunk text for the keep rule (payload bounded by chunk_tokens) and
+    once keyed on doc for reassembly; the rejoin to the id spine stays
+    broadcast at test scale (doc-keyed SMJ at corpus scale), and the
+    only other exchange is the final global orderBy range partition."""
+    import re
+
+    df = all_queries()["dd10_span_dedup_rewrite"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    hash_ex = re.findall(r"Arguments: hashpartitioning\(([^,#]+)", plan)
+    keys = sorted(hash_ex)
+    assert keys == ["chunk", "doc"], keys
+    assert plan.count("rangepartitioning") == 1
+    assert "CartesianProduct" not in plan

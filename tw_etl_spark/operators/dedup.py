@@ -1371,3 +1371,88 @@ def bloom_decontaminate(
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def span_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """C4-style duplicated-span REMOVAL: rewrite every document by
+    dropping token chunks whose exact text already occurred earlier in
+    the corpus (C4, Raffel et al. 2020 §2.2 deduplicates three-sentence
+    spans corpus-wide, keeping the first occurrence; dd9/duplicate_spans
+    only REPORTS spans — this operator produces the cleaned corpus).
+
+    Chunking: consecutive non-overlapping ``chunk_tokens``-token windows
+    (the final partial window participates as-is).  Survivor rule is
+    deterministic: the occurrence with the smallest (id, chunk_idx)
+    keeps the chunk; every later occurrence is removed.  Output is one
+    row per input document: (id, clean_text, n_kept, n_dropped) with
+    clean_text the surviving chunks re-joined in original order (''
+    when everything was dropped or the doc was empty).
+
+    Fully relational — no Python in the row path:
+
+    1. one narrow map explodes (chunk_idx, chunk_text) via
+       transform-over-sequence + posexplode;
+    2. keep = row_number() over (chunk ORDER BY id, idx) == 1 — ONE
+       hash exchange; the chunk payload that rides it is bounded by
+       ``chunk_tokens`` tokens by construction (at 100 TB swap the
+       partition key for xxhash64(chunk) and the payload stays the
+       same — the key is what shrinks; collisions only ever MERGE
+       chunks, identically on any engine);
+    3. reassembly is the collect_list(struct(idx, chunk)) → array_sort
+       → array_join per-doc fold (same exchange as the groupBy), and a
+       left join from the input preserves token-less documents.
+    """
+    n_chunks = F.floor(
+        (F.size("tk") + (chunk_tokens - 1)) / F.lit(chunk_tokens)
+    ).cast("int")
+    chunks = (
+        df.select(
+            F.col(id_col).alias("doc"), tokens_expr(F.col(text_col)).alias("tk")
+        )
+        .filter(F.size("tk") > 0)
+        .select(
+            "doc",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("tk", i * chunk_tokens + 1, chunk_tokens)
+                    ),
+                )
+            ).alias("idx", "chunk"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("chunk").orderBy("doc", "idx")
+    flagged = chunks.withColumn("keep", F.row_number().over(w) == F.lit(1))
+    agg = flagged.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

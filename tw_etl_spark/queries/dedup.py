@@ -580,3 +580,57 @@ def dd8p(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return semantic_dedup_relational(e, k=8, threshold=0.4).orderBy("id")
+
+
+@register(
+    "dd10_span_dedup_rewrite",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), posed AS (
+        SELECT doc_id, tk,
+               unnest(range((len(tk) + 9) // 10)) AS idx
+        FROM tok WHERE len(tk) > 0
+    ), chunks AS (
+        SELECT doc_id, idx,
+               array_to_string(
+                   list_slice(tk, idx * 10 + 1, idx * 10 + 10), ' '
+               ) AS chunk
+        FROM posed
+    ), flags AS (
+        SELECT doc_id, idx, chunk,
+               row_number() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, idx
+               ) = 1 AS keep
+        FROM chunks
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY idx)
+                   FILTER (WHERE keep) AS clean_text,
+               count(*) FILTER (WHERE keep) AS n_kept,
+               count(*) FILTER (WHERE NOT keep) AS n_dropped
+        FROM flags GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(a.n_dropped, 0)::BIGINT AS n_dropped
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="C4-style duplicated-span REMOVAL (Raffel et al. 2020 §2.2): "
+    "the corpus rewritten with every repeated 10-token chunk dropped "
+    "except its first occurrence by (doc_id, chunk_idx) — dd9 reports "
+    "spans, dd10 produces the cleaned text. One chunk-keyed exchange "
+    "for the keep rule, one doc-keyed exchange for reassembly; the "
+    "oracle replays the chunking, the survivor rule, and the rejoined "
+    "text verbatim.",
+    tags=("dedup", "spans", "text", "rewrite", "ext"),
+)
+def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import span_dedup_rewrite
+
+    d = _t(spark, sf_dir, "documents")
+    return span_dedup_rewrite(
+        d, id_col="doc_id", text_col="text", chunk_tokens=10
+    ).orderBy("doc_id")
