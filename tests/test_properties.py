@@ -420,3 +420,48 @@ def test_spark_exact_round_ratio_matches_sql(spark):
     ).fetchall()
     for n, d, r in oracle:
         assert got[(n, d)] == r, (n, d, got[(n, d)], r)
+
+
+def test_x12_dsir_weights_order_independent(spark):
+    """The DSIR fold is an exact BIGINT sum of micro-unit log-ratios —
+    permuting partitioning and within-partition order must reproduce
+    bit-identical weights (the round-9 transcendental-fold rule)."""
+    from tests.conftest import SF_SMOKE
+    from tw_etl_spark.catalog import table_path
+    from tw_etl_spark.operators.sampling import dsir_importance_weights
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    tgt = F.col("lang") == "en"
+    base = _stringify(
+        dsir_importance_weights(docs, target=tgt).orderBy("doc_id")
+    )
+    permuted = _stringify(
+        dsir_importance_weights(
+            docs.repartition(7, F.md5(F.col("doc_id").cast("string")))
+            .sortWithinPartitions(F.col("doc_id").desc()),
+            target=tgt,
+        ).orderBy("doc_id")
+    )
+    assert base == permuted
+
+
+def test_x12_dsir_separates_target_domain(spark):
+    """Directional sanity: documents drawn from the target domain must
+    score a strictly higher mean importance weight than the rest (on
+    the fixture the en slice IS the target sample)."""
+    from tests.conftest import SF_SMOKE
+    from tw_etl_spark.catalog import table_path
+    from tw_etl_spark.operators.sampling import dsir_importance_weights
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    w = dsir_importance_weights(docs, target=F.col("lang") == "en")
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.is_t: r.m
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_t"))
+        .agg(F.avg("dsir_w").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]

@@ -183,3 +183,108 @@ def temperature_mix(
     if cut is None:
         return df, rates
     return df.filter(bucket < cut), rates
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely its
+    hashed bigram profile is under the TARGET distribution (rows where
+    ``target`` is true) than under the raw corpus distribution —
+    log w(d) = sum_g c_{d,g} * [ln p_target(g) - ln p_raw(g)] with
+    Laplace-smoothed bucket probabilities over ``buckets`` hashed
+    bigram buckets. Positive weight => looks like the target domain;
+    selection/resampling ranks or thresholds on it.
+
+    Determinism discipline (SCALE.md round 9): the per-bucket log-ratio
+    is a transcendental of exact-integer ratios, rounded ONCE to
+    integer micro-units; per-document accumulation is then an exact
+    BIGINT sum (partition-order-proof), divided once at the end — so
+    the emitted weight is bit-identical on any IEEE-754 engine.
+
+    Scale shape: one exchange on (doc, bucket) for the count agg
+    (map-side partials collapse repeated bigrams first), a
+    ``buckets``-row stats table built from those partials (never a
+    second corpus scan), totals via a 1-row cross join, and the
+    per-doc weight join broadcasts the ``buckets``-row table — zero
+    data-sized driver state, no Python in the row path.
+
+    Bucket hash is the portable md5 family (first 8 hex chars as
+    uint32, mod ``buckets``) so a SQL oracle replays it verbatim; at
+    100 TB swap in xxhash64 and more buckets (the dd3/dd3p split).
+    """
+    tk = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        target.alias("is_t"),
+        F.explode(bigrams).alias("bg"),
+    ).select(
+        "doc",
+        "is_t",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        ).alias("b"),
+    )
+    # localCheckpoint (the dd3p signature-reuse pattern): dc feeds BOTH
+    # the bucket stats and the per-doc fold — without it each consumer
+    # re-scans and re-explodes the corpus. ids+counts only, never text.
+    dc = (
+        ex.groupBy("doc", "is_t", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    bc = dc.groupBy("b").agg(
+        F.sum("c").alias("s_g"),
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias("t_g"),
+    )
+    tot = bc.agg(
+        F.sum("s_g").alias("s_tot"), F.sum("t_g").alias("t_tot")
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("t_g") + 1.0) / (F.col("t_tot") + float(buckets)))
+                - F.log((F.col("s_g") + 1.0) / (F.col("s_tot") + float(buckets)))
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    wd = (
+        dc.join(F.broadcast(lr), "b")
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lr_micro")).cast("long").alias("w_micro"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(wd, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("w_micro", F.lit(0)).cast("long").alias("w_micro"),
+            (F.coalesce("w_micro", F.lit(0)).cast("double") / F.lit(1e6)).alias(
+                "dsir_w"
+            ),
+        )
+    )

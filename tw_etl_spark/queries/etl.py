@@ -876,3 +876,64 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_current", "closed")
     )
+
+
+@register(
+    "x12_dsir_weights",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ), posed AS (
+        SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
+        FROM tok WHERE len(tk) >= 2
+    ), bg AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 8))::BIGINT
+                   % 1024 AS b
+        FROM posed
+    ), dc AS (
+        SELECT doc_id, is_t, b, count(*)::BIGINT AS c
+        FROM bg GROUP BY doc_id, is_t, b
+    ), bc AS (
+        SELECT b, sum(c)::BIGINT AS s_g,
+               coalesce(sum(c) FILTER (WHERE is_t), 0)::BIGINT AS t_g
+        FROM dc GROUP BY b
+    ), tot AS (
+        SELECT sum(s_g)::BIGINT AS s_tot, sum(t_g)::BIGINT AS t_tot FROM bc
+    ), lr AS (
+        SELECT b,
+               CAST(round((ln((t_g + 1.0) / (t_tot + 1024.0))
+                         - ln((s_g + 1.0) / (s_tot + 1024.0))) * 1000000)
+                    AS BIGINT) AS lr_micro
+        FROM bc, tot
+    ), wd AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+               sum(c * lr_micro)::BIGINT AS w_micro
+        FROM dc JOIN lr USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(w.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(w.w_micro, 0)::BIGINT AS w_micro,
+           coalesce(w.w_micro, 0)::BIGINT / 1000000.0 AS dsir_w
+    FROM documents d LEFT JOIN wd w USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="DSIR hashed importance weights (Xie et al. 2023, "
+    "arXiv:2302.03169): per-doc log importance of the lang='en' target "
+    "vs the raw corpus over 1024 md5-hashed bigram buckets, Laplace "
+    "smoothed. The per-bucket log-ratio is rounded ONCE to integer "
+    "micro-units, per-doc accumulation is an exact BIGINT sum (the "
+    "round-9 determinism discipline for transcendental folds), and "
+    "the oracle replays bucket hash, smoothing, and fold verbatim — "
+    "the data-SELECTION signal itself sits under the hash oracle.",
+    tags=("mixing", "sampling", "dsir", "ext"),
+)
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sampling import dsir_importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        d, target=F.col("lang") == "en", buckets=1024
+    ).orderBy("doc_id")
