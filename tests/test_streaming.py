@@ -984,3 +984,73 @@ def test_event_time_fire_boundary(spark):
         assert fired == {"s_lt"}  # equality does not fire; only strict-less
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_neardup_survivor_batch_split_independent(spark):
+    """st5's survivor rule must be micro-batch-split independent: a
+    one-file-per-trigger availableNow run (6 micro-batches, dups
+    arriving in different batches) emits the same (sig, survivor,
+    n_members) table as the batch groupBy — min(doc_id) wins no matter
+    which batch carried it. st2's dropDuplicates picks arbitrary first
+    arrivals; this pins the DETERMINISTIC alternative."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import simhash_portable_expr
+
+    rows = [(i, txt) for i, txt in enumerate(
+        ["aa bb cc", "dd ee ff", "aa bb cc", "gg hh", "aa bb cc", "dd ee ff"]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="st5_split_")
+    try:
+        # one row per file -> each duplicate arrives in its own batch
+        df.repartition(6, "doc_id").write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        clusters = (
+            stream.select(
+                "doc_id", simhash_portable_expr(F.col("text")).alias("sig")
+            )
+            .groupBy("sig")
+            .agg(
+                F.min("doc_id").alias("survivor"),
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+            )
+        )
+        q = (
+            clusters.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("st5_split_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.lastProgress["batchId"] >= 2  # genuinely multi-batch
+        got = {
+            (r.sig, r.survivor, r.n_members)
+            for r in spark.table("st5_split_t").collect()
+        }
+        want = {
+            (r.sig, r.survivor, r.n_members)
+            for r in df.select(
+                "doc_id", simhash_portable_expr(F.col("text")).alias("sig")
+            )
+            .groupBy("sig")
+            .agg(
+                F.min("doc_id").alias("survivor"),
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+            )
+            .collect()
+        }
+        assert got == want
+        assert {(s, n) for _, s, n in [(None, r[1], r[2]) for r in got if r[2] >= 2]} == {
+            (0, 3), (1, 2)
+        }  # "aa bb cc" cluster -> survivor 0 of 3; "dd ee ff" -> survivor 1 of 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -588,3 +588,73 @@ def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "seq")
     )
+
+
+@register(
+    "st5_stream_neardup_dedup",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_filter(string_split(text, ' '), t -> t <> '')
+               ) AS toks
+        FROM documents
+    ), ex AS (
+        SELECT doc_id AS doc, unnest(toks) AS tk FROM tok
+    ), hashes AS (
+        SELECT doc, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM ex
+    ), votes AS (
+        SELECT doc, g.range AS b,
+               sum(CASE WHEN (h >> g.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashes CROSS JOIN range(32) g
+        GROUP BY doc, g.range
+    ), sh AS (
+        SELECT doc, sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS s
+        FROM votes GROUP BY doc
+    ), sigs AS (
+        SELECT d.doc_id, coalesce(sh.s, 0)::BIGINT AS sig
+        FROM documents d LEFT JOIN sh ON sh.doc = d.doc_id
+    )
+    SELECT sig, min(doc_id) AS survivor,
+           count(*)::BIGINT AS n_members
+    FROM sigs GROUP BY sig HAVING count(*) >= 2
+    ORDER BY sig
+    """,
+    doc="STREAMING near-dup dedup: the portable 32-bit SimHash (dd4p's "
+    "exact hash family) computed in-flight on a file-source document "
+    "stream, with per-signature survivor state (min doc_id, member "
+    "count) maintained by a streaming aggregation and drained via "
+    "availableNow into a memory sink — the streaming form of "
+    "C4-style near-duplicate removal with DETERMINISTIC survivorship "
+    "(st2's dropDuplicates branch picks arbitrary first arrivals; "
+    "this emits the same survivor however the source micro-batches). "
+    "Output is every near-dup cluster (n_members >= 2); the oracle "
+    "replays signature, survivor rule, and member counts relationally.",
+    tags=("streaming", "dedup", "simhash", "ext"),
+)
+def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import simhash_portable_expr
+
+    src, tag = _scratch(sf_dir, "st5")
+    (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(
+        src
+    )
+    clusters = (
+        stream.select(
+            "doc_id", simhash_portable_expr(F.col("text")).alias("sig")
+        )
+        .groupBy("sig")
+        .agg(
+            F.min("doc_id").alias("survivor"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
+    (out,) = run_streams_to_memory([(clusters, f"st5_{tag}", "complete")])
+    return out.filter(F.col("n_members") >= 2).orderBy("sig")
