@@ -75,3 +75,23 @@ def test_dataframe_path_exercised():
     re-expression actually runs for a meaningful share of seeds."""
     n = sum(1 for s in range(N_CI_SEEDS) if relgen.generate(s).parts is not None)
     assert n >= N_CI_SEEDS // 2, n
+
+
+N_DEDUP_SEEDS = 24
+
+
+@pytest.mark.parametrize("seed", range(N_DEDUP_SEEDS))
+def test_dedup_corpus_fuzz_seed(spark, seed):
+    """Corpus+parameter fuzz for the dedup/selection family: random
+    planted-duplicate corpora and operator parameter draws, the Spark
+    operator strict-compared against a parameterized DuckDB template
+    (tw_etl_spark/testing/dedupgen.py). Seeds rotate through span
+    rewrite / minhash-LSH / simhash / DSIR."""
+    from tw_etl_spark.testing import dedupgen
+
+    case = dedupgen.generate(seed)
+    oracle_pdf = dedupgen.run_duckdb(case)
+    spark_pdf = dedupgen.run_spark(spark, case).toPandas()
+    assert_frames_match(
+        spark_pdf, oracle_pdf, f"dedup-seed{seed}:{case.kind}{case.params}"
+    )

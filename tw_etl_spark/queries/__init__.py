@@ -122,6 +122,20 @@ def register(
 # (x11's exact verdict IS x5's semantics — same benchmark slice, same
 # trigram semi-join — so the family keeps a driver slot with strictly
 # more behavior pinned; x5 stays pytest-oracle).
+# Round-9 late rotation (this session's new operators): in —
+# dd10_span_dedup_rewrite (C4-style duplicated-span REMOVAL — the
+# corpus rewrite, a new capability class over dd9's span reporting);
+# out — dd7_neardup_survivors (the dedup family keeps five driver
+# slots d2/dd2/dd3p/dd4p/dd8p, and dd8p's survivor components pin the
+# same survivorship semantics; dd7 stays pytest-oracle). In —
+# x12_dsir_weights (DSIR hashed importance weights — data SELECTION,
+# a new family member beside splitting/mixing); out — x4_stratified_mix
+# (mixing family stays driver-covered by x2 + x1's composed mix; x4
+# stays pytest-oracle). In — st5_stream_neardup_dedup (streaming
+# near-dup dedup with deterministic survivor state — the streaming x
+# dedup intersection, previously batch-only); out — u2_pandas_udaf
+# (UDF family keeps u3 grouped-map + u4 UDTF driver slots; u2 stays
+# pytest-oracle with its Arrow-parity unit).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
@@ -137,12 +151,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d2_exact_dedup",
     "v1_cosine_top_pairs",
     "e5_gap_fill_locf",
-    # -- dedup / similarity [EXT] (7)
+    # -- dedup / similarity [EXT] (7, incl. the dd10 rewrite)
     "dd2_jaccard_neardup_pairs",
     "dd3p_minhash_lsh_portable",
     "dd4p_simhash_portable",
     "v4p_ann_ivf_portable",
-    "dd7_neardup_survivors",
+    "dd10_span_dedup_rewrite",
     "dd8p_semantic_dedup_relational",
     "x2_leakage_aware_split",
     # -- ETL / pipeline [EXT] (10)
@@ -150,20 +164,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "io1_ingest_roundtrip",
     "p4_tiered_routing",
     "x1_training_data_pipeline",
-    "x4_stratified_mix",
+    "x12_dsir_weights",
     "x11_bloom_decontaminate",
     "x8_merge_upsert",
     "io2_columnar_roundtrip",
     "x10_scd2_merge",
-    # -- streaming (4)
+    # -- streaming (5)
+    "st5_stream_neardup_dedup",
     "st4_event_time_watchdog",
     "st1_stream_hourly_rollup",
     "st2_stream_stateful_gauntlet",
     "st3_watermark_late_drop",
     # -- multimodal [EXT] (1)
     "m1_media_sidecar_probe",
-    # -- UDF surface (3)
-    "u2_pandas_udaf",
+    # -- UDF surface (2)
     "u3_grouped_map_zscore",
     "u4_udtf_token_positions",
     # -- text [EXT] (7)

@@ -1,0 +1,303 @@
+"""Corpus-level differential fuzzing for the dedup / data-selection
+operator family (dd10 span rewrite, dd3p minhash-LSH, dd4p simhash,
+x12 DSIR weights).
+
+``relgen`` fuzzes generated QUERIES over the fixed driver tables; this
+layer fuzzes generated CORPORA and OPERATOR PARAMETERS over the fixed
+pipelines: each seed deterministically builds a synthetic document
+table with planted exact duplicates, near duplicates (token
+perturbations), empty docs, and degenerate one-token docs, draws
+operator parameters, then runs the Spark operator AND a parameterized
+DuckDB SQL template and strict-compares (tests/test_differential_fuzz
+style). It catches the classes a fixed fixture cannot:
+parameter-dependent off-by-ones (band slicing, chunk boundaries, bit
+widths), all-duplicate / all-empty corner corpora, and rounding
+legality under parameter change.
+
+Rounding-legality rules the generator itself enforces (the same rules
+the registered queries obey — SCALE.md round 9):
+
+- minhash ``num_hashes`` is always 2^a*5^b, so est_jaccard =
+  agree/num_hashes is a terminating decimal and round(·, 6) is the
+  identity on BOTH engines;
+- DSIR bucket log-ratios are rounded once to integer micro-units and
+  folded as exact BIGINT sums (the template mirrors the operator).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+KINDS = ("span", "minhash", "simhash", "dsir")
+
+
+@dataclass
+class DedupCase:
+    seed: int
+    kind: str
+    params: dict
+    rows: list[tuple[int, str]] = field(repr=False)
+    sql: str = field(repr=False)
+
+
+def gen_corpus(rng: random.Random) -> list[tuple[int, str]]:
+    """Synthetic document table with planted duplicate structure. Small
+    vocabularies force natural token collisions; explicit branches
+    plant exact dups, near dups (1-3 token swaps), empties, and
+    one-token docs."""
+    vocab = [f"w{i}" for i in range(rng.randint(3, 40))]
+    docs: list[str] = []
+    for _ in range(rng.randint(20, 80)):
+        r = rng.random()
+        if docs and r < 0.22:  # exact duplicate of an earlier doc
+            docs.append(docs[rng.randrange(len(docs))])
+        elif docs and r < 0.45:  # near duplicate: perturb 1-3 tokens
+            base = docs[rng.randrange(len(docs))].split()
+            for _ in range(rng.randint(1, 3)):
+                if base:
+                    base[rng.randrange(len(base))] = rng.choice(vocab)
+            docs.append(" ".join(base))
+        elif r < 0.52:  # empty doc
+            docs.append("")
+        elif r < 0.58:  # degenerate one-token doc
+            docs.append(rng.choice(vocab))
+        else:  # fresh doc
+            docs.append(
+                " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 60))
+                )
+            )
+    return list(enumerate(docs))
+
+
+def span_sql(chunk_tokens: int) -> str:
+    k = chunk_tokens
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), posed AS (
+        SELECT doc_id, tk,
+               unnest(range((len(tk) + {k - 1}) // {k})) AS idx
+        FROM tok WHERE len(tk) > 0
+    ), chunks AS (
+        SELECT doc_id, idx,
+               array_to_string(
+                   list_slice(tk, idx * {k} + 1, idx * {k} + {k}), ' '
+               ) AS chunk
+        FROM posed
+    ), flags AS (
+        SELECT doc_id, idx, chunk,
+               row_number() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, idx
+               ) = 1 AS keep
+        FROM chunks
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY idx)
+                   FILTER (WHERE keep) AS clean_text,
+               count(*) FILTER (WHERE keep) AS n_kept,
+               count(*) FILTER (WHERE NOT keep) AS n_dropped
+        FROM flags GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(a.n_dropped, 0)::BIGINT AS n_dropped
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+def minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    n, b = num_hashes, bands
+    r = n // b
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
+    sig AS (
+        SELECT doc, r.range AS i, min(md5(r.range::VARCHAR || ':' || tk)) AS h
+        FROM ex CROSS JOIN range({n}) r
+        GROUP BY doc, r.range
+    ),
+    sigarr AS (SELECT doc, list(h ORDER BY i) AS sig FROM sig GROUP BY doc),
+    banded AS (
+        SELECT doc, g.range AS band,
+               md5(array_to_string(
+                   list_slice(sig, g.range * {r} + 1, g.range * {r} + {r}),
+                   ',')) AS bucket
+        FROM sigarr CROSS JOIN range({b}) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc < b.doc
+    )
+    SELECT c.id_a, c.id_b,
+           round(length(list_filter(range({n}),
+                                    i -> sa.sig[i + 1] = sb.sig[i + 1]))
+                 / {n}.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigarr sa ON sa.doc = c.id_a
+    JOIN sigarr sb ON sb.doc = c.id_b
+    WHERE length(list_filter(range({n}),
+                             i -> sa.sig[i + 1] = sb.sig[i + 1]))
+          / {n}.0 >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+def simhash_sql(bits: int) -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
+    hashes AS (
+        SELECT doc, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM ex
+    ),
+    votes AS (
+        SELECT doc, g.range AS b,
+               sum(CASE WHEN (h >> g.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashes CROSS JOIN range({bits}) g
+        GROUP BY doc, g.range
+    ),
+    sh AS (
+        SELECT doc,
+               sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc
+    )
+    SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+    FROM documents d LEFT JOIN sh ON sh.doc = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+def dsir_sql(buckets: int, target_mod: int) -> str:
+    m = buckets
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), posed AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM tok WHERE len(tk) >= 2
+    ), bg AS (
+        SELECT doc_id, doc_id % {target_mod} = 0 AS is_t,
+               ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 8))::BIGINT
+                   % {m} AS b
+        FROM posed
+    ), dc AS (
+        SELECT doc_id, is_t, b, count(*)::BIGINT AS c
+        FROM bg GROUP BY doc_id, is_t, b
+    ), bc AS (
+        SELECT b, sum(c)::BIGINT AS s_g,
+               coalesce(sum(c) FILTER (WHERE is_t), 0)::BIGINT AS t_g
+        FROM dc GROUP BY b
+    ), tot AS (
+        SELECT sum(s_g)::BIGINT AS s_tot, sum(t_g)::BIGINT AS t_tot FROM bc
+    ), lr AS (
+        SELECT b,
+               CAST(round((ln((t_g + 1.0) / (t_tot + {m}.0))
+                         - ln((s_g + 1.0) / (s_tot + {m}.0))) * 1000000)
+                    AS BIGINT) AS lr_micro
+        FROM bc, tot
+    ), wd AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+               sum(c * lr_micro)::BIGINT AS w_micro
+        FROM dc JOIN lr USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(w.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(w.w_micro, 0)::BIGINT AS w_micro,
+           coalesce(w.w_micro, 0)::BIGINT / 1000000.0 AS dsir_w
+    FROM documents d LEFT JOIN wd w USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+# num_hashes restricted to 2^a*5^b so agree/num_hashes terminates and
+# round(·, 6) is the identity (see module docstring).
+_MINHASH_N = (4, 5, 8, 10, 16, 20)
+_THRESHOLDS = (0.25, 0.5, 0.75)
+
+
+def generate(seed: int) -> DedupCase:
+    rng = random.Random(seed)
+    rows = gen_corpus(rng)
+    kind = KINDS[seed % len(KINDS)]
+    if kind == "span":
+        params = {"chunk_tokens": rng.choice((2, 3, 5, 8))}
+        sql = span_sql(**params)
+    elif kind == "minhash":
+        n = rng.choice(_MINHASH_N)
+        divs = [b for b in (2, 4, 5) if n % b == 0]
+        params = {
+            "num_hashes": n,
+            "bands": rng.choice(divs),
+            "threshold": rng.choice(_THRESHOLDS),
+        }
+        sql = minhash_sql(**params)
+    elif kind == "simhash":
+        params = {"bits": rng.choice((8, 16, 24, 32))}
+        sql = simhash_sql(**params)
+    else:
+        params = {"buckets": rng.choice((16, 64, 256)), "target_mod": rng.choice((2, 3, 5))}
+        sql = dsir_sql(**params)
+    return DedupCase(seed=seed, kind=kind, params=params, rows=rows, sql=sql)
+
+
+def run_spark(spark: SparkSession, case: DedupCase) -> DataFrame:
+    """Run the Spark-side operator for ``case`` on its generated corpus."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+        simhash_portable_expr,
+        span_dedup_rewrite,
+    )
+    from tw_etl_spark.operators.sampling import dsir_importance_weights
+
+    df = spark.createDataFrame(case.rows, "doc_id long, text string")
+    p = case.params
+    if case.kind == "span":
+        return span_dedup_rewrite(df, chunk_tokens=p["chunk_tokens"]).orderBy(
+            "doc_id"
+        )
+    if case.kind == "minhash":
+        return minhash_lsh_pairs_portable(
+            df,
+            num_hashes=p["num_hashes"],
+            bands=p["bands"],
+            threshold=p["threshold"],
+        ).orderBy("id_a", "id_b")
+    if case.kind == "simhash":
+        return df.select(
+            "doc_id",
+            simhash_portable_expr(F.col("text"), bits=p["bits"]).alias(
+                "simhash"
+            ),
+        ).orderBy("doc_id")
+    return dsir_importance_weights(
+        df,
+        target=F.col("doc_id") % p["target_mod"] == 0,
+        buckets=p["buckets"],
+    ).orderBy("doc_id")
+
+
+def run_duckdb(case: DedupCase):
+    """Run the DuckDB template on the generated corpus; returns pandas."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(case.rows, columns=["doc_id", "text"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    con.register("documents", pdf)
+    return con.execute(case.sql).df()
