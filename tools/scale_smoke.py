@@ -124,3 +124,19 @@ bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
 corpus_docs = docs.filter(F.col("doc_id") % 97 != 0)
 bd = bloom_decontaminate(corpus_docs, bench_docs, n=3)
 print(f"bloom decontaminate 200k docs: dirty={bd.filter('contaminated').count()} in {time.time()-t0:.1f}s")
+
+# round 9 (late): span-rewrite dedup + DSIR weights at 10x. This
+# synthetic corpus is dd10's worst case — every doc shares its filler
+# chunks, so nearly all chunk occurrences are duplicates and the
+# reassembly path (collect/sort/join per doc) runs for all 200k docs.
+t0 = time.time()
+from tw_etl_spark.operators.dedup import span_dedup_rewrite
+sr = span_dedup_rewrite(docs, chunk_tokens=10)
+n_dropped = sr.agg(F.sum("n_dropped")).collect()[0][0]
+print(f"span-rewrite dedup 200k docs: dropped={n_dropped} chunks in {time.time()-t0:.1f}s")
+
+t0 = time.time()
+from tw_etl_spark.operators.sampling import dsir_importance_weights
+dw = dsir_importance_weights(docs, target=F.col("lang") == "en", buckets=1024)
+n_pos = dw.filter("dsir_w > 0").count()
+print(f"DSIR weights 200k docs: {n_pos} positive-weight docs in {time.time()-t0:.1f}s")

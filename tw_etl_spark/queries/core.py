@@ -571,3 +571,198 @@ def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.last("s", ignorenulls=True).over(w), 2).alias("sum_locf"),
     ).orderBy("event_type", "h")
+
+
+# --------------------------------------------------------------------------
+# E6 — ordered funnel: first view -> first click strictly after it ->
+# first purchase strictly after that, per user; stage reach counts and
+# average inter-stage gaps. Classic product-analytics funnel; each stage
+# is a broadcast join against the (tiny) previous-stage table followed by
+# a min-aggregate, so at 100 TB only the event scan is data-sized.
+# Gap arithmetic: per-user gaps quantized to integer MILLISECONDS first
+# (exact `div` on both engines — summed microseconds would overflow the
+# |num|*10^d < 2^53 exact-rounding guard at sf1), then one exact-integer
+# average (functions/rounding.py).
+# --------------------------------------------------------------------------
+def _e6_oracle() -> str:
+    from tw_etl_spark.functions.rounding import sql_round_ratio
+
+    gap2 = sql_round_ratio(
+        "sum((epoch_us(t2) - epoch_us(t1)) // 1000)", "count(*) * 1000", 3
+    )
+    gap3 = sql_round_ratio(
+        "sum((epoch_us(t3) - epoch_us(t2)) // 1000)", "count(*) * 1000", 3
+    )
+    return f"""
+    WITH e AS (
+        SELECT user_id, ts, event_type FROM events WHERE ts IS NOT NULL
+    ), v AS (
+        SELECT user_id, min(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, any_value(v.t1) AS t1, min(e.ts) AS t2
+        FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, any_value(c.t2) AS t2, min(e.ts) AS t3
+        FROM e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, count(*)::BIGINT AS n_users,
+           CAST(NULL AS DOUBLE) AS avg_gap_s
+    FROM v
+    UNION ALL
+    SELECT '2_click', count(*)::BIGINT, {gap2} FROM c
+    UNION ALL
+    SELECT '3_purchase', count(*)::BIGINT, {gap3} FROM p
+    ORDER BY stage
+    """
+
+
+@register(
+    "e6_funnel",
+    oracle=_e6_oracle(),
+    doc="Ordered view->click->purchase funnel: per-user first-event "
+    "chaining with strictly-after semantics, stage reach counts, and "
+    "exact-integer average inter-stage gaps in seconds (ms-quantized "
+    "per user, one division — the round-9 rounding discipline).",
+    tags=("events", "funnel", "agg", "join"),
+)
+def e6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.functions.rounding import exact_round_ratio
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.any_value(F.col("t1")).alias("t1"), F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.any_value(F.col("t2")).alias("t2"), F.min("ts").alias("t3"))
+    )
+
+    def gap_ms(a: str, b: str):
+        return F.expr(f"(unix_micros({b}) - unix_micros({a})) div 1000")
+
+    s1 = v.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+        F.lit("1_view").alias("stage"),
+        "n_users",
+        F.lit(None).cast("double").alias("avg_gap_s"),
+    )
+    s2 = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(gap_ms("t1", "t2")).alias("gms"),
+    ).select(
+        F.lit("2_click").alias("stage"),
+        "n_users",
+        exact_round_ratio(
+            F.col("gms"), F.col("n_users") * 1000, 3
+        ).alias("avg_gap_s"),
+    )
+    s3 = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(gap_ms("t2", "t3")).alias("gms"),
+    ).select(
+        F.lit("3_purchase").alias("stage"),
+        "n_users",
+        exact_round_ratio(
+            F.col("gms"), F.col("n_users") * 1000, 3
+        ).alias("avg_gap_s"),
+    )
+    return s1.unionByName(s2).unionByName(s3).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# E7 — retention cohorts: users bucketed by first-activity day, activity
+# counted per (cohort_day, day_offset) with retention as an exact
+# fraction of cohort size. Output is days x days rows — tiny at any data
+# scale; the only data-sized work is the per-user distinct-day pass (one
+# shuffle on user_id for the cohort min, one on (user,day) distinct that
+# AQE coalesces with it).
+# --------------------------------------------------------------------------
+def _e7_oracle() -> str:
+    from tw_etl_spark.functions.rounding import sql_round_ratio
+
+    ret = sql_round_ratio("n_active", "n_cohort", 6)
+    return f"""
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE ts IS NOT NULL
+    ), first AS (
+        SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_day, count(*)::BIGINT AS n_cohort
+        FROM first GROUP BY cohort_day
+    ), g AS (
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, a.day)::BIGINT AS day_offset,
+               count(*)::BIGINT AS n_active
+        FROM act a JOIN first f USING (user_id)
+        GROUP BY f.cohort_day, 2
+    )
+    SELECT g.cohort_day, g.day_offset, g.n_active, {ret} AS retention
+    FROM g JOIN sizes USING (cohort_day)
+    ORDER BY cohort_day, day_offset
+    """
+
+
+@register(
+    "e7_retention_cohorts",
+    oracle=_e7_oracle(),
+    doc="Retention cohort table: first-activity-day cohorts x day "
+    "offset, distinct active users and the exact retention fraction "
+    "of cohort size (integer-ratio rounding).",
+    tags=("events", "retention", "agg", "join"),
+)
+def e7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.functions.rounding import exact_round_ratio
+
+    act = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    g = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        g.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            exact_round_ratio(F.col("n_active"), F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
