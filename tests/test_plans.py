@@ -359,3 +359,23 @@ def test_dd10_span_rewrite_two_data_exchanges(spark):
     assert keys == ["chunk", "doc"], keys
     assert plan.count("rangepartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_e6_funnel_broadcasts_stage_tables(spark):
+    """e6's stage chaining must broadcast the (tiny) previous-stage
+    table into each event-scan join — the only data-sized work is the
+    event scan itself; no SMJ, no cartesian."""
+    df = all_queries()["e6_funnel"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e7_retention_broadcasts_cohort_sizes(spark):
+    """e7's retention join attaches the per-cohort size table (<= one
+    row per day) by broadcast."""
+    df = all_queries()["e7_retention_cohorts"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

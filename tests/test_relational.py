@@ -172,3 +172,33 @@ def test_kmv_distinct_exact_branch_and_error(spark):
     est, exact_flag = got["big"]
     assert not exact_flag
     assert abs(est - 5000) / 5000 < 3 * 0.127, est
+
+
+def test_cms_collisions_are_one_sided(spark):
+    """Force Count-Min collisions (1000 distinct values into a 4x8
+    sketch) and assert the CMS contract: every estimate >= the true
+    count (one-sided), collisions actually occur (some overcount > 0 —
+    a sketch this small cannot be exact), and a skewed heavy hitter's
+    estimate is still dominated by its own mass."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.sketch import cms_counts, cms_estimate
+
+    # 1000 distinct light values (1 occurrence each) + one heavy value
+    # (500 occurrences)
+    light = spark.range(1000).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v")
+    )
+    heavy = spark.range(500).select(F.lit("HEAVY").alias("v"))
+    occ = light.unionByName(heavy)
+    sketch = cms_counts(occ, "v", depth=4, width=8).localCheckpoint()
+
+    exact = occ.groupBy("v").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(exact, sketch, "v", depth=4, width=8)
+    rows = exact.join(est, "v").collect()
+    assert len(rows) == 1001
+    overs = [r.cms_est - r.exact_cnt for r in rows]
+    assert all(o >= 0 for o in overs)          # one-sided, no exceptions
+    assert any(o > 0 for o in overs)           # collisions really happen
+    heavy_row = next(r for r in rows if r.v == "HEAVY")
+    assert 500 <= heavy_row.cms_est            # its own mass survives

@@ -61,3 +61,61 @@ def kmv_distinct(
         ).alias("est_distinct"),
         (nd < k).alias("n_exact_le_k"),
     )
+
+
+def _cms_bucket(value: "F.Column", row: "F.Column", width: int) -> "F.Column":
+    """Count-Min bucket for (row, value) over the portable md5 family:
+    first 8 hex chars of md5("<row>:<value>") as uint32, mod width —
+    reconstructible verbatim in the DuckDB oracle."""
+    h = F.md5(F.concat(row.cast("string"), F.lit(":"), value))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width))
+
+
+def cms_counts(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) over
+    ``value_col`` occurrences: returns the (r, b, cnt) bucket-count
+    table — depth*width rows regardless of data size.
+
+    Scale shape: one narrow map fans each occurrence out to its
+    ``depth`` (row, bucket) cells, then ONE map-side-combinable groupBy
+    collapses to depth*width rows — the sketch is mergeable across
+    shards by construction (cell-wise sum), which is the whole point at
+    100 TB: heavy-hitter candidates can be estimated from a kilobyte of
+    state instead of a full word-count shuffle."""
+    return (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .select(
+            "v",
+            F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+        )
+        .select("r", _cms_bucket(F.col("v"), F.col("r"), width).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each candidate value: the estimate is
+    min over the depth rows of the candidate's bucket count (one-sided:
+    estimate >= true count, always). The sketch table (depth*width
+    rows) broadcasts."""
+    cand = candidates.select(
+        F.col(value_col).cast("string").alias("v"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    ).select("v", "r", _cms_bucket(F.col("v"), F.col("r"), width).alias("b"))
+    return (
+        cand.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("v")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )

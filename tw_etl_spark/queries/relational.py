@@ -1142,3 +1142,74 @@ def j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_J8_SQL)
+
+
+@register(
+    "a11_cms_heavy_hitters",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS v
+        FROM documents
+    ), sk AS (
+        SELECT r.range AS r,
+               ('0x' || substr(md5(r.range::VARCHAR || ':' || v), 1, 8))
+                   ::BIGINT % 256 AS b,
+               count(*)::BIGINT AS cnt
+        FROM w CROSS JOIN range(4) r
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT v, count(*)::BIGINT AS exact_cnt
+        FROM w GROUP BY v
+        ORDER BY exact_cnt DESC, v LIMIT 20
+    ), cand AS (
+        SELECT e.v, e.exact_cnt, r.range AS r,
+               ('0x' || substr(md5(r.range::VARCHAR || ':' || e.v), 1, 8))
+                   ::BIGINT % 256 AS b
+        FROM exact e CROSS JOIN range(4) r
+    )
+    SELECT c.v AS word,
+           any_value(c.exact_cnt) AS exact_cnt,
+           min(s.cnt)::BIGINT AS cms_est,
+           (min(s.cnt) - any_value(c.exact_cnt))::BIGINT AS overcount
+    FROM cand c JOIN sk s ON s.r = c.r AND s.b = c.b
+    GROUP BY c.v
+    ORDER BY exact_cnt DESC, word
+    """,
+    doc="Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) "
+    "over the portable md5 hash family: a 4x256 mergeable bucket-count "
+    "sketch built in one map-side-combinable groupBy (kilobytes of "
+    "state at any corpus size — the skew/heavy-hitter diagnostic for "
+    "100 TB), point-queried for the exact top-20 words. The sketch "
+    "CELLS, the estimates, and the one-sided overcount (est >= exact, "
+    "always) are all hash-verified cross-engine — the a9/KMV pattern "
+    "for counting sketches.",
+    tags=("agg", "approx", "sketch", "topk"),
+)
+def a11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sketch import cms_counts, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("v")
+    )
+    sketch = cms_counts(words, "v", depth=4, width=256).localCheckpoint()
+    exact = (
+        words.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "v")
+        .limit(20)
+    )
+    est = cms_estimate(exact, sketch, "v", depth=4, width=256)
+    return (
+        exact.join(est, "v")
+        .select(
+            F.col("v").alias("word"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "word")
+    )
