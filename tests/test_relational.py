@@ -202,3 +202,47 @@ def test_cms_collisions_are_one_sided(spark):
     assert any(o > 0 for o in overs)           # collisions really happen
     heavy_row = next(r for r in rows if r.v == "HEAVY")
     assert 500 <= heavy_row.cms_est            # its own mass survives
+
+
+def test_funnel_ordering_semantics_crafted(spark):
+    """Known-answer funnel check pinning the strictly-after chaining:
+    a click BEFORE the first view does not advance the funnel (u2's
+    09:00 click is ignored; its 09:45 click counts), a purchase before
+    the first qualifying click never counts (u4), view-only users
+    reach stage 1 only (u3), and users with no view never enter (u5)."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.queries import all_queries
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:20:00", "purchase"),
+        (2, "2024-01-01 09:00:00", "click"),      # before first view: no
+        (2, "2024-01-01 09:30:00", "view"),
+        (2, "2024-01-01 09:45:00", "click"),      # counts, gap 900 s
+        (3, "2024-01-01 08:00:00", "view"),       # stage 1 only
+        (4, "2024-01-01 07:00:00", "purchase"),   # before click: no
+        (4, "2024-01-01 07:30:00", "view"),
+        (4, "2024-01-01 07:40:00", "click"),      # gap 600 s
+        (5, "2024-01-01 06:00:00", "click"),      # never viewed
+        (5, "2024-01-01 06:10:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="e6_crafted_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    # the query reads via the catalog; give it a minimal sf_dir layout
+    got = {
+        r.stage: (r.n_users, r.avg_gap_s)
+        for r in all_queries()["e6_funnel"].spark(spark, d).collect()
+    }
+    assert got == {
+        "1_view": (4, None),
+        "2_click": (3, 600.0),   # (300 + 900 + 600) / 3
+        "3_purchase": (1, 900.0),
+    }

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
-KINDS = ("span", "minhash", "simhash", "dsir")
+KINDS = ("span", "minhash", "simhash", "dsir", "bpe", "cms")
 
 
 @dataclass
@@ -45,13 +45,19 @@ class DedupCase:
     sql: str = field(repr=False)
 
 
-def gen_corpus(rng: random.Random) -> list[tuple[int, str]]:
+def gen_corpus(
+    rng: random.Random, min_vocab: int = 3, coverage_doc: bool = False
+) -> list[tuple[int, str]]:
     """Synthetic document table with planted duplicate structure. Small
     vocabularies force natural token collisions; explicit branches
     plant exact dups, near dups (1-3 token swaps), empties, and
     one-token docs."""
-    vocab = [f"w{i}" for i in range(rng.randint(3, 40))]
+    vocab = [f"w{i}" for i in range(rng.randint(min_vocab, 40))]
     docs: list[str] = []
+    if coverage_doc:
+        # guarantee every vocab word occurs at least once (the bpe kind
+        # needs enough distinct symbol pairs for every merge round)
+        docs.append(" ".join(vocab))
     for _ in range(rng.randint(20, 80)):
         r = rng.random()
         if docs and r < 0.22:  # exact duplicate of an earlier doc
@@ -228,10 +234,46 @@ _MINHASH_N = (4, 5, 8, 10, 16, 20)
 _THRESHOLDS = (0.25, 0.5, 0.75)
 
 
+def cms_sql(depth: int, width: int, topk: int) -> str:
+    d, w, k = depth, width, topk
+    return f"""
+    WITH w AS (
+        SELECT unnest({_TOKS}) AS v FROM documents
+    ), sk AS (
+        SELECT r.range AS r,
+               ('0x' || substr(md5(r.range::VARCHAR || ':' || v), 1, 8))
+                   ::BIGINT % {w} AS b,
+               count(*)::BIGINT AS cnt
+        FROM w CROSS JOIN range({d}) r
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT v, count(*)::BIGINT AS exact_cnt
+        FROM w GROUP BY v
+        ORDER BY exact_cnt DESC, v LIMIT {k}
+    ), cand AS (
+        SELECT e.v, e.exact_cnt, r.range AS r,
+               ('0x' || substr(md5(r.range::VARCHAR || ':' || e.v), 1, 8))
+                   ::BIGINT % {w} AS b
+        FROM exact e CROSS JOIN range({d}) r
+    )
+    SELECT c.v AS word,
+           any_value(c.exact_cnt) AS exact_cnt,
+           min(s.cnt)::BIGINT AS cms_est,
+           (min(s.cnt) - any_value(c.exact_cnt))::BIGINT AS overcount
+    FROM cand c JOIN sk s ON s.r = c.r AND s.b = c.b
+    GROUP BY c.v
+    ORDER BY exact_cnt DESC, word
+    """
+
+
 def generate(seed: int) -> DedupCase:
     rng = random.Random(seed)
-    rows = gen_corpus(rng)
     kind = KINDS[seed % len(KINDS)]
+    rows = gen_corpus(
+        rng,
+        min_vocab=8 if kind == "bpe" else 3,
+        coverage_doc=kind == "bpe",
+    )
     if kind == "span":
         params = {"chunk_tokens": rng.choice((2, 3, 5, 8))}
         sql = span_sql(**params)
@@ -247,6 +289,18 @@ def generate(seed: int) -> DedupCase:
     elif kind == "simhash":
         params = {"bits": rng.choice((8, 16, 24, 32))}
         sql = simhash_sql(**params)
+    elif kind == "bpe":
+        from tw_etl_spark.queries.text import _bpe_oracle
+
+        params = {"rounds": rng.choice((2, 3, 4))}
+        sql = _bpe_oracle(params["rounds"])
+    elif kind == "cms":
+        params = {
+            "depth": rng.choice((2, 4)),
+            "width": rng.choice((4, 16, 64)),
+            "topk": 10,
+        }
+        sql = cms_sql(**params)
     else:
         params = {"buckets": rng.choice((16, 64, 256)), "target_mod": rng.choice((2, 3, 5))}
         sql = dsir_sql(**params)
@@ -284,6 +338,39 @@ def run_spark(spark: SparkSession, case: DedupCase) -> DataFrame:
                 "simhash"
             ),
         ).orderBy("doc_id")
+    if case.kind == "bpe":
+        from tw_etl_spark.operators.bpe import bpe_merges
+
+        return bpe_merges(df, rounds=p["rounds"]).orderBy("merge_round")
+    if case.kind == "cms":
+        from tw_etl_spark.operators.sketch import cms_counts, cms_estimate
+        from tw_etl_spark.operators.text import tokens_expr
+
+        words = df.select(F.explode(tokens_expr(F.col("text"))).alias("v"))
+        sketch = cms_counts(
+            words, "v", depth=p["depth"], width=p["width"]
+        ).localCheckpoint()
+        exact = (
+            words.groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+            .orderBy(F.desc("exact_cnt"), "v")
+            .limit(p["topk"])
+        )
+        est = cms_estimate(
+            exact, sketch, "v", depth=p["depth"], width=p["width"]
+        )
+        return (
+            exact.join(est, "v")
+            .select(
+                F.col("v").alias("word"),
+                "exact_cnt",
+                "cms_est",
+                (F.col("cms_est") - F.col("exact_cnt"))
+                .cast("long")
+                .alias("overcount"),
+            )
+            .orderBy(F.desc("exact_cnt"), "word")
+        )
     return dsir_importance_weights(
         df,
         target=F.col("doc_id") % p["target_mod"] == 0,
