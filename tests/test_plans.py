@@ -379,3 +379,15 @@ def test_e7_retention_broadcasts_cohort_sizes(spark):
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sketch_tables_broadcast_in_a11_and_a13(spark):
+    """The sketch point-query joins must broadcast the kilobyte-sized
+    sketch/crossing tables — the corpus side never shuffles for them.
+    (a11's exact top-k candidates and a13's second <=-scan are the
+    only aggregations allowed to exchange.)"""
+    for name in ("a11_cms_heavy_hitters", "a13_histogram_quantiles"):
+        df = all_queries()[name].spark(spark, SF_SMOKE)
+        plan = explain_str(df)
+        assert "Broadcast" in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -246,3 +246,34 @@ def test_funnel_ordering_semantics_crafted(spark):
         "2_click": (3, 600.0),   # (300 + 900 + 600) / 3
         "3_purchase": (1, 900.0),
     }
+
+
+def test_histogram_quantiles_error_bound(spark):
+    """The histogram estimate must bracket the true quantile from
+    above by at most one bin width: true_q <= est <= true_q + w
+    (upper-edge rule), and the emitted coverage fraction must be
+    >= p/100 — on the real fixture, not a toy."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.sketch import histogram_quantiles
+    from tests.conftest import SF_SMOKE
+
+    e = read_table(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull())
+    stats = e.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    width = (stats.hi - stats.lo) / 64.0
+    exact = e.agg(
+        *[
+            F.expr(f"percentile(value, {p / 100})").alias(f"q{p}")
+            for p in (25, 50, 75, 90, 99)
+        ]
+    ).collect()[0]
+    got = {r.p: r for r in histogram_quantiles(e, "value", bins=64).collect()}
+    for p in (25, 50, 75, 90, 99):
+        true_q = getattr(exact, f"q{p}")
+        r = got[p]
+        assert true_q <= r.est + 1e-9, (p, true_q, r.est)
+        assert r.est - true_q <= width + 1e-9, (p, true_q, r.est, width)
+        assert r.frac_le >= p / 100

@@ -119,3 +119,97 @@ def cms_estimate(
         .groupBy("v")
         .agg(F.min("cnt").cast("long").alias("cms_est"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 64,
+    percentiles: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Equi-width histogram quantile estimation — the mergeable
+    quantile path beside a6/a9 (cardinality) and a11 (heavy hitters):
+    bin counts sum across shards, so at 100 TB each shard ships
+    ``bins`` longs instead of sorting anything. The estimate for
+    percentile p is the UPPER EDGE of the first bin where the
+    cumulative count crosses p% — guaranteed >= the true quantile and
+    within one bin width of it (unit-tested); the crossing test is
+    exact integer arithmetic (100*cum >= p*total), never a float
+    threshold.
+
+    Returns one row per percentile: (p, est, n_le, frac_le) where
+    n_le counts values <= est (second scan) and frac_le is the exact
+    fraction — frac_le >= p/100 by construction, both hash-pinned.
+
+    Determinism: bin index and edges use single IEEE double ops in a
+    fixed order ((v-lo)/(hi-lo)*bins, floor, clamp) — exactly rounded
+    the same on any engine; the oracle replays them verbatim.
+    """
+    from tw_etl_spark.functions.rounding import exact_round_ratio
+
+    v = df.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    stats = v.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    binned = (
+        v.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * F.lit(float(bins))
+                ),
+            )
+            .cast("long")
+            .alias("idx")
+        )
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    cum = binned.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("idx"))
+    )
+    ps = df.sparkSession.createDataFrame(
+        [(p,) for p in percentiles], "p long"
+    )
+    crossing = (
+        ps.join(F.broadcast(cum.crossJoin(F.broadcast(stats))))
+        .filter(F.col("cum") * 100 >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(
+            F.min("idx").alias("idx"),
+            F.any_value("lo").alias("lo"),
+            F.any_value("hi").alias("hi"),
+            F.any_value("total").alias("total"),
+        )
+        .select(
+            "p",
+            (
+                F.col("lo")
+                + (F.col("idx") + 1)
+                * (F.col("hi") - F.col("lo"))
+                / F.lit(float(bins))
+            ).alias("est"),
+            "total",
+        )
+    )
+    n_le = (
+        v.crossJoin(F.broadcast(crossing))
+        .filter(F.col("v") <= F.col("est"))
+        .groupBy("p", "est", "total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_le"))
+    )
+    return n_le.select(
+        "p",
+        "est",
+        "n_le",
+        exact_round_ratio(F.col("n_le"), F.col("total"), 6).alias("frac_le"),
+    ).orderBy("p")

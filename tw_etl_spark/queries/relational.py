@@ -1213,3 +1213,61 @@ def a11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "word")
     )
+
+
+def _a13_oracle() -> str:
+    from tw_etl_spark.functions.rounding import sql_round_ratio
+
+    frac = sql_round_ratio("n_le", "total", 6)
+    return f"""
+    WITH v AS (
+        SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL
+    ), stats AS (
+        SELECT min(v) AS lo, max(v) AS hi, count(*)::BIGINT AS total FROM v
+    ), binned AS (
+        SELECT least(63, floor((v.v - s.lo) / (s.hi - s.lo) * 64.0))::BIGINT
+                   AS idx,
+               count(*)::BIGINT AS cnt
+        FROM v, stats s GROUP BY 1
+    ), cum AS (
+        SELECT idx, sum(cnt) OVER (ORDER BY idx)::BIGINT AS cum FROM binned
+    ), ps AS (
+        SELECT unnest([25, 50, 75, 90, 99]::BIGINT[]) AS p
+    ), crossing AS (
+        SELECT p, min(idx) AS idx, any_value(lo) AS lo, any_value(hi) AS hi,
+               any_value(total) AS total
+        FROM ps, cum, stats
+        WHERE cum * 100 >= p * total
+        GROUP BY p
+    ), est AS (
+        SELECT p, lo + (idx + 1) * (hi - lo) / 64.0 AS est, total
+        FROM crossing
+    ), le AS (
+        SELECT e.p, e.est, e.total, count(*)::BIGINT AS n_le
+        FROM v, est e WHERE v.v <= e.est
+        GROUP BY e.p, e.est, e.total
+    )
+    SELECT p, est, n_le, {frac} AS frac_le
+    FROM le ORDER BY p
+    """
+
+
+@register(
+    "a13_histogram_quantiles",
+    oracle=_a13_oracle(),
+    doc="Equi-width histogram quantile estimation — the mergeable "
+    "quantile sketch beside KMV (a9, cardinality) and Count-Min (a11, "
+    "heavy hitters): 64 bin counts summed map-side, percentile "
+    "estimate = upper edge of the first bin whose cumulative count "
+    "crosses p% (exact-integer crossing test, never a float "
+    "threshold). The estimates, the <=-counts, and the exact covered "
+    "fraction (frac_le >= p/100 by construction) are all "
+    "hash-verified; the one-bin-width error bound is unit-tested "
+    "against exact percentiles.",
+    tags=("agg", "approx", "sketch", "percentile"),
+)
+def a13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sketch import histogram_quantiles
+
+    e = _t(spark, sf_dir, "events")
+    return histogram_quantiles(e, "value", bins=64)
