@@ -277,3 +277,30 @@ def test_histogram_quantiles_error_bound(spark):
         assert true_q <= r.est + 1e-9, (p, true_q, r.est)
         assert r.est - true_q <= width + 1e-9, (p, true_q, r.est, width)
         assert r.frac_le >= p / 100
+
+
+def test_kmv_set_algebra_discriminates_overlap(spark):
+    """The fixture's user sets fully overlap (jaccard 1.0 rows), so
+    prove the algebra on crafted sets: A=1..1000, B=501..1500 (true
+    union 1500, intersection 500, J=1/3) and C=2001..2500 disjoint
+    from A. KMV at k=64 has relative error ~1/sqrt(k) ~ 12.5%; assert
+    a generous +/-35% band and near-zero for the disjoint pair."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.sketch import kmv_set_algebra
+
+    a = spark.range(1, 1001).select(F.lit("A").alias("s"), F.col("id").alias("v"))
+    b = spark.range(501, 1501).select(F.lit("B").alias("s"), F.col("id").alias("v"))
+    c = spark.range(2001, 2501).select(F.lit("C").alias("s"), F.col("id").alias("v"))
+    df = a.unionByName(b).unionByName(c)
+    got = {
+        (r.set_a, r.set_b): r
+        for r in kmv_set_algebra(df, "s", "v", k=64).collect()
+    }
+    ab = got[("A", "B")]
+    assert abs(ab.est_union - 1500) / 1500 < 0.35
+    assert abs(ab.est_intersect - 500) / 500 < 0.75   # differences amplify
+    assert 0.05 < ab.est_jaccard < 0.75               # far from both 0 and 1
+    ac = got[("A", "C")]
+    assert ac.est_jaccard < 0.25                      # near-disjoint reads low
+    assert ab.est_jaccard > ac.est_jaccard            # ordering preserved

@@ -213,3 +213,92 @@ def histogram_quantiles(
         "n_le",
         exact_round_ratio(F.col("n_le"), F.col("total"), 6).alias("frac_le"),
     ).orderBy("p")
+
+
+def kmv_set_algebra(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA (the Theta-sketch use case): for every
+    unordered pair of sets (distinct ``set_col`` values), estimate
+    |A ∪ B| from the k smallest hashes of the combined distinct
+    values, derive |A ∩ B| by inclusion-exclusion from the per-set KMV
+    estimates, and emit the Jaccard estimate — all deterministic given
+    the md5 hash family, so every number sits under the cross-engine
+    hash oracle.
+
+    Scale shape: ONE distinct over (set, 16-byte hash) feeds
+    everything; per-set sketches come from a per-set top-k window, the
+    pair union from a pair-exploded top-k window over ≤ 2k surviving
+    hashes per set (each set contributes only its own sketch rows, so
+    the pair stage is sketch-sized, never data-sized — exactly how
+    mergeable sketches behave on a cluster).
+    """
+    h = F.md5(F.col(value_col).cast("string")).alias("h")
+    d = df.select(F.col(set_col).alias("s"), h).distinct()
+    w = Window.partitionBy("s").orderBy("h")
+    sk = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )  # per-set sketch: its k smallest hashes (all of them if fewer)
+    per = sk.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_sk"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+
+    def est(n_sk, hk):
+        u = F.conv(F.substring(hk, 1, 12), 16, 10).cast("double") / F.lit(
+            _KMV_DENOM
+        )
+        return F.when(n_sk < k, n_sk.cast("double")).otherwise(
+            F.lit(float(k - 1)) / u
+        )
+
+    a = per.select(
+        F.col("s").alias("set_a"), est(F.col("n_sk"), F.col("hk")).alias("est_a")
+    )
+    b = per.select(
+        F.col("s").alias("set_b"), est(F.col("n_sk"), F.col("hk")).alias("est_b")
+    )
+    pairs = a.join(b, F.col("set_a") < F.col("set_b"))
+
+    # union sketch: k smallest of the two sets' sketch rows combined —
+    # attach each side's sketch rows to the pair skeleton separately
+    # (≤ 2k rows per pair; never a k x k product)
+    keys = pairs.select("set_a", "set_b")
+    ra = keys.join(sk.select(F.col("s").alias("set_a"), "h"), "set_a")
+    rb = keys.join(sk.select(F.col("s").alias("set_b"), "h"), "set_b")
+    psk = (
+        ra.select("set_a", "set_b", "h")
+        .unionByName(rb.select("set_a", "set_b", "h"))
+        .distinct()
+    )
+    wp = Window.partitionBy("set_a", "set_b").orderBy("h")
+    un = (
+        psk.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= k)
+        .groupBy("set_a", "set_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_sk"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+        )
+        .select(
+            "set_a",
+            "set_b",
+            est(F.col("n_sk"), F.col("hk")).alias("est_union"),
+        )
+    )
+    out = pairs.join(un, ["set_a", "set_b"])
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return out.select(
+        "set_a",
+        "set_b",
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round(inter, 4).alias("est_intersect"),
+        F.round(inter / F.col("est_union"), 6).alias("est_jaccard"),
+    ).orderBy("set_a", "set_b")

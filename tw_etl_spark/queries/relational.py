@@ -1271,3 +1271,77 @@ def a13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return histogram_quantiles(e, "value", bins=64)
+
+
+@register(
+    "a12_kmv_set_algebra",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT event_type AS s, md5(user_id::VARCHAR) AS h
+        FROM events
+    ), r AS (
+        SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+        FROM d
+    ), sk AS (
+        SELECT s, h, rn FROM r WHERE rn <= 64
+    ), per AS (
+        SELECT s, count(*) AS n_sk,
+               max(CASE WHEN rn = 64 THEN h END) AS hk
+        FROM sk GROUP BY s
+    ), est AS (
+        SELECT s, CASE WHEN n_sk < 64 THEN n_sk::DOUBLE
+                       ELSE 63.0 / (('0x' || substr(hk, 1, 12))::BIGINT
+                                    / 281474976710656.0) END AS e
+        FROM per
+    ), pairs AS (
+        SELECT a.s AS set_a, b.s AS set_b, a.e AS est_a, b.e AS est_b
+        FROM est a JOIN est b ON a.s < b.s
+    ), psk AS (
+        SELECT DISTINCT set_a, set_b, h FROM (
+            SELECT p.set_a, p.set_b, k.h
+            FROM pairs p JOIN sk k ON k.s = p.set_a
+            UNION ALL
+            SELECT p.set_a, p.set_b, k.h
+            FROM pairs p JOIN sk k ON k.s = p.set_b
+        )
+    ), ur AS (
+        SELECT set_a, set_b, h,
+               row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rn
+        FROM psk
+    ), un AS (
+        SELECT set_a, set_b, count(*) AS n_sk,
+               max(CASE WHEN rn = 64 THEN h END) AS hk
+        FROM ur WHERE rn <= 64 GROUP BY set_a, set_b
+    ), uest AS (
+        SELECT set_a, set_b,
+               CASE WHEN n_sk < 64 THEN n_sk::DOUBLE
+                    ELSE 63.0 / (('0x' || substr(hk, 1, 12))::BIGINT
+                                 / 281474976710656.0) END AS est_union
+        FROM un
+    )
+    SELECT p.set_a, p.set_b,
+           round(p.est_a, 4) AS est_a,
+           round(p.est_b, 4) AS est_b,
+           round(u.est_union, 4) AS est_union,
+           round(greatest(0.0, p.est_a + p.est_b - u.est_union), 4)
+               AS est_intersect,
+           round(greatest(0.0, p.est_a + p.est_b - u.est_union)
+                 / u.est_union, 6) AS est_jaccard
+    FROM pairs p JOIN uest u USING (set_a, set_b)
+    ORDER BY set_a, set_b
+    """,
+    doc="KMV sketch SET ALGEBRA (the Theta-sketch use case): per-pair "
+    "union cardinality from the merged k-smallest hashes, intersection "
+    "by inclusion-exclusion, and the Jaccard estimate — across every "
+    "pair of per-event-type user sets. Sketches merge by taking the k "
+    "smallest of the combined sketch rows (never re-reading data) — "
+    "the defining mergeable-sketch property — and every estimate is "
+    "hash-verified cross-engine (the a9 pattern applied to set "
+    "operations).",
+    tags=("agg", "approx", "sketch", "setop"),
+)
+def a12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sketch import kmv_set_algebra
+
+    e = _t(spark, sf_dir, "events")
+    return kmv_set_algebra(e, "event_type", "user_id", k=64)
