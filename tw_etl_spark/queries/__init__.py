@@ -136,6 +136,11 @@ def register(
 # dedup intersection, previously batch-only); out — u2_pandas_udaf
 # (UDF family keeps u3 grouped-map + u4 UDTF driver slots; u2 stays
 # pytest-oracle with its Arrow-parity unit).
+# Round-10 rotation candidates (all already strict-green at
+# sf0.001/0.01/0.1, pytest-oracle tier): e6_funnel / e7_retention
+# (event-analytics family, new), a11/a12/a13 (the mergeable-sketch
+# family: Count-Min heavy hitters, KMV set algebra, histogram
+# quantiles — a9 currently carries the family's one driver slot).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
