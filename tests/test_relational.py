@@ -304,3 +304,58 @@ def test_kmv_set_algebra_discriminates_overlap(spark):
     ac = got[("A", "C")]
     assert ac.est_jaccard < 0.25                      # near-disjoint reads low
     assert ab.est_jaccard > ac.est_jaccard            # ordering preserved
+
+
+def test_cms_estimate_unseen_candidate_returns_zero(spark):
+    """ADVICE r9: a candidate whose bucket cells are absent from the
+    sketch (value never occurred) must come back with cms_est = 0, and
+    a candidate sharing SOME cells with data must take 0 from its empty
+    cells (min over depth rows, absent = 0), never inflate."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.sketch import cms_counts, cms_estimate
+
+    occ = spark.range(3).select(
+        F.concat(F.lit("seen"), F.col("id").cast("string")).alias("v")
+    )
+    sketch = cms_counts(occ, "v", depth=4, width=256).localCheckpoint()
+    cands = spark.createDataFrame(
+        [("seen0",), ("never-in-data",)], "v string"
+    )
+    got = {r.v: r.cms_est for r in cms_estimate(cands, sketch, "v", depth=4, width=256).collect()}
+    assert set(got) == {"seen0", "never-in-data"}   # nobody vanishes
+    assert got["never-in-data"] == 0                # absent cells count 0
+    assert got["seen0"] >= 1                        # one-sided still holds
+
+
+def test_histogram_quantiles_constant_column(spark):
+    """ADVICE r9: all-equal values made the bin ratio 0/0 = NaN (an
+    ANSI long-cast error); the hi == lo short-circuit must put
+    everything in bin 0 with est = the constant."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.sketch import histogram_quantiles
+
+    df = spark.range(100).select(F.lit(42.5).alias("value"))
+    rows = histogram_quantiles(df, "value", bins=64).collect()
+    assert [r.p for r in rows] == [25, 50, 75, 90, 99]
+    for r in rows:
+        assert r.est == 42.5
+        assert r.n_le == 100
+        assert r.frac_le == 1.0
+
+
+def test_kmeans_assign_single_centroid(spark):
+    """ADVICE r9: len(cents) == 1 built sequence(1, 0) — a DESCENDING
+    sequence in Spark — so the fold read past the 1-element distance
+    array (ANSI ARRAY_INDEX_OUT_OF_BOUNDS). The short-circuit must
+    assign everything to cluster 0."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import kmeans_assign_expr
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],)], "u array<double>"
+    )
+    got = df.select(kmeans_assign_expr([[0.5, 0.5]]).alias("c")).collect()
+    assert [r.c for r in got] == [0, 0]

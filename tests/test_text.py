@@ -445,3 +445,45 @@ def test_bpe_merges_known_answer(spark):
         (3, "a", "a", 3),
         (4, "aa", "aa", 1),
     ]
+
+
+def test_bpe_merges_exhausts_early_without_error(spark):
+    """ADVICE r9: when no adjacent pair remains (every word fully
+    merged) the per-round argmax finds nothing — training must stop
+    early with fewer rows, not die dereferencing None."""
+    from tw_etl_spark.operators.bpe import bpe_merges
+
+    # single 2-char word: exactly ONE merge exists ((a,b) -> ab)
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    got = [
+        (r.merge_round, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(df, rounds=5).orderBy("merge_round").collect()
+    ]
+    assert got == [(1, "a", "b", 2)]
+
+    # all-single-character vocabulary: zero merges possible
+    df1 = spark.createDataFrame([("a b c",)], "text string")
+    assert bpe_merges(df1, rounds=3).count() == 0
+
+
+def test_hashed_linear_score_bias_rounds_full_z(spark):
+    """ADVICE r9: bias must be folded INSIDE the exact 6-digit
+    rounding — z stays a 6-decimal value for nonzero bias and the keep
+    gate flips exactly at the rounded boundary."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.quality import hashed_linear_score_cols
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("",)], "text string"
+    )
+    for bias in (0.0, 0.1234565, -2.5):
+        n, z, s, keep = hashed_linear_score_cols(F.col("text"), bias=bias)
+        rows = df.select(
+            n.alias("n"), z.alias("z"), s.alias("s"), keep.alias("keep")
+        ).collect()
+        for r in rows:
+            assert r.z == round(r.z, 6), (bias, r.z)  # 6-digit contract
+            assert r.keep == (r.z >= 0)
+        empty = next(r for r in rows if r.n == 0)
+        assert empty.z == round(bias, 6)

@@ -60,12 +60,15 @@ def bpe_merges(
     rounds: int = 6,
 ) -> DataFrame:
     """Learn the first ``rounds`` BPE merges over the corpus; returns a
-    ``rounds``-row DataFrame (merge_round, lhs, rhs, pair_count) where
-    pair_count is the winning pair's frequency-weighted count at merge
-    time. Ties break lexicographically on (lhs, rhs) — deterministic on
-    any engine. The per-round argmax is a bounded 1-row collect (like
-    the k-means centroid collects); the vocabulary table is cached
-    across rounds."""
+    DataFrame of UP TO ``rounds`` rows (merge_round, lhs, rhs,
+    pair_count) where pair_count is the winning pair's
+    frequency-weighted count at merge time. Ties break
+    lexicographically on (lhs, rhs) — deterministic on any engine.
+    Training stops early (fewer rows) when no adjacent pair remains —
+    an all-single-character vocabulary, or ``rounds`` exceeding the
+    available merges. The per-round argmax is a bounded 1-row collect
+    (like the k-means centroid collects); the vocabulary table is
+    cached across rounds."""
     from tw_etl_spark.operators.text import tokens_expr
 
     spark = df.sparkSession
@@ -92,6 +95,8 @@ def bpe_merges(
             .orderBy(F.desc("c"), "l", "r")
             .first()
         )
+        if best is None:  # no adjacent pairs left — corpus fully merged
+            break
         out.append((r, best.l, best.r, int(best.c)))
         nxt = cur.select(
             "f",

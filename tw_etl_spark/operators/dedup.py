@@ -1130,6 +1130,12 @@ def kmeans_assign_expr(cents: list[list[float]], u_col: str = "u") -> Column:
     Shared by dd8p (semantic dedup) and v4p (portable IVF)."""
     from tw_etl_spark.operators.text import let_expr
 
+    if len(cents) == 1:
+        # One centroid: argmin is trivially 0. The general fold below
+        # would build sequence(1, 0) — Spark evaluates that DESCENDING
+        # ([1, 0]), making the fold read element_at(ds, 2) on a 1-element
+        # array: ARRAY_INDEX_OUT_OF_BOUNDS under ANSI mode.
+        return F.lit(0)
     dists = kmeans_dists_expr(cents, u_col)
     return let_expr(
         dists,

@@ -421,15 +421,18 @@ def hashed_linear_score_cols(
 
     Returns (n_tokens, z, score, keep) columns where z is the mean
     bucket weight plus ``bias``, score = sigmoid(z), keep = z >= 0.
-    z is rounded to 6 digits via EXACT integer arithmetic
-    (functions.rounding.exact_round_ratio) — the milli-weight sum and
-    token count are exact integers, so z = s/(1000n) routinely lands on
-    exact decimal halves (s/96000 at sf0.1 did) where Spark's
-    shortest-repr rounding and DuckDB's binary-double rounding
-    disagree; rounding the true rational in integer space removes the
-    boundary entirely.  Scale shape: a pure per-row array fold — NO
-    shuffle, no Python, whole-stage codegen end to end (plan-asserted);
-    at 100 TB this runs at scan speed like the Gopher/C4 batteries.
+    z (bias INCLUDED) is rounded to 6 digits via EXACT integer
+    arithmetic (functions.rounding.exact_round_ratio) — the
+    milli-weight sum and token count are exact integers, so
+    z = s/(1000n) + bias routinely lands on exact decimal halves
+    (s/96000 at sf0.1 did) where Spark's shortest-repr rounding and
+    DuckDB's binary-double rounding disagree; rounding the true
+    rational in integer space removes the boundary entirely.  ``bias``
+    must be a value with at most 6 decimal digits (it is folded into
+    the rational as round(bias*1e6) micro-units so the rounding stays
+    exact).  Scale shape: a pure per-row array fold — NO shuffle, no
+    Python, whole-stage codegen end to end (plan-asserted); at 100 TB
+    this runs at scan speed like the Gopher/C4 batteries.
     """
     from tw_etl_spark.functions.rounding import exact_round_ratio
 
@@ -454,14 +457,28 @@ def hashed_linear_score_cols(
             ts, F.lit(0).cast("long"), lambda acc, t: acc + weight_milli(t)
         )
 
-    # exact 6-digit z: round-half-away of the true rational s/(1000n)
+    # exact 6-digit z: round-half-away of the TRUE rational
+    # s/(1000n) + bias = (s*1e6 + B*1000n) / (1000n*1e6) where
+    # B = round(bias*1e6) micro-units — numerator and denominator stay
+    # exact BIGINTs, so the half-boundary is decided in integer space
+    # with the bias included (rounding z then adding bias would return
+    # a non-6-digit value and flip keep near the boundary).
+    bias_micro = round(bias * 10**6)
     z6 = let_expr(
         toks,
         lambda ts: F.when(
             F.size(ts) > 0,
-            exact_round_ratio(milli_sum(ts), F.size(ts).cast("long") * 1000, 6),
-        ).otherwise(F.lit(0.0)),
-    ) + F.lit(bias)
+            exact_round_ratio(
+                milli_sum(ts) * F.lit(10**6).cast("long")
+                + F.lit(bias_micro).cast("long")
+                * F.size(ts).cast("long")
+                * 1000,
+                F.size(ts).cast("long") * 1000,
+                0,
+            )
+            / F.lit(1e6),
+        ).otherwise(F.lit(bias_micro / 1e6)),
+    )
     # unrounded z feeds the sigmoid (transcendental output: plain
     # round-6 is safe — only exact integer ratios hit decimal halves)
     z_raw = let_expr(

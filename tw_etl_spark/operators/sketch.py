@@ -109,15 +109,21 @@ def cms_estimate(
     """Point-query the sketch for each candidate value: the estimate is
     min over the depth rows of the candidate's bucket count (one-sided:
     estimate >= true count, always). The sketch table (depth*width
-    rows) broadcasts."""
+    rows) broadcasts.
+
+    A candidate hashing to a bucket cell ABSENT from the sketch table
+    (count 0 — the value never occurred) must contribute 0 to the min,
+    not drop the row: left-join + coalesce keeps the min-over-depth-rows
+    CMS definition exact and guarantees every candidate one output row
+    (cms_est = 0 for values the sketch never saw)."""
     cand = candidates.select(
         F.col(value_col).cast("string").alias("v"),
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
     ).select("v", "r", _cms_bucket(F.col("v"), F.col("r"), width).alias("b"))
     return (
-        cand.join(F.broadcast(sketch), ["r", "b"])
+        cand.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy("v")
-        .agg(F.min("cnt").cast("long").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
     )
 
 
@@ -148,23 +154,29 @@ def histogram_quantiles(
     from tw_etl_spark.functions.rounding import exact_round_ratio
 
     v = df.select(F.col(value_col).cast("double").alias("v")).filter(
-        F.col("v").isNotNull()
+        F.col("v").isNotNull() & ~F.isnan("v")
     )
     stats = v.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
         F.count(F.lit(1)).cast("long").alias("total"),
     )
+    # hi == lo (all values equal) would make the bin ratio 0/0 = NaN,
+    # which errors on the long cast under ANSI mode — short-circuit to
+    # bin 0 (everything in one bin; est = hi, exactly right).
     binned = (
         v.crossJoin(F.broadcast(stats))
         .select(
-            F.least(
-                F.lit(bins - 1),
-                F.floor(
-                    (F.col("v") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo"))
-                    * F.lit(float(bins))
-                ),
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * F.lit(float(bins))
+                    ),
+                )
             )
             .cast("long")
             .alias("idx")

@@ -1170,9 +1170,10 @@ def j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.v AS word,
            any_value(c.exact_cnt) AS exact_cnt,
-           min(s.cnt)::BIGINT AS cms_est,
-           (min(s.cnt) - any_value(c.exact_cnt))::BIGINT AS overcount
-    FROM cand c JOIN sk s ON s.r = c.r AND s.b = c.b
+           min(coalesce(s.cnt, 0))::BIGINT AS cms_est,
+           (min(coalesce(s.cnt, 0)) - any_value(c.exact_cnt))::BIGINT
+               AS overcount
+    FROM cand c LEFT JOIN sk s ON s.r = c.r AND s.b = c.b
     GROUP BY c.v
     ORDER BY exact_cnt DESC, word
     """,
@@ -1221,12 +1222,14 @@ def _a13_oracle() -> str:
     frac = sql_round_ratio("n_le", "total", 6)
     return f"""
     WITH v AS (
-        SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL
+        SELECT value::DOUBLE AS v FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
     ), stats AS (
         SELECT min(v) AS lo, max(v) AS hi, count(*)::BIGINT AS total FROM v
     ), binned AS (
-        SELECT least(63, floor((v.v - s.lo) / (s.hi - s.lo) * 64.0))::BIGINT
-                   AS idx,
+        SELECT CASE WHEN s.hi = s.lo THEN 0 ELSE
+                   least(63, floor((v.v - s.lo) / (s.hi - s.lo) * 64.0))
+               END::BIGINT AS idx,
                count(*)::BIGINT AS cnt
         FROM v, stats s GROUP BY 1
     ), cum AS (
