@@ -10,6 +10,7 @@ from tw_etl_spark.plans.inspect import (
     count_exchanges,
     explain_str,
     has_broadcast_join,
+    has_forced_broadcast,
     pushed_filters,
     read_schema_columns,
 )
@@ -31,17 +32,23 @@ def test_q6_column_pruning(spark):
 
 
 def test_q3_broadcasts_customer(spark):
+    """Customer broadcasts by Catalyst's scan-size stats, NOT a pinned
+    hint (customer is SF-proportional; the hint would be wrong at true
+    scale — VERDICT r9)."""
     df = all_queries()["q3_topk_revenue"].spark(spark, SF_SMOKE)
     assert has_broadcast_join(df)
+    assert not has_forced_broadcast(df)
 
 
 def test_q5_single_fact_shuffle(spark):
     """Q5's only shuffle joins should be the fact-fact join + final agg;
-    all dimension joins must be broadcast."""
+    all dimension joins broadcast — by stats, not pinned hints (customer
+    and supplier are SF-proportional)."""
     df = all_queries()["q5_nation_revenue"].spark(spark, SF_SMOKE)
     plan = explain_str(df)
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") <= 1
+    assert not has_forced_broadcast(df)
 
 
 def test_projection_only_reads_needed_columns(spark):
@@ -361,15 +368,22 @@ def test_dd10_span_rewrite_two_data_exchanges(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_e6_funnel_broadcasts_stage_tables(spark):
-    """e6's stage chaining must broadcast the (tiny) previous-stage
-    table into each event-scan join — the only data-sized work is the
-    event scan itself; no SMJ, no cartesian."""
+def test_e6_funnel_never_forces_broadcast(spark):
+    """VERDICT r9: e6's per-user stage tables are DATA-SIZED (one row
+    per user — billions at 100 TB), so the plan must carry NO broadcast
+    hint: any broadcast at test scale is Catalyst's stats-based call,
+    which flips to a shuffle join when the side outgrows the threshold.
+    Every stage join AND aggregation keys on user_id, so the chain
+    reuses one exchange per event-type slice — assert nothing else is
+    hash-partitioned."""
+    import re
+
     df = all_queries()["e6_funnel"].spark(spark, SF_SMOKE)
+    assert not has_forced_broadcast(df)
     plan = explain_str(df)
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"hashpartitioning\(([^,#]+)", plan))
+    assert keys <= {"user_id"}, keys
 
 
 def test_e7_retention_broadcasts_cohort_sizes(spark):

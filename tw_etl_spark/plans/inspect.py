@@ -45,3 +45,13 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in (
         explain_str(df)
     )
+
+
+def has_forced_broadcast(df: DataFrame) -> bool:
+    """True if any join in the OPTIMIZED LOGICAL plan carries an explicit
+    broadcast hint (F.broadcast / /*+ BROADCAST */). Distinguishes a
+    pinned strategy — which survives to any data size and OOMs on a
+    data-sized side — from Catalyst's stats-based broadcast choice,
+    which flips to shuffle joins at scale."""
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    return "strategy=broadcast" in optimized

@@ -102,9 +102,13 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # customer is SF-PROPORTIONAL, not a bounded dim: no forced
+    # broadcast hint — the scan has known file-size stats, so Catalyst
+    # broadcasts it statically while it fits autoBroadcastJoinThreshold
+    # (64m) and AQE keeps the runtime call at true scale.
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -154,15 +158,19 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # customer/supplier are SF-proportional (region/nation are bounded):
+    # no forced hints — scan-size stats + the 64m threshold broadcast
+    # them statically at every measured SF, and AQE decides at true
+    # scale instead of a pinned executor-OOM.
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -576,9 +584,15 @@ def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # E6 — ordered funnel: first view -> first click strictly after it ->
 # first purchase strictly after that, per user; stage reach counts and
-# average inter-stage gaps. Classic product-analytics funnel; each stage
-# is a broadcast join against the (tiny) previous-stage table followed by
-# a min-aggregate, so at 100 TB only the event scan is data-sized.
+# average inter-stage gaps. Classic product-analytics funnel. The stage
+# tables (one row per user) are DATA-SIZED — they grow with the corpus,
+# so they must never be force-broadcast (at 100 TB that is a
+# billions-row broadcast, an executor OOM). Instead every stage
+# aggregates AND joins on user_id: the stage-1 agg's hash exchange is
+# reused by the stage-2 join and its agg (and so on down the chain), so
+# the whole funnel costs one user_id exchange per event-type slice and
+# AQE is free to downgrade a join to broadcast only when runtime stats
+# prove the side small.
 # Gap arithmetic: per-user gaps quantized to integer MILLISECONDS first
 # (exact `div` on both engines — summed microseconds would overflow the
 # |num|*10^d < 2^53 exact-rounding guard at sf1), then one exact-integer
@@ -645,14 +659,14 @@ def e6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.any_value(F.col("t1")).alias("t1"), F.min("ts").alias("t2"))
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.any_value(F.col("t2")).alias("t2"), F.min("ts").alias("t3"))
