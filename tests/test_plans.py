@@ -405,3 +405,19 @@ def test_sketch_tables_broadcast_in_a11_and_a13(spark):
         plan = explain_str(df)
         assert "Broadcast" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_t17_bpe_encode_stage_is_narrow(spark):
+    """The BPE ENCODE pass (merges already trained) must be a pure
+    narrow map — zero exchanges: at 100 TB this is the stage that
+    touches every byte, and it must run at scan speed."""
+    from tw_etl_spark.operators.bpe import bpe_tokens_expr
+
+    corpus = read_table(spark, SF_SMOKE, "documents")
+    enc_only = corpus.select(
+        "doc_id",
+        F.size(
+            bpe_tokens_expr(F.col("text"), [("t", "h"), ("th", "e")])
+        ).alias("n_bpe"),
+    )
+    assert count_exchanges(enc_only) == 0

@@ -487,3 +487,56 @@ def test_hashed_linear_score_bias_rounds_full_z(spark):
             assert r.keep == (r.z >= 0)
         empty = next(r for r in rows if r.n == 0)
         assert empty.z == round(bias, 6)
+
+
+def test_bpe_encode_known_answer(spark):
+    """Encode with the hand-computed merge table from
+    test_bpe_merges_known_answer: 'lower' stops at [low, e, r] (merge
+    order respected), 'aaaa' collapses through [aa, aa] -> [aaaa]
+    (non-overlap rule applied twice)."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.bpe import bpe_encode
+
+    merges = [("l", "o"), ("lo", "w"), ("a", "a"), ("aa", "aa")]
+    df = spark.createDataFrame(
+        [("low low low lower aaaa",), ("",)], "text string"
+    )
+    got = [
+        r.bpe_tokens
+        for r in bpe_encode(df, merges).orderBy(F.length("text").desc()).collect()
+    ]
+    assert got[0] == ["low", "low", "low", "low", "e", "r", "aaaa"]
+    assert got[1] == []
+
+
+def test_bpe_encode_feeds_packing(spark):
+    """VERDICT r9 #1 'done' criterion: x3 sequence packing driven by
+    REAL encoded token counts — train on the fixture corpus, encode it,
+    pack by n_tokens; every pack must respect the budget and every doc
+    must land in exactly one pack."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.bpe import bpe_merges, bpe_tokens_expr
+    from tw_etl_spark.operators.packing import pack_sequences
+    from tests.conftest import SF_SMOKE
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_merges(d, rounds=6).orderBy("merge_round").collect()
+    ]
+    counts = d.select(
+        "doc_id",
+        F.size(bpe_tokens_expr(F.col("text"), merges)).alias("n_bpe"),
+    )
+    packed = pack_sequences(counts, "doc_id", "n_bpe", budget=512)
+    agg = packed.groupBy("pack_id").agg(
+        F.sum("n_tok").alias("tot"), F.max("n_tok").alias("mx")
+    )
+    # budget respected unless a single doc alone exceeds it
+    bad = agg.filter((F.col("tot") > 512) & (F.col("mx") <= 512)).count()
+    assert bad == 0
+    assert packed.count() == d.count()
+    assert packed.select("doc_id").distinct().count() == d.count()

@@ -112,3 +112,63 @@ def bpe_merges(
     return spark.createDataFrame(
         out, "merge_round int, lhs string, rhs string, pair_count long"
     )
+
+
+def bpe_tokens_expr(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Tokenize ``text`` with a trained BPE merge table — the ENCODE
+    half of train->tokenize, the pass an LLM pipeline actually runs at
+    corpus scale (training touches the vocab; encoding touches every
+    byte of 100 TB).
+
+    Same sentinel representation as training: the whole document
+    becomes one string of sentinel-wrapped characters with words joined
+    by a plain space — a merge pattern ``αLω αRω`` can never straddle a
+    word boundary (it would need ``ω αL`` there, the reverse order), so
+    ONE left-to-right non-overlapping ``replace`` per merge applies the
+    merge across all words at once, exactly BPE's within-word rule.
+    Applying R merges is therefore R chained narrow-map replaces — NO
+    shuffle, no Python, whole-stage codegen, scan-speed at any corpus
+    size — and the identical replace cascade replays verbatim in the
+    DuckDB oracle (t17). Words containing the sentinel bytes are
+    dropped, matching training's vocabulary filter.
+
+    Returns the token array (symbols in document order across words).
+    """
+    from tw_etl_spark.operators.text import tokens_expr
+
+    words = F.filter(
+        tokens_expr(text),
+        lambda w: ~w.contains(SYM_L) & ~w.contains(SYM_R),
+    )
+    enc = F.array_join(
+        F.transform(
+            words, lambda w: F.regexp_replace(w, "(.)", SYM_L + "$1" + SYM_R)
+        ),
+        " ",
+    )
+    for l, r in merges:
+        enc = F.replace(
+            enc,
+            F.lit(SYM_L + l + SYM_R + SYM_L + r + SYM_R),
+            F.lit(SYM_L + l + r + SYM_R),
+        )
+    return F.flatten(
+        F.transform(
+            F.filter(F.split(enc, " "), lambda w: w != ""),
+            lambda w: F.split(
+                w.substr(F.lit(2), F.length(w) - 2), SYM_R + SYM_L
+            ),
+        )
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append a BPE token-array column computed with ``merges`` (ordered
+    (lhs, rhs) pairs from ``bpe_merges``). Pure narrow map — see
+    ``bpe_tokens_expr``."""
+    return df.withColumn(out_col, bpe_tokens_expr(F.col(text_col), merges))

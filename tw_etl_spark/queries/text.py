@@ -822,11 +822,12 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _bpe_oracle(rounds: int = 6) -> str:
-    """Unrolled-CTE DuckDB replay of bpe_merges: chained
-    (pair-count argmax -> sentinel-string replace) rounds over the
-    distinct word-frequency table; see operators/bpe.py for the
-    representation argument."""
+def _bpe_training_ctes(rounds: int = 6) -> str:
+    """The shared unrolled-CTE DuckDB replay of bpe_merges training:
+    chained (pair-count argmax -> sentinel-string replace) rounds over
+    the distinct word-frequency table; see operators/bpe.py for the
+    representation argument. Emits a WITH chain defining b1..bN (each
+    round's winning pair) and e0..eN (the vocab after each merge)."""
     head = f"""
     WITH w0 AS (
         SELECT w, count(*)::BIGINT AS f
@@ -859,11 +860,63 @@ def _bpe_oracle(rounds: int = 6) -> str:
                           chr(2) || b.l || b.r || chr(3)) AS enc
         FROM {prev}, b{r} b
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int = 6) -> str:
+    """t16: the learned merge table itself."""
     sel = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_round, l AS lhs, r AS rhs, c AS pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + f"\n    {sel}\n    ORDER BY merge_round\n    "
+    return _bpe_training_ctes(rounds) + f"\n    {sel}\n    ORDER BY merge_round\n    "
+
+
+def _bpe_encode_oracle(rounds: int = 6) -> str:
+    """t17: train (same CTE chain as t16), then ENCODE every document —
+    the same R-deep replace cascade the Spark side runs, applied to the
+    sentinel-encoded document strings, then split back into tokens."""
+    parts = [_bpe_training_ctes(rounds)]
+    parts.append(f""",
+    d0 AS (
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(
+                   list_filter({_TOKS},
+                               w -> NOT contains(w, chr(2))
+                                    AND NOT contains(w, chr(3))),
+                   w -> regexp_replace(w, '(.)',
+                                       chr(2) || '\\1' || chr(3), 'g')),
+                 ' ') AS enc
+        FROM documents
+    )""")
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS (
+        SELECT doc_id,
+               replace(enc,
+                       chr(2) || b.l || chr(3) || chr(2) || b.r || chr(3),
+                       chr(2) || b.l || b.r || chr(3)) AS enc
+        FROM d{r - 1}, b{r} b
+    )""")
+    parts.append(f""",
+    tok AS (
+        SELECT doc_id,
+               flatten(list_transform(
+                 list_filter(string_split(enc, ' '), w -> w <> ''),
+                 w -> string_split(substr(w, 2, length(w) - 2),
+                                   chr(3) || chr(2)))) AS toks
+        FROM d{rounds}
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> length(t) > 1)) AS BIGINT)
+               AS n_merged,
+           md5(array_to_string(toks, ' ')) AS tokens_fp
+    FROM tok
+    ORDER BY doc_id
+    """)
+    return "".join(parts)
 
 
 @register(
@@ -890,3 +943,49 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_merges(d, rounds=6).orderBy("merge_round")
+
+
+@register(
+    "t17_bpe_encode",
+    oracle=_bpe_encode_oracle(6),
+    doc="BPE ENCODE — the corpus-scale half of train->tokenize (t16 "
+    "trains on the vocab; this applies the learned merge table to "
+    "every document, the pass that actually touches all 100 TB). The "
+    "whole document becomes one sentinel-delimited string (words "
+    "joined by a space a merge pattern can never straddle), so R "
+    "merges = R chained left-to-right non-overlapping string replaces "
+    "— a pure narrow map at scan speed, zero shuffle beyond training's "
+    "vocab-sized rounds (plan-asserted). Emits per-doc token count, "
+    "merged-token count, and an md5 fingerprint of the full token "
+    "sequence; the oracle retrains the identical 6 rounds and replays "
+    "the identical replace cascade, pinning the end-to-end tokenizer "
+    "cross-engine.",
+    tags=("text", "bpe", "tokenizer", "ext"),
+)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.bpe import bpe_merges, bpe_tokens_expr
+    from tw_etl_spark.operators.text import let_expr
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_merges(d, rounds=6).orderBy("merge_round").collect()
+    ]
+    toks = bpe_tokens_expr(F.col("text"), merges)
+    return (
+        d.select(
+            "doc_id",
+            let_expr(
+                toks,
+                lambda ts: F.struct(
+                    F.size(ts).cast("long").alias("n_tokens"),
+                    F.size(F.filter(ts, lambda t: F.length(t) > 1))
+                    .cast("long")
+                    .alias("n_merged"),
+                    F.md5(F.array_join(ts, " ")).alias("tokens_fp"),
+                ),
+            ).alias("s"),
+        )
+        .select("doc_id", "s.n_tokens", "s.n_merged", "s.tokens_fp")
+        .orderBy("doc_id")
+    )
