@@ -135,6 +135,14 @@ sr = span_dedup_rewrite(docs, chunk_tokens=10)
 n_dropped = sr.agg(F.sum("n_dropped")).collect()[0][0]
 print(f"span-rewrite dedup 200k docs: dropped={n_dropped} chunks in {time.time()-t0:.1f}s")
 
+# round 10: the 100 TB shuffle-key variant — keep-rule window keyed on
+# xxhash64(chunk) (8-byte key) instead of the raw ~10-token chunk text
+t0 = time.time()
+srh = span_dedup_rewrite(docs, chunk_tokens=10, key_by_hash=True)
+n_dropped_h = srh.agg(F.sum("n_dropped")).collect()[0][0]
+assert n_dropped_h == n_dropped, (n_dropped_h, n_dropped)
+print(f"span-rewrite dedup (hash-key) 200k docs: dropped={n_dropped_h} chunks in {time.time()-t0:.1f}s")
+
 t0 = time.time()
 from tw_etl_spark.operators.sampling import dsir_importance_weights
 dw = dsir_importance_weights(docs, target=F.col("lang") == "en", buckets=1024)

@@ -1384,6 +1384,7 @@ def span_dedup_rewrite(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 10,
+    key_by_hash: bool = False,
 ) -> DataFrame:
     """C4-style duplicated-span REMOVAL: rewrite every document by
     dropping token chunks whose exact text already occurred earlier in
@@ -1405,10 +1406,14 @@ def span_dedup_rewrite(
        transform-over-sequence + posexplode;
     2. keep = row_number() over (chunk ORDER BY id, idx) == 1 — ONE
        hash exchange; the chunk payload that rides it is bounded by
-       ``chunk_tokens`` tokens by construction (at 100 TB swap the
-       partition key for xxhash64(chunk) and the payload stays the
-       same — the key is what shrinks; collisions only ever MERGE
-       chunks, identically on any engine);
+       ``chunk_tokens`` tokens by construction. ``key_by_hash=True``
+       is the 100 TB key: partition the keep-rule window by
+       xxhash64(chunk) instead of the raw chunk text — an 8-byte
+       shuffle key instead of a ~10-token string; a (cosmically rare)
+       64-bit collision only ever MERGES two chunks into one
+       keep-first group, the same deterministic rule, so outputs are
+       identical whenever no collision occurs (equivalence-tested on
+       the fuzz corpora);
     3. reassembly is the collect_list(struct(idx, chunk)) → array_sort
        → array_join per-doc fold (same exchange as the groupBy), and a
        left join from the input preserves token-less documents.
@@ -1435,7 +1440,8 @@ def span_dedup_rewrite(
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("chunk").orderBy("doc", "idx")
+    part_key = F.xxhash64("chunk") if key_by_hash else F.col("chunk")
+    w = Window.partitionBy(part_key).orderBy("doc", "idx")
     flagged = chunks.withColumn("keep", F.row_number().over(w) == F.lit(1))
     agg = flagged.groupBy("doc").agg(
         F.array_join(
