@@ -273,3 +273,67 @@ def test_decode_wav_malformed_fmt_raises_valueerror():
     fmt0 = struct.pack("<HHIIHH", 1, 0, 8000, 16000, 2, 16)
     with pytest.raises(ValueError):
         decode_wav(riff(chunk(b"fmt ", fmt0) + data))
+
+
+def test_perceptual_neardup_crafted_images(spark):
+    """Crafted near-identical images (dd11's operator): a base PPM, a
+    copy with ONE pixel nudged (tiny Hamming), and a structurally
+    different image (inverted gradient). The near pair must surface
+    with small hamming; the different image must not pair with the
+    base at the threshold."""
+    import numpy as np
+
+    from tw_etl_spark.operators.codecs import encode_ppm
+    from tw_etl_spark.operators.multimodal import (
+        ahash_media,
+        perceptual_neardup_pairs,
+    )
+
+    # 16x16 horizontal gradient: left dark, right bright
+    base = np.tile(
+        np.linspace(0, 255, 16).astype(np.uint8)[None, :, None], (16, 1, 3)
+    )
+    near = base.copy()
+    near[0, 0] = 255  # one pixel flipped bright
+    far = base[:, ::-1]  # mirrored gradient: bright left, dark right
+
+    rows = [
+        (0, encode_ppm(base)),
+        (1, encode_ppm(near)),
+        (2, encode_ppm(far)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    hashes = {r.media_id: r.ahash for r in ahash_media(media).collect()}
+    assert hashes[0] != hashes[2]  # structure is visible to the hash
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in perceptual_neardup_pairs(media, max_hamming=7).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] <= 2   # near-identical found
+    assert (0, 2) not in got                     # mirrored image rejected
+
+
+def test_perceptual_pair_exchange_carries_ids_only(spark):
+    """dd11's shuffle discipline (the dd3p rule at the multimodal tier):
+    the candidate-pair distinct must exchange (id_a, id_b) alone —
+    never payloads, never band arrays."""
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.multimodal import (
+        perceptual_neardup_pairs,
+        synthesize_image_df,
+    )
+    from tw_etl_spark.plans.inspect import explain_str
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(perceptual_neardup_pairs(synthesize_image_df(docs)))
+    pair_exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if ") Exchange" in b and "hashpartitioning(id_a" in b
+    ]
+    assert pair_exchanges, "expected a hashpartitioning(id_a, id_b) exchange"
+    for block in pair_exchanges:
+        assert "payload" not in block and "bands" not in block, block

@@ -209,6 +209,164 @@ def synthesize_sidecar_media_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_image_df(docs: DataFrame) -> DataFrame:
+    """Deterministic PPM image per documents row — the
+    :func:`synthesize_sidecar_media_df` image construction (width
+    4 + doc_id%5, height 3 + doc_id%4, raster = UTF-8 text bytes cycled
+    to w*h*3) applied to EVERY doc, so duplicate/near-duplicate texts
+    yield duplicate/near-duplicate images: the planted structure the
+    perceptual-hash dedup tier (dd11) detects. Every byte is a pure
+    function of the row — engine-reconstructible, hash-oracle-able."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                raw = (text or "").encode("utf-8") or b"\x00"
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                need = w * h * 3
+                body = (raw * (need // len(raw) + 1))[:need]
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "path": f"media/{source}/doc_{doc_id}.ppm",
+                        "media_type": "image",
+                        "payload": b"P6\n%d %d\n255\n" % (w, h) + body,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                            "codec": "ppm",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.StringType()),
+        T.StructField("bands", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def ahash_media(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over genuinely DECODED image
+    payloads — the standard multimodal near-dup fingerprint (same family
+    as pHash/dHash; public technique): grid² grayscale samples, one bit
+    per cell = cell >= mean.
+
+    All INTEGER math so the hash is engine-reconstructible (dd11's
+    DuckDB oracle replays it in hex-string space like m1):
+
+    - cell (y, x) samples source pixel (y*h//grid, x*w//grid)
+      (nearest-neighbor index arithmetic, the codecs.resize_nearest
+      rule) and scores g = r + g + b (0..765 — an integer luminance);
+    - bit_i = (grid² * g_i >= Σ g) — the mean comparison cleared of
+      division;
+    - bits pack little-endian into grid²/8 8-bit bands (``bands``) and
+      a hex string (``ahash``).
+
+    Arrow-batched mapInPandas, no shuffle; output is one ~40-byte row
+    per image (ids + 8 small ints — payloads never leave the scan)."""
+    from tw_etl_spark.operators import codecs
+
+    n_bits = grid * grid
+    assert n_bits % 8 == 0, grid
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hexes, bands_out = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                kind = codecs.sniff(b)
+                if kind == "ppm":
+                    img = codecs.decode_ppm(b)
+                elif kind == "bmp":
+                    img = codecs.decode_bmp(b)
+                else:
+                    raise ValueError(
+                        f"ahash_media supports PPM/BMP payloads; got {b[:8]!r}"
+                    )
+                g = img.astype(np.int64).sum(axis=2)
+                h, w = g.shape
+                rows = (np.arange(grid) * h) // grid
+                cols = (np.arange(grid) * w) // grid
+                cells = g[rows][:, cols].ravel()
+                total = int(cells.sum())
+                bits = (n_bits * cells >= total).astype(np.int64)
+                bvals = [
+                    int(sum(int(bits[8 * k + j]) << j for j in range(8)))
+                    for k in range(n_bits // 8)
+                ]
+                ids.append(int(mid))
+                hexes.append("".join(f"{v:02x}" for v in bvals))
+                bands_out.append(bvals)
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": hexes, "bands": bands_out}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, schema=AHASH_SCHEMA
+    )
+
+
+def perceptual_neardup_pairs(
+    media: DataFrame, max_hamming: int = 7, grid: int = 8
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash banding — the dd4p
+    SimHash discipline applied to the multimodal tier: ``grid²/8``
+    8-bit bands; a pair is a candidate iff SOME band matches (pigeonhole
+    guarantees full recall for hamming <= n_bands - 1, so the default
+    max_hamming=7 with 8 bands misses nothing); candidates verify by
+    exact Hamming distance over the band ints (bit_count of xor — a
+    JVM-side array fold).
+
+    Scale shape: ONE decode pass emits the ~40-byte/image hash table
+    (localCheckpointed — ids + 8 ints, never payloads), the band join
+    shuffles (band, value, id) triples only, and the candidate-pair
+    distinct carries ids alone; the per-side band arrays rejoin after
+    the distinct (the dd3p never-shuffle-signatures-through-the-pair-
+    explosion rule)."""
+    ah = ahash_media(media, grid).localCheckpoint()
+    bands = ah.select(
+        "media_id", F.posexplode("bands").alias("band", "v")
+    )
+    a = bands.select(F.col("media_id").alias("id_a"), "band", "v")
+    b = bands.select(F.col("media_id").alias("id_b"), "band", "v")
+    pairs = (
+        a.join(b, ["band", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    x = ah.select(F.col("media_id").alias("id_a"), F.col("bands").alias("ba"))
+    y = ah.select(F.col("media_id").alias("id_b"), F.col("bands").alias("bb"))
+    ham = pairs.join(x, "id_a").join(y, "id_b").select(
+        "id_a",
+        "id_b",
+        F.aggregate(
+            F.zip_with(
+                "ba", "bb", lambda p, q: F.bit_count(p.bitwiseXOR(q))
+            ),
+            F.lit(0),
+            lambda acc, t: acc + t,
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    return ham.filter(F.col("hamming") <= max_hamming)
+
+
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

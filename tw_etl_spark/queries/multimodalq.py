@@ -145,6 +145,94 @@ def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DD11_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 4 AS h,
+           coalesce(nullif(hex(encode(coalesce(text, ''))), ''), '00') AS th,
+           greatest(octet_length(encode(coalesce(text, ''))), 1)       AS tlen
+    FROM documents
+), built AS (
+    SELECT doc_id, w, h,
+           substr(repeat(th, CAST(3 * w * h // tlen + 1 AS INT)),
+                  1, 6 * w * h) AS body_hex
+    FROM base
+), cells AS (
+    -- grid cell (y, x) samples source pixel (y*h//8, x*w//8); one RGB
+    -- pixel = 6 hex chars; g = r + g + b (integer luminance 0..765)
+    SELECT b.doc_id,
+           gy.y * 8 + gx.x AS i,
+           (('0x' || substr(b.body_hex,
+                 6 * (((gy.y * b.h) // 8) * b.w + (gx.x * b.w) // 8) + 1,
+                 2))::BIGINT
+          + ('0x' || substr(b.body_hex,
+                 6 * (((gy.y * b.h) // 8) * b.w + (gx.x * b.w) // 8) + 3,
+                 2))::BIGINT
+          + ('0x' || substr(b.body_hex,
+                 6 * (((gy.y * b.h) // 8) * b.w + (gx.x * b.w) // 8) + 5,
+                 2))::BIGINT) AS g
+    FROM built b, generate_series(0, 7) AS gy(y), generate_series(0, 7) AS gx(x)
+), tot AS (
+    SELECT doc_id, sum(g)::BIGINT AS total FROM cells GROUP BY doc_id
+), bits AS (
+    SELECT c.doc_id, c.i,
+           CASE WHEN 64 * c.g >= t.total THEN 1 ELSE 0 END AS bit
+    FROM cells c JOIN tot t USING (doc_id)
+), bands AS (
+    SELECT doc_id, i // 8 AS band,
+           sum(bit * (1 << (i % 8)))::BIGINT AS v
+    FROM bits GROUP BY doc_id, i // 8
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+), ham AS (
+    SELECT p.id_a, p.id_b,
+           sum(bit_count(xor(x.v, y.v)))::BIGINT AS hamming
+    FROM pairs p
+    JOIN bands x ON x.doc_id = p.id_a
+    JOIN bands y ON y.doc_id = p.id_b AND y.band = x.band
+    GROUP BY p.id_a, p.id_b
+)
+SELECT id_a, id_b, hamming
+FROM ham WHERE hamming <= 7
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dd11_perceptual_image_neardup",
+    oracle=_DD11_ORACLE,
+    doc="Multimodal near-dup dedup (VERDICT r9 #4): perceptual "
+    "average-hash over genuinely DECODED image payloads — deterministic "
+    "PPM per documents row (the m1 byte construction for every doc, so "
+    "near-dup texts plant near-dup images), 8x8 integer-luminance grid "
+    "via nearest-neighbor index arithmetic, bit = cell >= mean "
+    "(division-free), 8 bands x 8 bits, band-bucket candidate join "
+    "(full recall for hamming <= 7 by pigeonhole), exact Hamming "
+    "verify via bit_count(xor) folds. The oracle rebuilds the bytes in "
+    "hex-string space and replays the whole hash pipeline, so a match "
+    "pins decode + downsample + threshold + banding + verify "
+    "cross-engine. Scale: one decode pass emits ~40 bytes/image; the "
+    "pair exchange carries ids only.",
+    tags=("multimodal", "dedup", "neardup", "ext"),
+)
+def dd11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.multimodal import (
+        perceptual_neardup_pairs,
+        synthesize_image_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_image_df(docs)
+    return (
+        perceptual_neardup_pairs(media, max_hamming=7)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 _IO3_ORACLE = f"""
 WITH base AS (
     SELECT doc_id,
