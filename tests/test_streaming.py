@@ -1054,3 +1054,105 @@ def test_stream_neardup_survivor_batch_split_independent(spark):
         }  # "aa bb cc" cluster -> survivor 0 of 3; "dd ee ff" -> survivor 1 of 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_funnel_step_transition_table():
+    """funnel_step known answers, including every strict-boundary rule:
+    click before any view, click AT the view timestamp (no advance),
+    purchase before the qualifying click, repeat stages ignored."""
+    from tw_etl_spark.streaming.state_machine import funnel_step
+
+    s = (0, 0, 0)
+    # click with no view yet: ignored
+    assert funnel_step(*s, 100, "click") == (0, 0, 0, None, None)
+    # first view advances
+    s = funnel_step(*s, 100, "view")[:3]
+    assert s == (100, 0, 0)
+    # second view ignored
+    assert funnel_step(*s, 50, "view")[:3] == s
+    # click AT t1: strict > fails, no advance
+    assert funnel_step(*s, 100, "click")[:3] == s
+    # purchase before any click: ignored
+    assert funnel_step(*s, 200, "purchase")[:3] == s
+    # qualifying click: gap in ms from microsecond state
+    t1, t2, t3, stage, gap = funnel_step(*s, 5100, "click")
+    assert (t2, stage, gap) == (5100, "2_click", 5)
+    s = (t1, t2, t3)
+    # purchase AT t2: no advance; strictly after: advances
+    assert funnel_step(*s, 5100, "purchase")[:3] == s
+    t1, t2, t3, stage, gap = funnel_step(*s, 9100, "purchase")
+    assert (t3, stage, gap) == (9100, "3_purchase", 4)
+    # funnel complete: everything else ignored
+    assert funnel_step(t1, t2, t3, 99999, "click")[3] is None
+
+
+def test_stream_funnel_split_independent_for_ordered_sources(spark):
+    """st6's machine contract: a source delivering each key's events in
+    event-time order across micro-batches (time-split files, one per
+    trigger) must emit the same stage-advance set as the single-batch
+    replay — the state carries the funnel across the split."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.streaming.state_machine import (
+        FUNNEL_EVENT_SCHEMA,
+        funnel_machine_stream,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:01:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),      # batch boundary below
+        (1, "2024-01-01 11:00:00", "purchase"),
+        (2, "2024-01-01 11:02:00", "click"),
+        (2, "2024-01-01 11:30:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+
+    def run(src_dir, n_files):
+        stream = (
+            spark.readStream.schema(FUNNEL_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        name = f"st6_split_{n_files}"
+        q = (
+            funnel_machine_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q, {
+            (r.user_id, r.stage, r.gap_ms)
+            for r in spark.table(name).collect()
+        }
+
+    d1 = tempfile.mkdtemp(prefix="st6_one_")
+    df.coalesce(1).write.mode("overwrite").parquet(d1)
+    _, single = run(d1, 1)
+
+    d2 = tempfile.mkdtemp(prefix="st6_two_")
+    early = df.filter(F.col("ts") < "2024-01-01 10:30:00")
+    late = df.filter(F.col("ts") >= "2024-01-01 10:30:00")
+    early.coalesce(1).write.mode("overwrite").parquet(d2)
+    import time
+
+    time.sleep(1.1)  # distinct mtimes: oldest-first file order
+    late.coalesce(1).write.mode("append").parquet(d2)
+    q2, split = run(d2, 2)
+    assert q2.lastProgress["batchId"] >= 1  # genuinely >1 micro-batch
+    assert split == single
+    assert single == {
+        (1, "1_view", None),
+        (1, "2_click", 300_000),
+        (1, "3_purchase", 3_300_000),
+        (2, "1_view", None),
+        (2, "2_click", 3_660_000),
+        (2, "3_purchase", 1_680_000),
+    }

@@ -658,3 +658,67 @@ def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (out,) = run_streams_to_memory([(clusters, f"st5_{tag}", "complete")])
     return out.filter(F.col("n_members") >= 2).orderBy("sig")
+
+
+def _st6_oracle() -> str:
+    # st6 must land on e6's exact relational answer: the streaming
+    # funnel machine and the batch funnel share one oracle.
+    from tw_etl_spark.queries.core import _e6_oracle
+
+    return _e6_oracle()
+
+
+@register(
+    "st6_stream_funnel",
+    oracle=_st6_oracle(),
+    doc="STREAMING funnel (VERDICT r9 #8 — the events-analytics x "
+    "streaming cell): e6's ordered view->click->purchase chaining run "
+    "as a keyed state machine (streaming/state_machine."
+    "funnel_machine_stream via applyInPandasWithState) over a "
+    "file-source "
+    "event stream, per-user stage timestamps in the checkpointed state "
+    "store, one emission per stage advance carrying the exact integer "
+    "ms gap. Stage reach counts and exact-integer average gaps "
+    "aggregate from the emissions; the oracle is e6's relational form "
+    "verbatim, so the hash match pins the state machine against the "
+    "batch semantics cross-engine. Split-independence for time-ordered "
+    "sources is unit-tested (tests/test_streaming.py).",
+    tags=("streaming", "state", "funnel", "events"),
+)
+def st6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.functions.rounding import exact_round_ratio
+    from tw_etl_spark.streaming.state_machine import (
+        FUNNEL_EVENT_SCHEMA,
+        funnel_machine_stream,
+    )
+    from tw_etl_spark.streaming.windows import run_stream_to_memory
+
+    src, tag = _scratch(sf_dir, "st6")
+    (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type")
+        # single parquet file -> single micro-batch: each key's full log
+        # replays in one event-time-ordered pass, making the machine's
+        # answer the pure function of event time the oracle replays
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema(FUNNEL_EVENT_SCHEMA).parquet(src)
+    emitted = run_stream_to_memory(
+        funnel_machine_stream(stream), f"st6_{tag}", "append"
+    )
+    s = emitted.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("gap_ms").alias("gms"),
+    )
+    return s.select(
+        "stage",
+        "n_users",
+        F.when(F.col("stage") == "1_view", F.lit(None).cast("double"))
+        .otherwise(
+            exact_round_ratio(F.col("gms"), F.col("n_users") * 1000, 3)
+        )
+        .alias("avg_gap_s"),
+    ).orderBy("stage")

@@ -253,6 +253,99 @@ def retry_machine_stream(
 
 
 # ---------------------------------------------------------------------------
+# Funnel machine (st6): the e6 ordered view->click->purchase funnel as
+# keyed streaming state — first view, first click STRICTLY after it,
+# first purchase strictly after that click, per user.
+
+FUNNEL_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("gap_ms", T.LongType()),
+    ]
+)
+
+# epoch MICROSECONDS of each reached stage; 0 = not reached (event
+# timestamps are all past epoch, so 0 is a safe sentinel)
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+    ]
+)
+
+
+def funnel_step(
+    t1: int, t2: int, t3: int, ts_us: int, event_type: str
+) -> tuple[int, int, int, str | None, int | None]:
+    """Pure funnel transition (table-testable like ``step``): advance on
+    one event, returning (t1, t2, t3, stage_emitted, gap_ms). All guards
+    are STRICT comparisons, so same-timestamp ties resolve identically
+    regardless of within-batch sort order — a click at exactly the first
+    view's timestamp never advances (matching e6's relational
+    ``e.ts > v.t1``)."""
+    if event_type == "view" and t1 == 0:
+        return ts_us, t2, t3, "1_view", None
+    if event_type == "click" and t1 > 0 and t2 == 0 and ts_us > t1:
+        return t1, ts_us, t3, "2_click", (ts_us - t1) // 1000
+    if event_type == "purchase" and t2 > 0 and t3 == 0 and ts_us > t2:
+        return t1, t2, ts_us, "3_purchase", (ts_us - t2) // 1000
+    return t1, t2, t3, None, None
+
+
+def funnel_machine_stream(events: DataFrame) -> DataFrame:
+    """Wire the funnel over a streaming (user_id, ts, event_type) frame
+    via ``applyInPandasWithState``: per-user stage timestamps live in
+    the checkpointed state store; one output row per stage ADVANCE with
+    the exact integer inter-stage gap in ms.
+
+    Within a micro-batch events replay in (ts, event_type) order;
+    cross-batch ordering is the source's responsibility (same log-replay
+    contract as ``retry_machine_stream``) — a source that delivers each
+    key's events in event-time order across batches (e.g. time-split
+    files) yields output identical to the single-batch drain, unit-
+    tested in tests/test_streaming.py. Null-ts events are dropped
+    (e6's ``WHERE ts IS NOT NULL``)."""
+
+    def _machine(
+        key, pdfs: Iterator[pd.DataFrame], group_state
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2, t3 = group_state.get if group_state.exists else (0, 0, 0)
+        recs: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            pdf = pdf[pdf["ts"].notna()]
+            recs.extend(
+                (int(ts.value) // 1000, str(et))
+                for ts, et in zip(pdf["ts"], pdf["event_type"])
+            )
+        recs.sort()
+        rows = []
+        for ts_us, et in recs:
+            t1, t2, t3, stage, gap = funnel_step(t1, t2, t3, ts_us, et)
+            if stage is not None:
+                rows.append((key[0], stage, gap))
+        group_state.update((t1, t2, t3))
+        yield pd.DataFrame(rows, columns=["user_id", "stage", "gap_ms"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _machine,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
 # On transformWithStateInPandas (Spark 4.x StatefulProcessor API):
 # ``applyInPandasWithState`` above is the one supported wiring of this
 # machine. A TWS variant (StatefulProcessor with named state slots and
