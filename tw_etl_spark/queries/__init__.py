@@ -136,17 +136,29 @@ def register(
 # dedup intersection, previously batch-only); out — u2_pandas_udaf
 # (UDF family keeps u3 grouped-map + u4 UDTF driver slots; u2 stays
 # pytest-oracle with its Arrow-parity unit).
-# Round-10 rotation candidates (all already strict-green at
-# sf0.001/0.01/0.1, pytest-oracle tier): e6_funnel / e7_retention
-# (event-analytics family, new), a11/a12/a13 (the mergeable-sketch
+# Round-10 rotation (VERDICT r9 #3 + this round's new operators): in —
+# e6_funnel (after the de-hinting fix) + e7_retention_cohorts (the
+# events-analytics family), a11/a12/a13 (the full mergeable-sketch
 # family: Count-Min heavy hitters, KMV set algebra, histogram
-# quantiles — a9 currently carries the family's one driver slot).
+# quantiles), t17_bpe_encode (the corpus-scale half of
+# train->tokenize), dd11_perceptual_image_neardup (multimodal near-dup
+# — decoded-payload average-hash), st6_stream_funnel (the funnel as
+# keyed streaming state, e6's oracle verbatim). Out — eight
+# family-redundant slots, each staying pytest-oracle green: e5 (LOCF ⊂
+# w20's window family + e3), dd2 (exact-Jaccard near-dup; family keeps
+# d2/dd3p/dd4p/dd8p/dd10/dd11), x8 (SCD-1; merge family keeps x10
+# SCD-2), io2 (ORC/z-order surface; io keeps io1 + p4, z-order keeps
+# its plan/unit tier), t14 (top-bigram repetition ⊂ t11/t13 battery),
+# a40 (exact percentile/stddev; agg family keeps q1/a10 + the sketch
+# trio), t10 (PII redaction; regex family keeps p1, cleaning keeps
+# t12), u4 (UDTF surface; UDF family keeps u3 grouped-map, u4 keeps
+# its Arrow-parity unit).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
 # gated by design — see COVERAGE.md §verification-tiers) live there.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- core flagship (9)
+    # -- core flagship (8)
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_nation_revenue",
@@ -155,51 +167,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "e3_sessionization",
     "d2_exact_dedup",
     "v1_cosine_top_pairs",
-    "e5_gap_fill_locf",
-    # -- dedup / similarity [EXT] (7, incl. the dd10 rewrite)
-    "dd2_jaccard_neardup_pairs",
+    # -- events analytics [EXT] (2)
+    "e6_funnel",
+    "e7_retention_cohorts",
+    # -- dedup / similarity [EXT] (7, incl. the dd10 rewrite + dd11)
     "dd3p_minhash_lsh_portable",
     "dd4p_simhash_portable",
     "v4p_ann_ivf_portable",
     "dd10_span_dedup_rewrite",
     "dd8p_semantic_dedup_relational",
+    "dd11_perceptual_image_neardup",
     "x2_leakage_aware_split",
-    # -- ETL / pipeline [EXT] (10)
+    # -- ETL / pipeline [EXT] (7)
     "p1_filename_parse",
     "io1_ingest_roundtrip",
     "p4_tiered_routing",
     "x1_training_data_pipeline",
     "x12_dsir_weights",
     "x11_bloom_decontaminate",
-    "x8_merge_upsert",
-    "io2_columnar_roundtrip",
     "x10_scd2_merge",
-    # -- streaming (5)
+    # -- streaming (6)
     "st5_stream_neardup_dedup",
     "st4_event_time_watchdog",
     "st1_stream_hourly_rollup",
     "st2_stream_stateful_gauntlet",
     "st3_watermark_late_drop",
+    "st6_stream_funnel",
     # -- multimodal [EXT] (1)
     "m1_media_sidecar_probe",
-    # -- UDF surface (2)
+    # -- UDF surface (1)
     "u3_grouped_map_zscore",
-    "u4_udtf_token_positions",
-    # -- text [EXT] (7)
+    # -- text [EXT] (6)
     "t8_tfidf_top_terms",
     "t15_quality_classifier",
-    "t10_pii_redaction",
     "t11_gopher_quality",
     "t12_c4_clean",
     "t13_lm_perplexity",
-    "t14_top_bigram_fraction",
-    # -- consolidated relational (10)
+    "t17_bpe_encode",
+    # -- mergeable sketches [EXT] (3)
+    "a11_cms_heavy_hitters",
+    "a12_kmv_set_algebra",
+    "a13_histogram_quantiles",
+    # -- consolidated relational (9)
     "j10_outer_join_family",
     "j20_semi_anti_join",
     "j50_range_asof_join",
     "j70_subquery_family",
     "a10_grouping_pivot",
-    "a40_agg_stats",
     "w20_window_gauntlet",
     "s10_setops_null_semantics",
     "f20_datetime_case_math",
