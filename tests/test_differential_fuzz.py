@@ -77,7 +77,7 @@ def test_dataframe_path_exercised():
     assert n >= N_CI_SEEDS // 2, n
 
 
-N_DEDUP_SEEDS = 36
+N_DEDUP_SEEDS = 48
 
 
 @pytest.mark.parametrize("seed", range(N_DEDUP_SEEDS))
@@ -86,7 +86,8 @@ def test_dedup_corpus_fuzz_seed(spark, seed):
     planted-duplicate corpora and operator parameter draws, the Spark
     operator strict-compared against a parameterized DuckDB template
     (tw_etl_spark/testing/dedupgen.py). Seeds rotate through span
-    rewrite / minhash-LSH / simhash / DSIR / BPE merges / Count-Min."""
+    rewrite / minhash-LSH / simhash / DSIR / BPE merges / Count-Min /
+    BPE encode / perceptual image hash."""
     from tw_etl_spark.testing import dedupgen
 
     case = dedupgen.generate(seed)

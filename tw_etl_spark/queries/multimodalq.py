@@ -145,7 +145,10 @@ def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DD11_ORACLE = """
+def _dd11_oracle(max_hamming: int = 7) -> str:
+    """Parameterized so the dedup fuzz grammar (testing/dedupgen.py
+    'phash' kind) can draw thresholds; dd11 registers the default."""
+    return f"""
 WITH base AS (
     SELECT doc_id,
            4 + doc_id % 5 AS w,
@@ -196,14 +199,14 @@ WITH base AS (
     GROUP BY p.id_a, p.id_b
 )
 SELECT id_a, id_b, hamming
-FROM ham WHERE hamming <= 7
+FROM ham WHERE hamming <= {max_hamming}
 ORDER BY id_a, id_b
 """
 
 
 @register(
     "dd11_perceptual_image_neardup",
-    oracle=_DD11_ORACLE,
+    oracle=_dd11_oracle(7),
     doc="Multimodal near-dup dedup (VERDICT r9 #4): perceptual "
     "average-hash over genuinely DECODED image payloads — deterministic "
     "PPM per documents row (the m1 byte construction for every doc, so "

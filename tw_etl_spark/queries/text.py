@@ -879,15 +879,18 @@ def _bpe_encode_oracle(rounds: int = 6) -> str:
     parts = [_bpe_training_ctes(rounds)]
     parts.append(f""",
     d0 AS (
+        -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        -- array_join([]) is '' — an empty/no-word document must encode
+        -- to the empty string on both engines
         SELECT doc_id,
-               array_to_string(
+               coalesce(array_to_string(
                  list_transform(
                    list_filter({_TOKS},
                                w -> NOT contains(w, chr(2))
                                     AND NOT contains(w, chr(3))),
                    w -> regexp_replace(w, '(.)',
                                        chr(2) || '\\1' || chr(3), 'g')),
-                 ' ') AS enc
+                 ' '), '') AS enc
         FROM documents
     )""")
     for r in range(1, rounds + 1):
@@ -912,7 +915,7 @@ def _bpe_encode_oracle(rounds: int = 6) -> str:
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_filter(toks, t -> length(t) > 1)) AS BIGINT)
                AS n_merged,
-           md5(array_to_string(toks, ' ')) AS tokens_fp
+           md5(coalesce(array_to_string(toks, ' '), '')) AS tokens_fp
     FROM tok
     ORDER BY doc_id
     """)

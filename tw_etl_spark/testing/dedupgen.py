@@ -33,7 +33,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
-KINDS = ("span", "minhash", "simhash", "dsir", "bpe", "cms")
+KINDS = (
+    "span",
+    "minhash",
+    "simhash",
+    "dsir",
+    "bpe",
+    "cms",
+    "bpe_enc",  # t17: train R rounds, then ENCODE every document
+    "phash",  # dd11: perceptual image hash near-dup over synth PPMs
+)
 
 
 @dataclass
@@ -271,8 +280,8 @@ def generate(seed: int) -> DedupCase:
     kind = KINDS[seed % len(KINDS)]
     rows = gen_corpus(
         rng,
-        min_vocab=8 if kind == "bpe" else 3,
-        coverage_doc=kind == "bpe",
+        min_vocab=8 if kind in ("bpe", "bpe_enc") else 3,
+        coverage_doc=kind in ("bpe", "bpe_enc"),
     )
     if kind == "span":
         params = {"chunk_tokens": rng.choice((2, 3, 5, 8))}
@@ -301,6 +310,18 @@ def generate(seed: int) -> DedupCase:
             "topk": 10,
         }
         sql = cms_sql(**params)
+    elif kind == "bpe_enc":
+        from tw_etl_spark.queries.text import _bpe_encode_oracle
+
+        params = {"rounds": rng.choice((2, 3, 4))}
+        sql = _bpe_encode_oracle(params["rounds"])
+    elif kind == "phash":
+        from tw_etl_spark.queries.multimodalq import _dd11_oracle
+
+        # thresholds above n_bands-1 lose the recall GUARANTEE but both
+        # engines run the same banding, so equivalence still holds
+        params = {"max_hamming": rng.choice((3, 7, 12))}
+        sql = _dd11_oracle(params["max_hamming"])
     else:
         params = {"buckets": rng.choice((16, 64, 256)), "target_mod": rng.choice((2, 3, 5))}
         sql = dsir_sql(**params)
@@ -342,6 +363,46 @@ def run_spark(spark: SparkSession, case: DedupCase) -> DataFrame:
         from tw_etl_spark.operators.bpe import bpe_merges
 
         return bpe_merges(df, rounds=p["rounds"]).orderBy("merge_round")
+    if case.kind == "bpe_enc":
+        from tw_etl_spark.operators.bpe import bpe_merges, bpe_tokens_expr
+        from tw_etl_spark.operators.text import let_expr
+
+        merges = [
+            (r.lhs, r.rhs)
+            for r in bpe_merges(df, rounds=p["rounds"])
+            .orderBy("merge_round")
+            .collect()
+        ]
+        toks = bpe_tokens_expr(F.col("text"), merges)
+        return (
+            df.select(
+                "doc_id",
+                let_expr(
+                    toks,
+                    lambda ts: F.struct(
+                        F.size(ts).cast("long").alias("n_tokens"),
+                        F.size(F.filter(ts, lambda t: F.length(t) > 1))
+                        .cast("long")
+                        .alias("n_merged"),
+                        F.md5(F.array_join(ts, " ")).alias("tokens_fp"),
+                    ),
+                ).alias("s"),
+            )
+            .select("doc_id", "s.n_tokens", "s.n_merged", "s.tokens_fp")
+            .orderBy("doc_id")
+        )
+    if case.kind == "phash":
+        from tw_etl_spark.operators.multimodal import (
+            perceptual_neardup_pairs,
+            synthesize_image_df,
+        )
+
+        media = synthesize_image_df(df.withColumn("source", F.lit("fuzz")))
+        return (
+            perceptual_neardup_pairs(media, max_hamming=p["max_hamming"])
+            .select("id_a", "id_b", "hamming")
+            .orderBy("id_a", "id_b")
+        )
     if case.kind == "cms":
         from tw_etl_spark.operators.sketch import cms_counts, cms_estimate
         from tw_etl_spark.operators.text import tokens_expr
