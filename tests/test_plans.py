@@ -421,3 +421,27 @@ def test_t17_bpe_encode_stage_is_narrow(spark):
         ).alias("n_bpe"),
     )
     assert count_exchanges(enc_only) == 0
+
+
+def test_x13_quantile_gate_no_data_sized_shuffle(spark):
+    """The x13 global-threshold gate: every exchange in the plan is a
+    histogram/stats aggregation over <= bins keys (kilobytes at any
+    corpus size); the threshold reaches the data pass by broadcast, and
+    no data-sized join ever sort-merges. Two scan-speed passes."""
+    df = all_queries()["x13_quantile_quality_gate"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_x14_resample_membership_is_narrow(spark):
+    """importance_resample itself is a pure per-row predicate: given a
+    weights table it must add ZERO exchanges — the 100 TB membership
+    decision is a narrow map (the deterministic_split contract)."""
+    from tw_etl_spark.operators.sampling import importance_resample
+
+    w = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", (F.col("doc_id") % 1000).alias("w_micro")
+    )
+    assert count_exchanges(importance_resample(w)) == 0

@@ -465,3 +465,107 @@ def test_x12_dsir_separates_target_domain(spark):
         .collect()
     }
     assert means[True] > means[False]
+
+
+def test_integer_div_helpers_match_sql(spark):
+    """floor_div / exact_round_ratio_long: the Spark Column forms and
+    their DuckDB SQL twins agree cell-for-cell including negative
+    numerators, where Spark div / DuckDB // (both truncating) would
+    diverge from the floor the operators specify."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from tw_etl_spark.functions.rounding import (
+        exact_round_ratio_long,
+        floor_div,
+        sql_floor_div,
+        sql_round_ratio_long,
+    )
+
+    cases = [
+        (n, d)
+        for d in (1, 2, 16, 64, 1000)
+        for n in (-1001, -17, -16, -15, -1, 0, 1, 15, 16, 17, 999, 10**9)
+    ]
+    sdf = spark.createDataFrame(cases, "n long, d long").select(
+        "n",
+        "d",
+        floor_div(F.col("n"), F.col("d")).alias("fd"),
+        exact_round_ratio_long(F.col("n"), F.col("d")).alias("rr"),
+    )
+    got = {(r.n, r.d): (r.fd, r.rr) for r in sdf.collect()}
+    vals = ", ".join(f"({n}, {d})" for n, d in cases)
+    oracle = duckdb.sql(
+        f"SELECT n, d, {sql_floor_div('n', 'd')} AS fd, "
+        f"{sql_round_ratio_long('n', 'd')} AS rr "
+        f"FROM (VALUES {vals}) t(n, d)"
+    ).fetchall()
+    for n, d, fd, rr in oracle:
+        assert fd == n // d, (n, d, fd)  # python // IS floor
+        assert got[(n, d)] == (fd, rr), (n, d, got[(n, d)], (fd, rr))
+
+
+def test_quantile_gate_keep_guarantees(spark):
+    """The x13 gate's two contracts: at most (100-pct)% of rows keep,
+    and every kept score strictly outscores every dropped score (equal
+    scores always share a bin, so the strictly-above-the-crossing-bin
+    rule can never split a tie across the keep boundary)."""
+    from tests.conftest import SF_SMOKE
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.quality import milli_score_col
+    from tw_etl_spark.operators.sampling import quantile_gate
+    import pyspark.sql.functions as F
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    for pct in (50, 70, 90):
+        g = quantile_gate(docs, milli_score_col(F.col("text")), pct=pct)
+        agg = g.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept"),
+            F.min(F.when(F.col("kept"), F.col("score"))).alias("min_kept"),
+            F.max(F.when(~F.col("kept"), F.col("score"))).alias("max_drop"),
+        ).first()
+        assert agg.kept * 100 <= agg.total * (100 - pct), (pct, agg)
+        assert agg.kept > 0, pct  # corpus scores do spread at sf0.001
+        assert agg.min_kept > agg.max_drop, (pct, agg)
+
+
+def test_quantile_gate_degenerate_all_equal(spark):
+    """All-equal scores: one bin, which is the crossing bin, so the
+    strictly-above rule keeps nothing (documented determinism)."""
+    from tw_etl_spark.operators.sampling import quantile_gate
+    import pyspark.sql.functions as F
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    g = quantile_gate(df, F.lit(42), id_col="doc_id")
+    assert g.filter("kept").count() == 0
+    assert g.count() == 100
+
+
+def test_importance_resample_monotone_and_clamped(spark):
+    """Acceptance is monotone in the weight and saturates: a weight
+    below -8e6 micro (accept 0) can never keep; above +8e6 (accept 1e6)
+    always keeps; and raising any weight never flips keep off."""
+    from tw_etl_spark.operators.sampling import importance_resample
+    import pyspark.sql.functions as F
+
+    w = spark.createDataFrame(
+        [(i, wm) for i in range(50) for wm in (-10**7, -8_000_016, 0, 8_000_000, 10**7)],
+        "doc_id long, w_micro long",
+    )
+    r = importance_resample(w)
+    rows = r.collect()
+    for row in rows:
+        if row.w_micro <= -8_000_016:
+            assert row.accept_micro == 0 and not row.kept, row
+        if row.w_micro >= 8_000_000:
+            assert row.accept_micro == 1_000_000 and row.kept, row
+    by_doc = {}
+    for row in rows:
+        by_doc.setdefault(row.doc_id, []).append((row.w_micro, row.kept))
+    for doc, pairs in by_doc.items():
+        pairs.sort()
+        seen_keep = False
+        for _, kept in pairs:
+            assert not (seen_keep and not kept), doc  # monotone in w
+            seen_keep = seen_keep or kept

@@ -53,3 +53,50 @@ def sql_round_ratio(num: str, den: str, digits: int) -> str:
     d = f"(({den})::BIGINT)"
     up = f"(({a} // {d}) + CASE WHEN 2 * ({a} % {d}) >= {d} THEN 1 ELSE 0 END)"
     return f"(CASE WHEN ({num}) < 0 THEN -{up} ELSE {up} END / {s}.0)"
+
+
+def exact_round_ratio_long(num: Column, den: Column, scale: int = 1) -> Column:
+    """round-half-away-from-zero of num*scale/den as an exact BIGINT
+    (num, den integral; den > 0; |num|*scale < 2^53).  The integer twin
+    of :func:`exact_round_ratio` for pipelines that keep working in
+    integer unit space (milli/micro scores) instead of emitting a
+    double — e.g. a quantile gate that BINS the score must never touch
+    a float, or the bin edge itself becomes engine-dependent."""
+    a = F.abs(num).cast("long") * F.lit(scale).cast("long")
+    d = den.cast("long")
+    rem = F.pmod(a, d)
+    q = ((a - rem) / d).cast("long")
+    r = q + F.when(rem * 2 >= d, F.lit(1)).otherwise(F.lit(0))
+    return F.when(num < 0, -r).otherwise(r).cast("long")
+
+
+def sql_round_ratio_long(num: str, den: str, scale: int = 1) -> str:
+    """DuckDB twin of :func:`exact_round_ratio_long` (same contract)."""
+    a = f"(abs({num})::BIGINT * {scale})"
+    d = f"(({den})::BIGINT)"
+    up = f"(({a} // {d}) + CASE WHEN 2 * ({a} % {d}) >= {d} THEN 1 ELSE 0 END)"
+    return f"(CASE WHEN ({num}) < 0 THEN -{up} ELSE {up} END)::BIGINT"
+
+
+def floor_div(num: Column, den: Column) -> Column:
+    """Exact FLOOR division of integral columns (den > 0) as BIGINT.
+
+    Spark's `div` and DuckDB's `//` both truncate toward zero, so the
+    two engines agree with each other but disagree with mathematical
+    floor on negative numerators; this form (subtract the positive
+    remainder, then divide the exact multiple) floors identically
+    everywhere.  |num| must stay below 2^53 (the quotient passes
+    through an exact double divide)."""
+    a = num.cast("long")
+    d = den.cast("long")
+    rem = F.pmod(a, d)
+    return ((a - rem) / d).cast("long")
+
+
+def sql_floor_div(num: str, den: str) -> str:
+    """DuckDB twin of :func:`floor_div`: a - posmod(a,d) is an exact
+    multiple of d, so truncating `//` equals exact division on it."""
+    a = f"(({num})::BIGINT)"
+    d = f"(({den})::BIGINT)"
+    rem = f"((({a} % {d}) + {d}) % {d})"
+    return f"((({a} - {rem}) // {d})::BIGINT)"

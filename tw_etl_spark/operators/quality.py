@@ -404,6 +404,54 @@ def top_bigram_stats(
     )
 
 
+def token_weight_milli(tk: Column, n_buckets: int = 1024) -> Column:
+    """Integer milli-weight of one token under the deterministic hashed
+    weight table (h % 2001 - 1000 in [-1000, 1000]): hashing-trick
+    bucket (md5 prefix mod ``n_buckets``) through a fixed md5-derived
+    weight — every value reconstructible in any engine with md5.
+    Exact BIGINTs end to end, so any sum over tokens is
+    partition-order-independent (no float accumulation anywhere)."""
+    bucket = (
+        F.conv(F.substring(F.md5(tk), 1, 4), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w:"), bucket)), 1, 8), 16, 10
+    ).cast("long")
+    return h % 2001 - 1000
+
+
+def milli_weight_sum(ts: Column, n_buckets: int = 1024) -> Column:
+    """Exact BIGINT fold of :func:`token_weight_milli` over a token
+    array — the shared accumulator of the t15 classifier and the x13
+    quantile gate (pure narrow map, whole-stage codegen)."""
+    return F.aggregate(
+        ts,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + token_weight_milli(t, n_buckets),
+    )
+
+
+def milli_score_col(text: Column, n_buckets: int = 1024) -> Column:
+    """Per-document quality score as an exact BIGINT: round-half-away
+    of mean token milli-weight (s/n in milli-units; 0 for empty docs).
+    The integer-space form of t15's z that :func:`~tw_etl_spark.
+    operators.sampling.quantile_gate` can bin without a single float
+    op — a double score would make the bin edge engine-dependent."""
+    from tw_etl_spark.functions.rounding import exact_round_ratio_long
+
+    toks = tokens_expr(text)
+    return let_expr(
+        toks,
+        lambda ts: F.when(
+            F.size(ts) > 0,
+            exact_round_ratio_long(
+                milli_weight_sum(ts, n_buckets), F.size(ts).cast("long")
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
 def hashed_linear_score_cols(
     text: Column,
     n_buckets: int = 1024,
@@ -437,25 +485,12 @@ def hashed_linear_score_cols(
     from tw_etl_spark.functions.rounding import exact_round_ratio
 
     def weight_milli(tk: Column) -> Column:
-        # Integer milli-weights (h % 2001 - 1000 in [-1000, 1000]): the
-        # fold accumulates exact BIGINTs, so the sum is order-independent
-        # and the single final division is the only float op — no signed
-        # zeros, no round-at-boundary flips from partition order.
-        bucket = (
-            F.conv(F.substring(F.md5(tk), 1, 4), 16, 10).cast("long")
-            % F.lit(n_buckets)
-        ).cast("string")
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit("w:"), bucket)), 1, 8), 16, 10
-        ).cast("long")
-        return h % 2001 - 1000
+        return token_weight_milli(tk, n_buckets)
 
     toks = tokens_expr(text)
 
     def milli_sum(ts: Column) -> Column:
-        return F.aggregate(
-            ts, F.lit(0).cast("long"), lambda acc, t: acc + weight_milli(t)
-        )
+        return milli_weight_sum(ts, n_buckets)
 
     # exact 6-digit z: round-half-away of the TRUE rational
     # s/(1000n) + bias = (s*1e6 + B*1000n) / (1000n*1e6) where

@@ -288,3 +288,142 @@ def dsir_importance_weights(
             ),
         )
     )
+
+
+def quantile_gate(
+    df: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    bins: int = 64,
+    pct: int = 70,
+) -> DataFrame:
+    """FineWeb-style "train on the top quality slice" gate (Penedo et
+    al. 2024, arXiv:2406.17557 §3.5 keep-top-X%-by-classifier-score):
+    bin an exact-integer quality ``score`` into a ``bins``-cell
+    equi-width histogram, find the bin where the cumulative count
+    crosses ``pct`` percent, and keep every document scoring STRICTLY
+    ABOVE that bin — guaranteed to keep at most (100-pct)% of the
+    corpus, and everything kept outscores everything dropped.
+
+    ``score`` must be integral (e.g. ``quality.milli_score_col``): the
+    bin edge is then decided entirely in BIGINT arithmetic
+    ((score-lo)*bins floor-div (hi-lo), crossing test 100*cum >=
+    pct*total) — no float ever touches the threshold, so the gate is
+    bit-identical on any engine. |score range| * bins must stay below
+    2^53 (milli/micro unit scores are orders of magnitude under this).
+
+    Scale shape — the two-pass global-threshold pattern: pass 1 folds
+    the corpus into ``bins`` longs (map-side-combinable agg, kilobytes
+    of shuffle at any corpus size — the a13 mergeable-histogram tier);
+    the threshold derivation runs on that ≤``bins``-row table; pass 2
+    re-applies the narrow score map and filters against the broadcast
+    1-row threshold. No data-sized shuffle, no sort, no driver state;
+    at 100 TB both passes run at scan speed. Degenerate all-equal
+    corpora land in bin 0 = the crossing bin, so nothing survives the
+    strictly-above rule (deterministic; documented).
+
+    Returns every input row as (id, score, bin_idx, thr_idx, kept) —
+    callers drop to the survivor set with ``.filter("kept")``.
+    """
+    from tw_etl_spark.functions.rounding import floor_div
+
+    scored = df.select(F.col(id_col), score.cast("long").alias("score"))
+    stats = scored.agg(
+        F.min("score").alias("lo"),
+        F.max("score").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    binned = scored.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        "score",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1).cast("long"),
+                floor_div(
+                    (F.col("score") - F.col("lo")) * F.lit(bins),
+                    F.col("hi") - F.col("lo"),
+                ),
+            )
+        )
+        .alias("bin_idx"),
+    )
+    from pyspark.sql.window import Window
+
+    hist = binned.groupBy("bin_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # ≤ bins rows reach the unpartitioned window — the single-partition
+    # sort is over the histogram, never the data (the a13 pattern).
+    cum = hist.withColumn("cum", F.sum("cnt").over(Window.orderBy("bin_idx")))
+    thr = (
+        cum.crossJoin(F.broadcast(stats))
+        .filter(F.col("cum") * 100 >= F.lit(pct) * F.col("total"))
+        .agg(F.min("bin_idx").cast("long").alias("thr_idx"))
+    )
+    return binned.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "score",
+        "bin_idx",
+        "thr_idx",
+        (F.col("bin_idx") > F.col("thr_idx")).alias("kept"),
+    )
+
+
+def importance_resample(
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    w_col: str = "w_micro",
+    base_micro: int = 500_000,
+    shift_den: int = 16,
+    salt: str = "rs",
+) -> DataFrame:
+    """Deterministic importance-weighted Bernoulli resample — the
+    selection step DSIR (Xie et al. 2023, arXiv:2302.03169 §3) runs on
+    its importance weights, made reproducible-forever: instead of RNG,
+    each document draws its uniform from the portable md5 family
+    (u = md5("<salt>:"+id) first 12 hex as micro-units mod 1e6) and is
+    kept iff u < accept(w), with the acceptance curve a clamped-linear
+    function of the micro-unit log-weight —
+    accept_micro = clamp(base_micro + floor(w/shift_den), 0, 1e6).
+    (The clamped-linear curve is the integer-exact stand-in for the
+    usual exp/softmax acceptance: monotone in the log-weight, saturates
+    at 0/1, and — unlike exp — decided wholly in BIGINT space, so keep
+    bits can't flip on a 1-ulp cross-engine libm difference.)
+
+    Membership is a pure per-row predicate on (id, w): map-only, no
+    shuffle, no RNG state, independent of partitioning and cluster
+    size — the same contract as `deterministic_split`, so a 100 TB
+    resample is just a narrow filter. Returns every input row plus
+    (u_micro, accept_micro, kept); callers filter on ``kept``.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1_000_000)
+    )
+    from tw_etl_spark.functions.rounding import floor_div
+
+    accept = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(base_micro).cast("long")
+            + floor_div(F.col(w_col), F.lit(shift_den)),
+        ),
+    )
+    return weights.select(
+        "*",
+        u.alias("u_micro"),
+        accept.alias("accept_micro"),
+        (u < accept).alias("kept"),
+    )

@@ -878,9 +878,9 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x12_dsir_weights",
-    oracle="""
+# The DSIR weight derivation, shared verbatim by the x12 oracle and
+# the x14 resample oracle (which consumes wd's w_micro downstream).
+_DSIR_WITH = """
     WITH tok AS (
         SELECT doc_id, lang,
                list_filter(string_split(text, ' '), t -> t <> '') AS tk
@@ -912,7 +912,13 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
                sum(c * lr_micro)::BIGINT AS w_micro
         FROM dc JOIN lr USING (b) GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "x12_dsir_weights",
+    oracle=_DSIR_WITH
+    + """
     SELECT d.doc_id,
            coalesce(w.n_bigrams, 0)::BIGINT AS n_bigrams,
            coalesce(w.w_micro, 0)::BIGINT AS w_micro,
@@ -937,3 +943,119 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         d, target=F.col("lang") == "en", buckets=1024
     ).orderBy("doc_id")
+
+
+from tw_etl_spark.functions.rounding import sql_floor_div, sql_round_ratio_long
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+_X13_SCORE = sql_round_ratio_long("a.s", "a.n")
+_X13_BIN = sql_floor_div("(score - lo) * 64", "hi - lo")
+
+
+@register(
+    "x13_quantile_quality_gate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tk FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('w:' ||
+                     (('0x' || substr(md5(tk), 1, 4))::BIGINT % 1024)::VARCHAR
+                   ), 1, 8))::BIGINT % 2001 - 1000) AS w_milli
+        FROM toks
+    ), agg AS (
+        SELECT doc_id, sum(w_milli)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM feats GROUP BY doc_id
+    ), scored AS (
+        SELECT d.doc_id, coalesce({_X13_SCORE}, 0)::BIGINT AS score
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    ), stats AS (
+        SELECT min(score) AS lo, max(score) AS hi, count(*)::BIGINT AS total
+        FROM scored
+    ), binned AS (
+        SELECT doc_id, score,
+               (CASE WHEN hi = lo THEN 0
+                     ELSE least(63, {_X13_BIN}) END)::BIGINT AS bin_idx
+        FROM scored, stats
+    ), hist AS (
+        SELECT bin_idx, count(*)::BIGINT AS cnt FROM binned GROUP BY bin_idx
+    ), cum AS (
+        SELECT bin_idx, sum(cnt) OVER (ORDER BY bin_idx)::BIGINT AS cum
+        FROM hist
+    ), thr AS (
+        SELECT min(bin_idx)::BIGINT AS thr_idx FROM cum, stats
+        WHERE cum * 100 >= 70 * total
+    )
+    SELECT b.doc_id, b.score, b.bin_idx, t.thr_idx,
+           b.bin_idx > t.thr_idx AS kept
+    FROM binned b, thr t
+    ORDER BY b.doc_id
+    """,
+    doc="FineWeb-style keep-the-top-quality-slice gate (Penedo et al. "
+    "2024, arXiv:2406.17557): the t15 hashed-classifier score as an "
+    "exact BIGINT (round-half-away milli-mean), a 64-bin mergeable "
+    "histogram (the a13 tier: 64 longs of shuffle at any corpus size), "
+    "integer crossing test 100*cum >= 70*total, and a strictly-above-"
+    "the-crossing-bin keep rule — the global-threshold selection "
+    "pattern every quality-filtered pretraining corpus runs, decided "
+    "entirely in integer space so the threshold is engine-exact. Two "
+    "scan-speed passes, zero data-sized shuffle (plan-asserted).",
+    tags=("sampling", "quality", "quantile", "ext"),
+)
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.quality import milli_score_col
+    from tw_etl_spark.operators.sampling import quantile_gate
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_gate(
+        d, milli_score_col(F.col("text")), bins=64, pct=70
+    ).orderBy("doc_id")
+
+
+_X14_SHIFT = sql_floor_div("w_micro", "16")
+
+
+@register(
+    "x14_importance_resample",
+    oracle=_DSIR_WITH
+    + f""",
+    w AS (
+        SELECT d.doc_id, coalesce(wd.w_micro, 0)::BIGINT AS w_micro
+        FROM documents d LEFT JOIN wd USING (doc_id)
+    ), rs AS (
+        SELECT doc_id, w_micro,
+               (('0x' || substr(md5('rs:' || doc_id::VARCHAR), 1, 12))::BIGINT
+                   % 1000000)::BIGINT AS u_micro,
+               least(1000000::BIGINT,
+                     greatest(0::BIGINT,
+                              500000 + {_X14_SHIFT}))::BIGINT AS accept_micro
+        FROM w
+    )
+    SELECT doc_id, w_micro, u_micro, accept_micro,
+           u_micro < accept_micro AS kept
+    FROM rs
+    ORDER BY doc_id
+    """,
+    doc="DSIR selection step (Xie et al. 2023 \u00a73) as a deterministic "
+    "importance-weighted Bernoulli resample: the x12 micro-unit log "
+    "weights through a clamped-linear acceptance curve (integer-exact "
+    "stand-in for exp acceptance \u2014 monotone, saturating, no libm in "
+    "the keep decision), against a portable md5-derived uniform. "
+    "Membership is a pure per-row predicate: map-only, no RNG state, "
+    "partitioning-independent \u2014 reproducible forever at 100 TB.",
+    tags=("sampling", "dsir", "ext"),
+)
+def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sampling import (
+        dsir_importance_weights,
+        importance_resample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_importance_weights(d, target=F.col("lang") == "en", buckets=1024)
+    return (
+        importance_resample(w.select("doc_id", "w_micro"))
+        .select("doc_id", "w_micro", "u_micro", "accept_micro", "kept")
+        .orderBy("doc_id")
+    )
