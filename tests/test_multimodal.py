@@ -337,3 +337,65 @@ def test_perceptual_pair_exchange_carries_ids_only(spark):
     assert pair_exchanges, "expected a hashpartitioning(id_a, id_b) exchange"
     for block in pair_exchanges:
         assert "payload" not in block and "bands" not in block, block
+
+
+def test_audio_fingerprint_crafted_clips(spark):
+    """Crafted near-identical audio (dd12's operator): a base clip with
+    a distinctive loud-quiet energy shape, a copy with a handful of
+    samples nudged (tiny Hamming), and a clip with the inverted energy
+    shape. The near pair must surface with small hamming; the inverted
+    clip must not pair with the base at the threshold."""
+    import numpy as np
+
+    from tw_etl_spark.operators.codecs import encode_wav
+    from tw_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_neardup_pairs,
+    )
+
+    n = 1024
+    loud_first = np.where(np.arange(n) < n // 2, 12000, 100).astype(np.int16)
+    near = loud_first.copy()
+    near[5:10] = 11000  # nudge a few samples, same energy shape
+    quiet_first = loud_first[::-1].copy()  # inverted energy profile
+
+    rows = [
+        (0, encode_wav(8000, loud_first)),
+        (1, encode_wav(8000, near)),
+        (2, encode_wav(8000, quiet_first)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    fps = {r.media_id: r.ahash for r in audio_fingerprint(media).collect()}
+    assert fps[0] != fps[2]  # the energy structure is visible
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_neardup_pairs(media, max_hamming=7).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] <= 2
+    assert (0, 2) not in got
+
+
+def test_audio_pair_exchange_carries_ids_only(spark):
+    """dd12 inherits the dd3p shuffle discipline through
+    banded_hamming_pairs: the candidate-pair distinct exchanges
+    (id_a, id_b) alone — never payloads, never band arrays."""
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        synthesize_audio_df,
+    )
+    from tw_etl_spark.plans.inspect import explain_str
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(audio_neardup_pairs(synthesize_audio_df(docs)))
+    pair_exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if ") Exchange" in b and "hashpartitioning(id_a" in b
+    ]
+    assert pair_exchanges, "expected a hashpartitioning(id_a, id_b) exchange"
+    for block in pair_exchanges:
+        assert "payload" not in block and "bands" not in block, block

@@ -338,6 +338,15 @@ def perceptual_neardup_pairs(
     the distinct (the dd3p never-shuffle-signatures-through-the-pair-
     explosion rule)."""
     ah = ahash_media(media, grid).localCheckpoint()
+    return banded_hamming_pairs(ah, max_hamming)
+
+
+def banded_hamming_pairs(ah: DataFrame, max_hamming: int) -> DataFrame:
+    """Band-bucket candidate join + exact Hamming verify over any
+    (media_id, bands) fingerprint table — the shared back half of the
+    perceptual image tier (dd11) and the audio fingerprint tier (dd12).
+    Full recall for hamming <= n_bands - 1 by pigeonhole; the pair
+    exchange carries ids only, fingerprints rejoin after the distinct."""
     bands = ah.select(
         "media_id", F.posexplode("bands").alias("band", "v")
     )
@@ -567,3 +576,110 @@ def resize_images(
     return media.select(
         "media_id", "media_type", "payload", "meta"
     ).mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+def synthesize_audio_df(docs: DataFrame) -> DataFrame:
+    """Deterministic PCM16 WAV per documents row — the
+    :func:`synthesize_sidecar_media_df` audio construction (8000 Hz
+    mono, n = 100 + doc_id%50 frames, data = UTF-8 text bytes cycled to
+    2n, pairs read as little-endian int16) applied to EVERY doc, so
+    duplicate/near-duplicate texts yield duplicate/near-duplicate
+    waveforms: the planted structure the audio-fingerprint dedup tier
+    (dd12) detects. Every byte is a pure function of the row —
+    engine-reconstructible, hash-oracle-able."""
+    from tw_etl_spark.operators import codecs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                raw = (text or "").encode("utf-8") or b"\x00"
+                rate, n = 8000, 100 + doc_id % 50
+                need = 2 * n
+                data = (raw * (need // len(raw) + 1))[:need]
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "path": f"media/{source}/doc_{doc_id}.wav",
+                        "media_type": "audio",
+                        "payload": codecs.encode_wav(
+                            rate, np.frombuffer(data, dtype="<i2")
+                        ),
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "duration_ms": int(n * 1000 / rate),
+                            "codec": "wav",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def audio_fingerprint(media: DataFrame, windows: int = 64) -> DataFrame:
+    """Energy-profile audio fingerprint over genuinely DECODED WAV
+    payloads — the acoustic-fingerprint shape (Chromaprint-family
+    energy-band thresholding; public technique) reduced to pure integer
+    math so any engine can replay it:
+
+    - sample i (mono int16) belongs to window w = (windows*i) // n
+      (monotone floor partition — every window nonempty when
+      n >= windows);
+    - window energy e_w = Σ |sample| (exact BIGINT — mean absolute
+      amplitude, the L1 energy profile);
+    - bit_w = (windows * e_w >= Σ e) — the louder-than-mean test
+      cleared of division (the ahash rule);
+    - bits pack little-endian into windows/8 8-bit bands (the
+      :func:`banded_hamming_pairs` fingerprint contract).
+
+    Arrow-batched mapInPandas, no shuffle; one ~40-byte row per clip —
+    payloads never leave the scan."""
+    from tw_etl_spark.operators import codecs
+
+    n_bits = windows
+    assert n_bits % 8 == 0, windows
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hexes, bands_out = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = codecs.decode_wav(bytes(p))
+                a = np.abs(samples.ravel().astype(np.int64))
+                n = len(a)
+                e = np.zeros(windows, dtype=np.int64)
+                if n:
+                    np.add.at(e, (windows * np.arange(n)) // n, a)
+                total = int(e.sum())
+                bits = (windows * e >= total).astype(np.int64)
+                bvals = [
+                    int(sum(int(bits[8 * k + j]) << j for j in range(8)))
+                    for k in range(n_bits // 8)
+                ]
+                ids.append(int(mid))
+                hexes.append("".join(f"{v:02x}" for v in bvals))
+                bands_out.append(bvals)
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": hexes, "bands": bands_out}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, schema=AHASH_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    media: DataFrame, max_hamming: int = 7, windows: int = 64
+) -> DataFrame:
+    """Audio near-dup pairs: :func:`audio_fingerprint` through the
+    shared band-bucket + exact-Hamming verify (the dd11 scale shape —
+    one decode pass, ids-only pair exchange, full recall for
+    hamming <= windows/8 - 1)."""
+    fp = audio_fingerprint(media, windows).localCheckpoint()
+    return banded_hamming_pairs(fp, max_hamming)

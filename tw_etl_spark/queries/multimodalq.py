@@ -359,3 +359,95 @@ def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.hex(F.element_at("parts", media_ext))).alias("payload_md5"),
         F.md5(F.hex(F.element_at("parts", F.lit("json")))).alias("sidecar_md5"),
     ).orderBy("media_id")
+
+
+def _dd12_oracle(max_hamming: int = 7) -> str:
+    """Parameterized for the dedup fuzz grammar ('afp' kind); dd12
+    registers the default. Replays WAV synthesis (n = 100 + doc_id%50
+    little-endian int16 samples from cycled text bytes), the L1 energy
+    profile over 64 floor-partition windows, the louder-than-mean bit
+    rule, banding, and the Hamming verify — all in hex-string/BIGINT
+    space."""
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           100 + doc_id % 50 AS n,
+           coalesce(nullif(hex(encode(coalesce(text, ''))), ''), '00') AS th,
+           greatest(octet_length(encode(coalesce(text, ''))), 1)       AS tlen
+    FROM documents
+), built AS (
+    SELECT doc_id, n,
+           substr(repeat(th, CAST(2 * n // tlen + 1 AS INT)),
+                  1, 4 * n) AS data_hex
+    FROM base
+), samp AS (
+    -- sample i = little-endian int16 at hex chars [4i+1, 4i+4]
+    SELECT b.doc_id, b.n, s.i,
+           ('0x' || substr(b.data_hex, 4 * s.i + 1, 2))::BIGINT
+         + 256 * ('0x' || substr(b.data_hex, 4 * s.i + 3, 2))::BIGINT AS uval
+    FROM built b, generate_series(0, 148) AS s(i)
+    WHERE s.i < b.n
+), en AS (
+    -- window w = (64*i) // n; L1 energy = sum |signed sample|
+    SELECT doc_id, (64 * i) // n AS w,
+           sum(abs(CASE WHEN uval >= 32768 THEN uval - 65536
+                        ELSE uval END))::BIGINT AS e
+    FROM samp GROUP BY doc_id, (64 * i) // n
+), tot AS (
+    SELECT doc_id, sum(e)::BIGINT AS total FROM en GROUP BY doc_id
+), bits AS (
+    SELECT en.doc_id, en.w,
+           CASE WHEN 64 * en.e >= t.total THEN 1 ELSE 0 END AS bit
+    FROM en JOIN tot t USING (doc_id)
+), bands AS (
+    SELECT doc_id, w // 8 AS band,
+           sum(bit * (1 << (w % 8)))::BIGINT AS v
+    FROM bits GROUP BY doc_id, w // 8
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+), ham AS (
+    SELECT p.id_a, p.id_b,
+           sum(bit_count(xor(x.v, y.v)))::BIGINT AS hamming
+    FROM pairs p
+    JOIN bands x ON x.doc_id = p.id_a
+    JOIN bands y ON y.doc_id = p.id_b AND y.band = x.band
+    GROUP BY p.id_a, p.id_b
+)
+SELECT id_a, id_b, hamming
+FROM ham WHERE hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dd12_audio_fingerprint_neardup",
+    oracle=_dd12_oracle(7),
+    doc="Audio near-dup dedup — the multimodal dedup cell dd11 opened, "
+    "closed for the audio modality: deterministic PCM16 WAV per "
+    "documents row (the m1 sidecar byte construction for every doc, so "
+    "near-dup texts plant near-dup waveforms), genuine RIFF decode, L1 "
+    "energy profile over 64 floor-partition windows, bit = window "
+    "louder than mean (division-free), 8 bands x 8 bits through the "
+    "shared band-bucket + exact-Hamming verify (full recall for "
+    "hamming <= 7 by pigeonhole). The oracle rebuilds the samples in "
+    "hex-string space — signed int16 reconstruction included — and "
+    "replays the whole fingerprint, pinning decode + windowing + "
+    "threshold + banding cross-engine. Scale: one decode pass emits "
+    "~40 bytes/clip; the pair exchange carries ids only.",
+    tags=("multimodal", "audio", "dedup", "neardup", "ext"),
+)
+def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        synthesize_audio_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_audio_df(docs)
+    return (
+        audio_neardup_pairs(media, max_hamming=7)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -42,6 +42,7 @@ KINDS = (
     "cms",
     "bpe_enc",  # t17: train R rounds, then ENCODE every document
     "phash",  # dd11: perceptual image hash near-dup over synth PPMs
+    "afp",  # dd12: audio fingerprint near-dup over synth WAVs
 )
 
 
@@ -322,6 +323,11 @@ def generate(seed: int) -> DedupCase:
         # engines run the same banding, so equivalence still holds
         params = {"max_hamming": rng.choice((3, 7, 12))}
         sql = _dd11_oracle(params["max_hamming"])
+    elif kind == "afp":
+        from tw_etl_spark.queries.multimodalq import _dd12_oracle
+
+        params = {"max_hamming": rng.choice((3, 7, 12))}
+        sql = _dd12_oracle(params["max_hamming"])
     else:
         params = {"buckets": rng.choice((16, 64, 256)), "target_mod": rng.choice((2, 3, 5))}
         sql = dsir_sql(**params)
@@ -400,6 +406,18 @@ def run_spark(spark: SparkSession, case: DedupCase) -> DataFrame:
         media = synthesize_image_df(df.withColumn("source", F.lit("fuzz")))
         return (
             perceptual_neardup_pairs(media, max_hamming=p["max_hamming"])
+            .select("id_a", "id_b", "hamming")
+            .orderBy("id_a", "id_b")
+        )
+    if case.kind == "afp":
+        from tw_etl_spark.operators.multimodal import (
+            audio_neardup_pairs,
+            synthesize_audio_df,
+        )
+
+        media = synthesize_audio_df(df.withColumn("source", F.lit("fuzz")))
+        return (
+            audio_neardup_pairs(media, max_hamming=p["max_hamming"])
             .select("id_a", "id_b", "hamming")
             .orderBy("id_a", "id_b")
         )
