@@ -1156,3 +1156,98 @@ def test_stream_funnel_split_independent_for_ordered_sources(spark):
         (2, "2_click", 3_660_000),
         (2, "3_purchase", 1_680_000),
     }
+
+
+def test_retention_step_transition_table():
+    """retention_step known answers: cohort latch, offset-0 emission,
+    repeat-day dedup, new-day emission, bitmap word boundary, loud
+    failures on contract breaks (pre-cohort day, beyond-horizon)."""
+    import pytest
+
+    from tw_etl_spark.streaming.state_machine import (
+        RETENTION_HORIZON_DAYS,
+        retention_step,
+    )
+
+    c, m, off = retention_step(-1, [0, 0, 0, 0], 100)
+    assert (c, off) == (100, 0) and m[0] == 1
+    c, m, off = retention_step(c, m, 100)  # same day: no emission
+    assert off is None and m[0] == 1
+    c, m, off = retention_step(c, m, 103)
+    assert off == 3 and m[0] == 0b1001
+    c, m, off = retention_step(c, m, 100 + 64)  # second bitmap word
+    assert off == 64 and m[1] == 1
+    with pytest.raises(ValueError):
+        retention_step(c, m, 99)  # before latched cohort
+    with pytest.raises(ValueError):
+        retention_step(c, m, 100 + RETENTION_HORIZON_DAYS)
+
+
+def test_stream_retention_split_independent_for_ordered_sources(spark):
+    """st7's machine contract: time-split files, one per trigger, must
+    emit the same (user, cohort, offset) set as the single-batch
+    replay — the latched cohort and bitmap carry across the split."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.streaming.state_machine import (
+        FUNNEL_EVENT_SCHEMA,
+        retention_machine_stream,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 18:00:00", "click"),      # same day: dedup
+        (2, "2024-01-02 09:00:00", "view"),       # batch boundary below
+        (1, "2024-01-03 10:05:00", "click"),
+        (2, "2024-01-02 23:00:00", "purchase"),   # same day: dedup
+        (2, "2024-01-05 11:30:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+
+    def run(src_dir, n_files):
+        stream = (
+            spark.readStream.schema(FUNNEL_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        name = f"st7_split_{n_files}"
+        q = (
+            retention_machine_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q, {
+            (r.user_id, r.cohort_day, r.day_offset)
+            for r in spark.table(name).collect()
+        }
+
+    d1 = tempfile.mkdtemp(prefix="st7_one_")
+    df.coalesce(1).write.mode("overwrite").parquet(d1)
+    _, single = run(d1, 1)
+
+    d2 = tempfile.mkdtemp(prefix="st7_two_")
+    early = df.filter(F.col("ts") < "2024-01-02 12:00:00")
+    late = df.filter(F.col("ts") >= "2024-01-02 12:00:00")
+    early.coalesce(1).write.mode("overwrite").parquet(d2)
+    time.sleep(1.1)  # distinct mtimes: oldest-first file order
+    late.coalesce(1).write.mode("append").parquet(d2)
+    q2, split = run(d2, 2)
+    assert q2.lastProgress["batchId"] >= 1
+    assert split == single
+    # 2024-01-01 = epoch day 19723; user 1 active days 01-01 and 01-03;
+    # user 2 cohort 01-02, active 01-02 and 01-05
+    assert single == {
+        (1, 19723, 0),
+        (1, 19723, 2),
+        (2, 19724, 0),
+        (2, 19724, 3),
+    }

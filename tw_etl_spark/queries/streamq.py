@@ -722,3 +722,77 @@ def st6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("avg_gap_s"),
     ).orderBy("stage")
+
+
+def _st7_oracle() -> str:
+    # st7 must land on e7's exact relational answer: the streaming
+    # retention machine and the batch cohort table share one oracle.
+    from tw_etl_spark.queries.core import _e7_oracle
+
+    return _e7_oracle()
+
+
+@register(
+    "st7_stream_retention",
+    oracle=_st7_oracle(),
+    doc="STREAMING retention cohorts (the second events-analytics x "
+    "streaming cell, beside st6): e7's first-activity-day cohorts as a "
+    "keyed state machine (streaming/state_machine."
+    "retention_machine_stream via applyInPandasWithState) — the cohort "
+    "day latches on first activity, a 256-day offset bitmap (four "
+    "longs: constant per-user state) dedups repeat activity, one "
+    "emission per NEW (user, active day). The days x days cohort table "
+    "aggregates from the emissions with exact-integer retention "
+    "fractions; the oracle is e7's relational form verbatim, pinning "
+    "the state machine against the batch semantics cross-engine. "
+    "Split-independence for time-ordered sources is unit-tested.",
+    tags=("streaming", "state", "retention", "events"),
+)
+def st7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.functions.rounding import exact_round_ratio
+    from tw_etl_spark.streaming.state_machine import (
+        FUNNEL_EVENT_SCHEMA,
+        retention_machine_stream,
+    )
+    from tw_etl_spark.streaming.windows import run_stream_to_memory
+
+    src, tag = _scratch(sf_dir, "st7")
+    (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type")
+        # single parquet file -> single micro-batch: each key's full log
+        # replays in one event-time-ordered pass (the st6 contract)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema(FUNNEL_EVENT_SCHEMA).parquet(src)
+    em = run_stream_to_memory(
+        retention_machine_stream(stream), f"st7_{tag}", "append"
+    )
+    # the size and activity branches self-join the one memory-sink
+    # view; renaming the size-side key avoids the conflicting-attribute
+    # trap of joining a view to itself on a same-named column
+    sizes = (
+        em.filter(F.col("day_offset") == 0)
+        .groupBy(F.col("cohort_day").alias("cd"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    )
+    g = em.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    return (
+        g.join(sizes, g.cohort_day == sizes.cd)
+        .select(
+            F.timestamp_seconds(F.col("cohort_day") * 86400).alias(
+                "cohort_day"
+            ),
+            "day_offset",
+            "n_active",
+            exact_round_ratio(
+                F.col("n_active"), F.col("n_cohort"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -360,3 +360,112 @@ def funnel_machine_stream(events: DataFrame) -> DataFrame:
 # through it, handleExpiredTimer feeds the synthetic empty-download
 # event the watchdog branch of ``_make_machine`` uses today.
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Retention machine (st7): e7's first-activity-day cohorts as keyed
+# streaming state — the cohort day latches on first activity and a
+# per-user day-offset bitmap dedups repeat activity, so each (user,
+# active day) emits exactly once no matter how events split across
+# micro-batches.
+
+RETENTION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cohort_day", T.LongType()),  # epoch days (UTC)
+        T.StructField("day_offset", T.LongType()),
+    ]
+)
+
+# cohort epoch day (-1 = user unseen) + a 256-day offset bitmap in four
+# longs: constant per-user state at any stream length inside the
+# horizon. Past the horizon the machine fails LOUD (a retention table
+# past 256 days wants the batch tier e7, not silent skew).
+RETENTION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cohort_day", T.LongType()),
+        T.StructField("m0", T.LongType()),
+        T.StructField("m1", T.LongType()),
+        T.StructField("m2", T.LongType()),
+        T.StructField("m3", T.LongType()),
+    ]
+)
+
+RETENTION_HORIZON_DAYS = 256
+
+
+def retention_step(
+    cohort: int, masks: list[int], day: int
+) -> tuple[int, list[int], int | None]:
+    """Pure retention transition (table-testable like ``funnel_step``):
+    one activity day in, (cohort, masks, emitted_offset | None) out.
+    First activity latches the cohort and emits offset 0; a repeat day
+    emits nothing; a new day emits its offset once. Days BEFORE the
+    latched cohort violate the event-time-order source contract the
+    machine documents — raise rather than silently re-cohort away from
+    the batch (e7) answer."""
+    if cohort < 0:
+        cohort = day
+    off = day - cohort
+    if off < 0:
+        raise ValueError(
+            f"activity day {day} precedes latched cohort {cohort}: "
+            "source broke the event-time-order contract"
+        )
+    if off >= RETENTION_HORIZON_DAYS:
+        raise ValueError(
+            f"day offset {off} beyond the {RETENTION_HORIZON_DAYS}-day "
+            "state horizon — use the batch retention tier (e7)"
+        )
+    w, b = divmod(off, 64)
+    if (masks[w] >> b) & 1:
+        return cohort, masks, None
+    masks = list(masks)
+    masks[w] |= 1 << b
+    return cohort, masks, off
+
+
+def retention_machine_stream(events: DataFrame) -> DataFrame:
+    """Wire the retention machine over a streaming (user_id, ts, ...)
+    frame via ``applyInPandasWithState``: per-user (cohort, bitmap)
+    state in the checkpointed store; one output row per NEW (user,
+    active day) carrying the cohort epoch day and the day offset —
+    ids+small-ints only, the e7 aggregation runs downstream on the
+    emissions. Within a micro-batch days replay in event-time order;
+    cross-batch ordering is the source's contract (the
+    ``funnel_machine_stream`` log-replay rule — split-independence for
+    time-ordered sources is unit-tested). Null-ts events drop (e7's
+    ``WHERE ts IS NOT NULL``)."""
+
+    def _machine(
+        key, pdfs: Iterator[pd.DataFrame], group_state
+    ) -> Iterator[pd.DataFrame]:
+        if group_state.exists:
+            cohort, m0, m1, m2, m3 = group_state.get
+        else:
+            cohort, m0, m1, m2, m3 = -1, 0, 0, 0, 0
+        masks = [m0, m1, m2, m3]
+        days: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf[pdf["ts"].notna()]
+            days.extend(
+                int(ts.value) // 86_400_000_000_000 for ts in pdf["ts"]
+            )
+        days.sort()
+        rows = []
+        for day in days:
+            cohort, masks, off = retention_step(cohort, masks, day)
+            if off is not None:
+                rows.append((key[0], cohort, off))
+        group_state.update((cohort, *masks))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "cohort_day", "day_offset"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _machine,
+        outputStructType=RETENTION_OUTPUT_SCHEMA,
+        stateStructType=RETENTION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
