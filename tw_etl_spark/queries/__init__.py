@@ -153,6 +153,22 @@ def register(
 # trio), t10 (PII redaction; regex family keeps p1, cleaning keeps
 # t12), u4 (UDTF surface; UDF family keeps u3 grouped-map, u4 keeps
 # its Arrow-parity unit).
+# Round-10 late rotation (this session's new operators): in —
+# x13_quantile_quality_gate (FineWeb-style keep-the-top-slice global
+# threshold — a NEW selection pattern: mergeable histogram + integer
+# crossing test), x14_importance_resample (the DSIR selection step —
+# its oracle replays x12's full weight derivation verbatim and pins
+# the clamped-linear acceptance on top), dd12_audio_fingerprint_neardup
+# (the audio modality dedup cell beside dd11's image cell),
+# st7_stream_retention (e7 as keyed streaming state — the second
+# events-analytics x streaming cell). Out — four slots whose behavior
+# stays pinned elsewhere in the window, each remaining pytest-oracle
+# green: x2 (hash-split membership ⊂ x1's composed pipeline, which
+# drives the same deterministic_split), x12 (strictly contained in
+# x14's oracle), f50 (the md5/conv/array-HOF surface is load-bearing
+# in dd3p/dd4p/dd11/dd12/t8/x14 window rows), dd4p (the simhash
+# vote/banding pipeline is pinned by st5's survivor oracle and stays
+# strict-sweep green).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
@@ -172,18 +188,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "e7_retention_cohorts",
     # -- dedup / similarity [EXT] (7, incl. the dd10 rewrite + dd11)
     "dd3p_minhash_lsh_portable",
-    "dd4p_simhash_portable",
+    "dd12_audio_fingerprint_neardup",
     "v4p_ann_ivf_portable",
     "dd10_span_dedup_rewrite",
     "dd8p_semantic_dedup_relational",
     "dd11_perceptual_image_neardup",
-    "x2_leakage_aware_split",
+    "x13_quantile_quality_gate",
     # -- ETL / pipeline [EXT] (7)
     "p1_filename_parse",
     "io1_ingest_roundtrip",
     "p4_tiered_routing",
     "x1_training_data_pipeline",
-    "x12_dsir_weights",
+    "x14_importance_resample",
     "x11_bloom_decontaminate",
     "x10_scd2_merge",
     # -- streaming (6)
@@ -193,6 +209,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "st2_stream_stateful_gauntlet",
     "st3_watermark_late_drop",
     "st6_stream_funnel",
+    "st7_stream_retention",
     # -- multimodal [EXT] (1)
     "m1_media_sidecar_probe",
     # -- UDF surface (1)
@@ -217,7 +234,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "w20_window_gauntlet",
     "s10_setops_null_semantics",
     "f20_datetime_case_math",
-    "f50_docs_hash_array",
 )
 
 
