@@ -359,3 +359,28 @@ def test_kmeans_assign_single_centroid(spark):
     )
     got = df.select(kmeans_assign_expr([[0.5, 0.5]]).alias("c")).collect()
     assert [r.c for r in got] == [0, 0]
+
+
+def test_pagerank_integer_known_answer(spark):
+    """Hand-computed integer PageRank on a 3-node star (center c=0,
+    leaves a=1, b=2, symmetric edges): two iterations of the exact
+    damping rule (15e6 + 85*S) // 100 with floor contributions."""
+    from tw_etl_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 0)], "src long, dst long"
+    )
+    r1 = {
+        r.node: r.rank_micro
+        for r in pagerank_integer(edges, iterations=1).collect()
+    }
+    # leaves get floor(1e6/2)=500000 from c: (15e6 + 85*500000)//100
+    # = 575000; c gets 1e6+1e6: (15e6 + 85*2e6)//100 = 1850000
+    assert r1 == {0: 1_850_000, 1: 575_000, 2: 575_000}
+    r2 = {
+        r.node: r.rank_micro
+        for r in pagerank_integer(edges, iterations=2).collect()
+    }
+    # leaves: floor(1850000/2)=925000 -> (15e6+85*925000)//100=936250
+    # c: 575000+575000=1150000 -> (15e6+85*1150000)//100=1127500
+    assert r2 == {0: 1_127_500, 1: 936_250, 2: 936_250}

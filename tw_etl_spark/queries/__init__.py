@@ -255,6 +255,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from tw_etl_spark.queries import combined  # noqa: F401
     from tw_etl_spark.queries import streamq  # noqa: F401
     from tw_etl_spark.queries import multimodalq  # noqa: F401
+    from tw_etl_spark.queries import graphq  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
     assert not missing, f"DRIVER_WINDOW names absent from registry: {missing}"
