@@ -77,7 +77,7 @@ def test_dataframe_path_exercised():
     assert n >= N_CI_SEEDS // 2, n
 
 
-N_DEDUP_SEEDS = 54
+N_DEDUP_SEEDS = 60
 
 
 @pytest.mark.parametrize("seed", range(N_DEDUP_SEEDS))
@@ -87,7 +87,7 @@ def test_dedup_corpus_fuzz_seed(spark, seed):
     operator strict-compared against a parameterized DuckDB template
     (tw_etl_spark/testing/dedupgen.py). Seeds rotate through span
     rewrite / minhash-LSH / simhash / DSIR / BPE merges / Count-Min /
-    BPE encode / perceptual image hash / audio fingerprint."""
+    BPE encode / image / audio / video fingerprints."""
     from tw_etl_spark.testing import dedupgen
 
     case = dedupgen.generate(seed)

@@ -399,3 +399,66 @@ def test_audio_pair_exchange_carries_ids_only(spark):
     assert pair_exchanges, "expected a hashpartitioning(id_a, id_b) exchange"
     for block in pair_exchanges:
         assert "payload" not in block and "bands" not in block, block
+
+
+def test_decode_ppm_stream_roundtrip_and_errors():
+    """decode_ppm_stream: a 3-frame concatenated clip round-trips
+    frame-exact; truncation and junk between frames fail loud."""
+    import numpy as np
+    import pytest
+
+    from tw_etl_spark.operators.codecs import decode_ppm_stream, encode_ppm
+
+    frames = [
+        (np.arange(2 * 3 * 3, dtype=np.uint8).reshape(3, 2, 3) + 10 * f)
+        for f in range(3)
+    ]
+    payload = b"".join(encode_ppm(f) for f in frames)
+    got = decode_ppm_stream(payload)
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+    with pytest.raises(ValueError):
+        decode_ppm_stream(payload[:-1])  # truncated last raster
+    with pytest.raises(ValueError):
+        decode_ppm_stream(payload + b"JUNK")  # trailing garbage
+    with pytest.raises(ValueError):
+        decode_ppm_stream(b"")  # empty stream
+
+
+def test_video_neardup_crafted_clips(spark):
+    """Crafted near-identical videos (dd13's operator): a base 3-frame
+    clip with a left-dark/right-bright gradient, a copy with one pixel
+    nudged in one frame (tiny Hamming), and a mirrored-gradient clip.
+    The near pair surfaces small; the mirrored clip does not pair."""
+    import numpy as np
+
+    from tw_etl_spark.operators.codecs import encode_ppm
+    from tw_etl_spark.operators.multimodal import (
+        video_fingerprint,
+        video_neardup_pairs,
+    )
+
+    base_frame = np.tile(
+        np.linspace(0, 255, 16).astype(np.uint8)[None, :, None], (16, 1, 3)
+    )
+    base = [base_frame + 0, base_frame + 0, base_frame + 0]
+    near = [f.copy() for f in base]
+    near[1][0, 0] = 255
+    far = [f[:, ::-1] for f in base]
+
+    def clip(frames):
+        return b"".join(encode_ppm(f) for f in frames)
+
+    media = spark.createDataFrame(
+        [(0, clip(base)), (1, clip(near)), (2, clip(far))],
+        "media_id long, payload binary",
+    )
+    fps = {r.media_id: r.ahash for r in video_fingerprint(media).collect()}
+    assert fps[0] != fps[2]
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in video_neardup_pairs(media, max_hamming=7).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] <= 2
+    assert (0, 2) not in got

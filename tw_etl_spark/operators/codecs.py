@@ -84,6 +84,39 @@ def encode_ppm(img: np.ndarray) -> bytes:
     ).tobytes()
 
 
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """Concatenated P6 PPMs (the dependency-free video container the
+    dd13 tier synthesizes: one PPM per frame, back to back) → list of
+    (height, width, 3) uint8 frames. Each frame's length is known from
+    its own header, so the scan is sequential and honest — a malformed
+    or truncated frame raises like :func:`decode_ppm` would."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"frame {len(frames)}: not a P6 header at {pos}")
+        p = pos + 2
+        vals = []
+        for _ in range(3):
+            tok, p = _ppm_token(payload, p)
+            vals.append(int(tok))
+        w, h, maxval = vals
+        if maxval != 255:
+            raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+        p += 1
+        need = w * h * 3
+        raster = payload[p : p + need]
+        if len(raster) != need:
+            raise ValueError(
+                f"frame {len(frames)}: truncated raster {len(raster)} != {need}"
+            )
+        frames.append(np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3))
+        pos = p + need
+    if not frames:
+        raise ValueError("empty PPM stream")
+    return frames
+
+
 # ----------------------------------------------------------------- BMP
 
 

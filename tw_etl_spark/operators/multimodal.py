@@ -683,3 +683,108 @@ def audio_neardup_pairs(
     hamming <= windows/8 - 1)."""
     fp = audio_fingerprint(media, windows).localCheckpoint()
     return banded_hamming_pairs(fp, max_hamming)
+
+
+def synthesize_video_df(docs: DataFrame) -> DataFrame:
+    """Deterministic video per documents row — a dependency-free
+    container of concatenated P6 PPM frames (decoded by
+    ``codecs.decode_ppm_stream``): n = 3 + doc_id%4 frames at the m1
+    image geometry (w = 4 + doc_id%5, h = 3 + doc_id%4), frame f's
+    raster = the UTF-8 text bytes cycled, read from byte offset f — a
+    one-byte temporal pan, so near-dup texts yield near-dup frame
+    sequences. Every byte is a pure function of the row —
+    engine-reconstructible, hash-oracle-able (dd13)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                raw = (text or "").encode("utf-8") or b"\x00"
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                n_frames = 3 + doc_id % 4
+                need = w * h * 3
+                payload = b""
+                for f in range(n_frames):
+                    body = (raw * ((need + f) // len(raw) + 1))[f : f + need]
+                    payload += b"P6\n%d %d\n255\n" % (w, h) + body
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "path": f"media/{source}/doc_{doc_id}.ppms",
+                        "media_type": "video",
+                        "payload": payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "duration_ms": n_frames * 40,  # 25 fps
+                            "codec": "ppmseq",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def video_fingerprint(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual video fingerprint over genuinely DECODED frame
+    sequences: integer-sum the frames pixel-wise (the temporal-mean
+    image, division-free — frames share one geometry per clip, enforced
+    loudly), then average-hash the summed luminance with the dd11 grid
+    rule (bit = grid² · cell ≥ Σ cells). All BIGINT math, so the hash
+    is engine-reconstructible; same output contract as ``ahash_media``
+    (the :func:`banded_hamming_pairs` fingerprint schema). One decode
+    pass, ~40 bytes out per clip, payloads never shuffle."""
+    from tw_etl_spark.operators import codecs
+
+    n_bits = grid * grid
+    assert n_bits % 8 == 0, grid
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hexes, bands_out = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = codecs.decode_ppm_stream(bytes(p))
+                if len({f.shape for f in frames}) != 1:
+                    raise ValueError(
+                        f"video {mid}: mixed frame geometries "
+                        f"{sorted({f.shape for f in frames})}"
+                    )
+                summed = np.zeros(frames[0].shape[:2], dtype=np.int64)
+                for fr in frames:
+                    summed += fr.astype(np.int64).sum(axis=2)
+                h, w = summed.shape
+                rows_ = (np.arange(grid) * h) // grid
+                cols = (np.arange(grid) * w) // grid
+                cells = summed[rows_][:, cols].ravel()
+                total = int(cells.sum())
+                bits = (n_bits * cells >= total).astype(np.int64)
+                bvals = [
+                    int(sum(int(bits[8 * k + j]) << j for j in range(8)))
+                    for k in range(n_bits // 8)
+                ]
+                ids.append(int(mid))
+                hexes.append("".join(f"{v:02x}" for v in bvals))
+                bands_out.append(bvals)
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": hexes, "bands": bands_out}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, schema=AHASH_SCHEMA
+    )
+
+
+def video_neardup_pairs(
+    media: DataFrame, max_hamming: int = 7, grid: int = 8
+) -> DataFrame:
+    """Video near-dup pairs: :func:`video_fingerprint` through the
+    shared band-bucket + exact-Hamming verify (the dd11/dd12 scale
+    shape — one decode pass, ids-only pair exchange)."""
+    fp = video_fingerprint(media, grid).localCheckpoint()
+    return banded_hamming_pairs(fp, max_hamming)

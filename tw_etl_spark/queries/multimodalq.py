@@ -451,3 +451,100 @@ def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+def _dd13_oracle(max_hamming: int = 7) -> str:
+    """Parameterized for the dedup fuzz grammar ('vfp' kind); dd13
+    registers the default. Replays the concatenated-PPM video synthesis
+    (frame f's raster = text bytes cycled from offset f), the
+    temporal-sum luminance grid, the dd11 bit rule, banding, and the
+    Hamming verify — all in hex-string/BIGINT space."""
+    off = (
+        "2 * fr.f + 6 * (((gy.y * b.h) // 8) * b.w + (gx.x * b.w) // 8)"
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 4 AS h,
+           3 + doc_id % 4 AS nf,
+           coalesce(nullif(hex(encode(coalesce(text, ''))), ''), '00') AS th,
+           greatest(octet_length(encode(coalesce(text, ''))), 1)       AS tlen
+    FROM documents
+), built AS (
+    SELECT doc_id, w, h, nf,
+           repeat(th, CAST((3 * w * h + nf) // tlen + 1 AS INT)) AS big_hex
+    FROM base
+), cells AS (
+    -- grid cell (y, x) samples source pixel (y*h//8, x*w//8) of every
+    -- frame; frame f's byte j sits at hex offset 2*(f + j); the cell
+    -- luminance SUMS r+g+b across frames (the temporal-mean image,
+    -- division-free)
+    SELECT b.doc_id,
+           gy.y * 8 + gx.x AS i,
+           sum(  ('0x' || substr(b.big_hex, {off} + 1, 2))::BIGINT
+               + ('0x' || substr(b.big_hex, {off} + 3, 2))::BIGINT
+               + ('0x' || substr(b.big_hex, {off} + 5, 2))::BIGINT
+           )::BIGINT AS g
+    FROM built b,
+         generate_series(0, 7) AS gy(y),
+         generate_series(0, 7) AS gx(x),
+         generate_series(0, 6) AS fr(f)
+    WHERE fr.f < b.nf
+    GROUP BY b.doc_id, gy.y * 8 + gx.x
+), tot AS (
+    SELECT doc_id, sum(g)::BIGINT AS total FROM cells GROUP BY doc_id
+), bits AS (
+    SELECT c.doc_id, c.i,
+           CASE WHEN 64 * c.g >= t.total THEN 1 ELSE 0 END AS bit
+    FROM cells c JOIN tot t USING (doc_id)
+), bands AS (
+    SELECT doc_id, i // 8 AS band,
+           sum(bit * (1 << (i % 8)))::BIGINT AS v
+    FROM bits GROUP BY doc_id, i // 8
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+), ham AS (
+    SELECT p.id_a, p.id_b,
+           sum(bit_count(xor(x.v, y.v)))::BIGINT AS hamming
+    FROM pairs p
+    JOIN bands x ON x.doc_id = p.id_a
+    JOIN bands y ON y.doc_id = p.id_b AND y.band = x.band
+    GROUP BY p.id_a, p.id_b
+)
+SELECT id_a, id_b, hamming
+FROM ham WHERE hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dd13_video_fingerprint_neardup",
+    oracle=_dd13_oracle(7),
+    doc="Video near-dup dedup — completes the modality triple beside "
+    "dd11 (image) and dd12 (audio): deterministic concatenated-PPM "
+    "video per documents row (frame f pans the text raster by one "
+    "byte), genuine frame-stream decode (codecs.decode_ppm_stream), "
+    "temporal-sum luminance grid (the division-free mean frame), the "
+    "dd11 bit rule, and the shared band-bucket + exact-Hamming verify. "
+    "The oracle rebuilds every frame's bytes in hex-string space and "
+    "replays the whole pipeline. Scale: one decode pass emits ~40 "
+    "bytes/clip regardless of frame count; the pair exchange carries "
+    "ids only.",
+    tags=("multimodal", "video", "dedup", "neardup", "ext"),
+)
+def dd13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.multimodal import (
+        synthesize_video_df,
+        video_neardup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_video_df(docs)
+    return (
+        video_neardup_pairs(media, max_hamming=7)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

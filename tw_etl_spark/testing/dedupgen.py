@@ -43,6 +43,7 @@ KINDS = (
     "bpe_enc",  # t17: train R rounds, then ENCODE every document
     "phash",  # dd11: perceptual image hash near-dup over synth PPMs
     "afp",  # dd12: audio fingerprint near-dup over synth WAVs
+    "vfp",  # dd13: video fingerprint near-dup over synth PPM streams
 )
 
 
@@ -328,6 +329,11 @@ def generate(seed: int) -> DedupCase:
 
         params = {"max_hamming": rng.choice((3, 7, 12))}
         sql = _dd12_oracle(params["max_hamming"])
+    elif kind == "vfp":
+        from tw_etl_spark.queries.multimodalq import _dd13_oracle
+
+        params = {"max_hamming": rng.choice((3, 7, 12))}
+        sql = _dd13_oracle(params["max_hamming"])
     else:
         params = {"buckets": rng.choice((16, 64, 256)), "target_mod": rng.choice((2, 3, 5))}
         sql = dsir_sql(**params)
@@ -418,6 +424,18 @@ def run_spark(spark: SparkSession, case: DedupCase) -> DataFrame:
         media = synthesize_audio_df(df.withColumn("source", F.lit("fuzz")))
         return (
             audio_neardup_pairs(media, max_hamming=p["max_hamming"])
+            .select("id_a", "id_b", "hamming")
+            .orderBy("id_a", "id_b")
+        )
+    if case.kind == "vfp":
+        from tw_etl_spark.operators.multimodal import (
+            synthesize_video_df,
+            video_neardup_pairs,
+        )
+
+        media = synthesize_video_df(df.withColumn("source", F.lit("fuzz")))
+        return (
+            video_neardup_pairs(media, max_hamming=p["max_hamming"])
             .select("id_a", "id_b", "hamming")
             .orderBy("id_a", "id_b")
         )
