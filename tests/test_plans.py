@@ -445,3 +445,26 @@ def test_x14_resample_membership_is_narrow(spark):
         "doc_id", (F.col("doc_id") % 1000).alias("w_micro")
     )
     assert count_exchanges(importance_resample(w)) == 0
+
+
+def test_j80_join_keys_carry_salt(spark):
+    """The salted join's keys must be (k, __salt) — otherwise the
+    rewrite silently degenerates to the skewed plain join it exists to
+    avoid. At fixture scale the salted dim broadcasts (fine — broadcast
+    sidesteps skew entirely); with broadcast disabled the shuffle path
+    must hash-partition the FACT on (k, __salt)."""
+    import re
+
+    df = all_queries()["j80_salted_skew_join"].spark(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert re.search(r"keys \[2\]: \[k#\d+L?, __salt", plan), plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan2 = explain_str(
+            all_queries()["j80_salted_skew_join"].spark(spark, SF_SMOKE)
+        )
+        assert re.search(r"hashpartitioning\(k#\d+L?, __salt", plan2), plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -384,3 +384,33 @@ def test_pagerank_integer_known_answer(spark):
     # leaves: floor(1850000/2)=925000 -> (15e6+85*925000)//100=936250
     # c: 575000+575000=1150000 -> (15e6+85*1150000)//100=1127500
     assert r2 == {0: 1_127_500, 1: 936_250, 2: 936_250}
+
+
+def test_salted_join_result_identical_to_plain(spark):
+    """The salting contract: inner and left salted joins return exactly
+    the plain join's multiset, including left-join null rows for
+    unmatched fact keys and fan-out on duplicate dim keys."""
+    import pytest
+
+    from tw_etl_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(0, i) for i in range(500)]  # hot key
+        + [(k, 1000 + k) for k in range(1, 20)]  # cool keys
+        + [(99, -1)],  # unmatched in dim
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(20)] + [(5, "dup5")],  # duplicate key
+        "k long, label string",
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    for how in ("inner", "left"):
+        plain = canon(fact.join(dim, "k", how))
+        salted = canon(salted_join(fact, dim, "k", n_salts=8, how=how))
+        assert salted == plain, how
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="full")

@@ -137,3 +137,43 @@ def bucketed_range_join(
         & (F.col(left_point) < F.col(right_end))
     )
     return joined.drop("__bucket")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join — the classic salting rewrite for the
+    key distribution AQE's skew handling can't fix: ONE key carrying an
+    arbitrarily large fraction of a 100 TB fact table still lands in
+    one task under plain hash partitioning (AQE splits skewed
+    PARTITIONS of the already-shuffled side, but a join key hotter than
+    a whole executor's memory wants the rewrite at plan-build time).
+
+    The fact side gains a salt in [0, n_salts) (xxhash64 of the whole
+    row — any assignment yields the identical result set, a hash keeps
+    it deterministic for a fixed input); the dim side replicates each
+    row n_salts times via posexplode; the join runs on (key, salt), so
+    the hot key's rows spread across n_salts tasks at the cost of a
+    ×n_salts dim replication — the standard trade (dim is the small
+    side by contract).
+
+    Result-identical to ``fact.join(dim, on, how)`` for 'inner' and
+    'left' (property-tested); 'right'/'full' would double-count
+    unmatched dim rows across salts and are rejected loudly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left; {how!r} would duplicate "
+            "unmatched dim rows across salts"
+        )
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return salted_fact.join(salted_dim, [on, "__salt"], how).drop("__salt")

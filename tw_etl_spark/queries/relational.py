@@ -1348,3 +1348,59 @@ def a12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return kmv_set_algebra(e, "event_type", "user_id", k=64)
+
+
+@register(
+    "j80_salted_skew_join",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                    ELSE l_suppkey % 50 END AS k,
+               l_extendedprice AS price
+        FROM lineitem
+    ), dim AS (
+        SELECT s_suppkey % 50 AS k, min(s_name) AS label
+        FROM supplier GROUP BY s_suppkey % 50
+    )
+    SELECT f.k, d.label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(f.price), 2) AS revenue
+    FROM fact f JOIN dim d USING (k)
+    GROUP BY f.k, d.label
+    ORDER BY f.k
+    """,
+    doc="Skew-resilient salted equi-join (operators/joins.salted_join): "
+    "a synthetic 80%%-hot key over lineitem joined to a 50-row dim on "
+    "(key, salt) — the fact side salts by row hash, the dim side "
+    "replicates via posexplode, so the hot key spreads across 8 tasks "
+    "instead of one. The REWRITE is the operator under test: the "
+    "oracle is the plain join (result-identity is the salting "
+    "contract, also property-tested incl. left-join null rows), and "
+    "the salted exchange shape is plan-asserted. This is the 100 TB "
+    "lever for keys hotter than AQE's skew-partition splitting can "
+    "absorb.",
+    tags=("join", "skew", "salting", "ext"),
+)
+def j80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.joins import salted_join
+
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    fact = l.select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0).cast("long"))
+        .otherwise(F.col("l_suppkey") % 50)
+        .alias("k"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    dim = s.groupBy((F.col("s_suppkey") % 50).alias("k")).agg(
+        F.min("s_name").alias("label")
+    )
+    return (
+        salted_join(fact, dim, "k", n_salts=8)
+        .groupBy("k", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+        )
+        .orderBy("k")
+    )

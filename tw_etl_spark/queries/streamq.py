@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tw_etl_spark.catalog import read_table as _t
-from tw_etl_spark.queries import register
+from tw_etl_spark.queries import REGISTRY, register
 from tw_etl_spark.streaming.sessions import sessionize_closed
 from tw_etl_spark.streaming.sinks import idempotent_parquet_writer
 from tw_etl_spark.streaming.windows import (
@@ -796,3 +796,75 @@ def st7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def _st8_oracle() -> str:
+    # st8 must land on a11's exact batch answer: the stream-maintained
+    # sketch and the batch sketch share one oracle.
+    from tw_etl_spark.queries import REGISTRY
+
+    return REGISTRY["a11_cms_heavy_hitters"].oracle
+
+
+@register(
+    "st8_stream_cms_heavy_hitters",
+    oracle=None,  # registered after import; set below — see _st8_late
+    doc="STREAMING Count-Min maintenance (the sketch x streaming cell): "
+    "the a11 sketch built as a streaming aggregation — words explode "
+    "in-flight, the (r, b) cell counts accumulate in streaming state "
+    "(complete mode, kilobytes of state at any stream length — the "
+    "mergeable-sketch property IS the streaming-state property), "
+    "drained via availableNow. The drained sketch is point-queried for "
+    "the batch exact top-20 exactly as a11 does; the oracle is a11's "
+    "SQL verbatim, so the hash match proves stream-maintained cells = "
+    "batch cells.",
+    tags=("streaming", "sketch", "approx", "topk"),
+)
+def st8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sketch import cms_counts, cms_estimate
+    from tw_etl_spark.streaming.windows import run_streams_to_memory
+
+    src, tag = _scratch(sf_dir, "st8")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    words = stream.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("v")
+    )
+    sk_stream = cms_counts(words, "v", depth=4, width=256)
+    (sketch,) = run_streams_to_memory([(sk_stream, f"st8_{tag}", "complete")])
+    sketch = sketch.localCheckpoint()
+
+    batch_words = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("v")
+    )
+    exact = (
+        batch_words.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "v")
+        .limit(20)
+    )
+    est = cms_estimate(exact, sketch, "v", depth=4, width=256)
+    return (
+        exact.join(est, "v")
+        .select(
+            F.col("v").alias("word"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "word")
+    )
+
+
+# a11's oracle string is defined in queries.relational; import it
+# explicitly (no cycle — both modules only depend on the registry) so
+# st8's oracle binds correctly even when this module is imported
+# directly rather than through all_queries().
+from tw_etl_spark.queries import relational as _relational  # noqa: E402,F401
+
+REGISTRY["st8_stream_cms_heavy_hitters"].oracle = _st8_oracle()
