@@ -494,3 +494,65 @@ def test_avro_general_union_branch_by_type():
     # bool is not an int branch match (Python bool subclasses int)
     with _pytest.raises(ValueError, match="no union branch"):
         A.encode_container(schema, [{"v": True}])
+
+
+def test_tarshard_datasource_contract(spark, tmp_path):
+    """The Python DataSource connector (io4's surface): one input
+    partition per shard (locality contract), identical rows to
+    read_tar_shards, permissive corrupt-shard marker, loud failfast,
+    and loud empty-root / bad-mode errors."""
+    import tarfile
+
+    import pytest
+
+    from tw_etl_spark.sources.pyds import TarShardReader, register_tarshard
+    from tw_etl_spark.sources.shards import CORRUPT_EXT, read_tar_shards
+
+    root = str(tmp_path / "shards")
+    import os
+
+    os.makedirs(root)
+    for s in range(3):
+        with tarfile.open(os.path.join(root, f"part-{s}.tar"), "w") as tf:
+            for k in range(2):
+                data = f"payload-{s}-{k}".encode()
+                info = tarfile.TarInfo(name=f"{s:02d}{k:02d}.txt")
+                info.size = len(data)
+                import io as _io
+
+                tf.addfile(info, _io.BytesIO(data))
+
+    # partition-per-shard contract
+    parts = TarShardReader({"path": root}).partitions()
+    assert len(parts) == 3
+
+    register_tarshard(spark)
+    via_ds = sorted(
+        map(tuple, spark.read.format("tarshard").load(root).collect())
+    )
+    via_mip = sorted(
+        map(tuple, read_tar_shards(spark, root).collect())
+    )
+    # shard paths differ only by scheme prefix (binaryFile yields file:/)
+    strip = lambda rows: [(r[0].split(":")[-1], *r[1:]) for r in rows]  # noqa: E731
+    assert strip(via_ds) == strip(via_mip)
+
+    # corrupt shard: failfast raises, permissive emits one marker row
+    with open(os.path.join(root, "part-9.tar"), "wb") as fh:
+        fh.write(b"this is not a tar file")
+    with pytest.raises(Exception):
+        spark.read.format("tarshard").load(root).collect()
+    rows = (
+        spark.read.format("tarshard")
+        .option("mode", "permissive")
+        .load(root)
+        .collect()
+    )
+    markers = [r for r in rows if r.ext == CORRUPT_EXT]
+    assert len(markers) == 1 and markers[0].payload is None
+    assert len(rows) == 7  # 6 members + 1 marker
+
+    with pytest.raises(ValueError):
+        TarShardReader({"path": str(tmp_path / "nope")}).partitions()
+    with pytest.raises(ValueError):
+        TarShardReader({"path": root, "mode": "lenient"})

@@ -293,18 +293,21 @@ ORDER BY media_id
     "convert.sh:53-65, at shard-file granularity.",
     tags=("io", "multimodal", "shards", "ext"),
 )
-def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _io3_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io3(spark, sf_dir)
+
+
+def _write_sidecar_shards(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Shared write half of io3/io4: synthesize the sidecar media
+    table, pack (payload + JSON sidecar) members into 4 tar shards on
+    executors, return the shard root."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     from tw_etl_spark.operators.multimodal import synthesize_sidecar_media_df
-    from tw_etl_spark.sources.shards import (
-        group_samples,
-        read_tar_shards,
-        write_tar_shards,
-    )
+    from tw_etl_spark.sources.shards import write_tar_shards
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     # Shard root must satisfy write_tar_shards' shared-filesystem
@@ -313,7 +316,7 @@ def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared storage; the post-write count below fails loudly if the
     # shards didn't land where the reader looks.
     scratch = os.environ.get("TW_ETL_SCRATCH_DIR") or tempfile.gettempdir()
-    root = os.path.join(scratch, f"tw_etl_spark_io3_{tag}")
+    root = os.path.join(scratch, f"tw_etl_spark_{name}_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
 
@@ -350,7 +353,11 @@ def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "executor-local /tmp scatters shards across worker disks)"
         )
 
-    samples = group_samples(read_tar_shards(spark, root))
+    return root
+
+
+def _fingerprint_samples(samples: DataFrame) -> DataFrame:
+    """Shared fingerprint half of io3/io4 over grouped sample rows."""
     media_ext = F.filter(F.map_keys("parts"), lambda x: x != "json")[0]
     return samples.select(
         F.col("key").cast("long").alias("media_id"),
@@ -359,6 +366,13 @@ def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.hex(F.element_at("parts", media_ext))).alias("payload_md5"),
         F.md5(F.hex(F.element_at("parts", F.lit("json")))).alias("sidecar_md5"),
     ).orderBy("media_id")
+
+
+def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.sources.shards import group_samples, read_tar_shards
+
+    root = _write_sidecar_shards(spark, sf_dir, "io3")
+    return _fingerprint_samples(group_samples(read_tar_shards(spark, root)))
 
 
 def _dd12_oracle(max_hamming: int = 7) -> str:
@@ -548,3 +562,28 @@ def dd13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "io4_tarshard_datasource_roundtrip",
+    oracle=_IO3_ORACLE,
+    doc="The WebDataset shard surface as a FIRST-CLASS Spark 4 Python "
+    "DataSource (sources/pyds.TarShardDataSource — "
+    "spark.read.format('tarshard').load(root)): same executor-side "
+    "shard write as io3, read back through the registered connector "
+    "(one input partition PER SHARD — connector-level parallelism and "
+    "locality, no single-task untar), grouped and fingerprinted "
+    "identically. The oracle is io3's byte-reconstruction SQL "
+    "verbatim, so a hash match proves the connector's "
+    "partition/read/schema contract preserves every byte exactly like "
+    "the mapInPandas tier it mirrors.",
+    tags=("io", "multimodal", "shards", "datasource", "ext"),
+)
+def io4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.sources.pyds import register_tarshard
+    from tw_etl_spark.sources.shards import group_samples
+
+    root = _write_sidecar_shards(spark, sf_dir, "io4")
+    register_tarshard(spark)
+    members = spark.read.format("tarshard").load(root)
+    return _fingerprint_samples(group_samples(members))

@@ -1,0 +1,103 @@
+"""Spark 4 Python DataSource connector for WebDataset tar shards [EXT].
+
+``sources/shards.read_tar_shards`` reads shards through binaryFile +
+mapInPandas; this module exposes the same rows as a FIRST-CLASS format
+— ``spark.read.format("tarshard").load(root)`` — via the Spark 4
+Python DataSource API (pyspark.sql.datasource; public API, SPARK-44076).
+The connector contract is what matters at 100 TB:
+
+- ``partitions()`` lists the shards on the driver and emits ONE input
+  partition per shard file, so a 10k-shard corpus reads with 10k-way
+  parallelism and per-shard locality — no single-task untar;
+- ``read(partition)`` unpacks one shard on an executor, streaming
+  member rows (never materializing the whole shard's payload list);
+- ``mode=permissive`` quarantines a corrupt shard as one marker row
+  (ext = ``_corrupt_shard``) instead of killing the job — the
+  read_tar_shards posture, enforced identically here.
+
+Shard listing uses the local/shared filesystem (the write_tar_shards
+contract); point the root at shared storage on a cluster.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import tarfile
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+from tw_etl_spark.sources.shards import CORRUPT_EXT, _split_key
+
+TARSHARD_SCHEMA_DDL = (
+    "shard string, member string, key string, ext string, "
+    "payload binary, n_bytes bigint"
+)
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TarShardReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("tarshard: .load(<shard root or glob>) required")
+        self.mode = options.get("mode", "failfast")
+        if self.mode not in ("failfast", "permissive"):
+            raise ValueError(
+                f"tarshard: mode must be failfast|permissive, got {self.mode!r}"
+            )
+
+    def partitions(self):
+        pattern = (
+            self.root
+            if any(ch in self.root for ch in "*?[")
+            else os.path.join(self.root, "*.tar")
+        )
+        paths = sorted(glob.glob(pattern))
+        if not paths:
+            raise ValueError(f"tarshard: no shards match {pattern!r}")
+        return [_ShardPartition(p) for p in paths]
+
+    def read(self, partition: _ShardPartition):
+        path = partition.path
+        try:
+            with open(path, "rb") as fh:
+                data = fh.read()
+            with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    payload = tf.extractfile(m).read()
+                    key, ext = _split_key(m.name)
+                    yield (path, m.name, key, ext, payload, len(payload))
+        except (tarfile.TarError, EOFError, OSError) as exc:
+            if self.mode == "failfast":
+                raise ValueError(f"corrupt tar shard {path}: {exc}") from exc
+            yield (path, None, None, CORRUPT_EXT, None, 0)
+
+
+class TarShardDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tarshard"
+
+    def schema(self) -> str:
+        return TARSHARD_SCHEMA_DDL
+
+    def reader(self, schema) -> TarShardReader:
+        return TarShardReader(self.options)
+
+
+def register_tarshard(spark) -> None:
+    """Idempotent format registration:
+    ``spark.read.format('tarshard')`` afterwards."""
+    spark.dataSource.register(TarShardDataSource)
