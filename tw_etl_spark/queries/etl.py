@@ -1059,3 +1059,66 @@ def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "w_micro", "u_micro", "accept_micro", "kept")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "io5_schema_evolution_read",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN
+                CASE WHEN o_custkey % 2 = 0 THEN 'web' ELSE 'app' END
+                ELSE 'legacy' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY channel
+    """,
+    doc="Schema-drift ingestion surface: generation 1 of a feed "
+    "(o_orderkey even — no channel column) and generation 2 (odd — "
+    "adds channel) land as parquet in ONE directory; the read uses "
+    "mergeSchema=true so the union schema resolves per file footer and "
+    "gen-1 rows surface the added column as NULL (coalesced to "
+    "'legacy'). The oracle recomputes from the source table, so the "
+    "hash match proves the merged read lost no rows and attributed "
+    "the evolved column correctly. At 100 TB schema drift across "
+    "months of feed generations is the normal case, not the "
+    "exception — this is the read posture that survives it.",
+    tags=("io", "schema-evolution", "ext"),
+)
+def io5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"tw_etl_spark_io5_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    o = _t(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_custkey") % 2 == 0, "web")
+        .otherwise("app")
+        .alias("channel"),
+    )
+    gen1.write.parquet(os.path.join(root, "gen=1"))
+    gen2.write.parquet(os.path.join(root, "gen=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("channel"), F.lit("legacy")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
