@@ -556,3 +556,46 @@ def test_tarshard_datasource_contract(spark, tmp_path):
         TarShardReader({"path": str(tmp_path / "nope")}).partitions()
     with pytest.raises(ValueError):
         TarShardReader({"path": root, "mode": "lenient"})
+
+
+def test_tarshard_datasource_writer_roundtrip(spark, tmp_path):
+    """The write half of the connector: df.write.format('tarshard')
+    packs each partition into one shard via the two-phase temp+rename
+    commit; reading back returns the exact member bytes; a frame
+    missing (member, payload) fails loudly at plan time."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.sources.pyds import register_tarshard
+
+    register_tarshard(spark)
+    root = str(tmp_path / "out")
+    df = (
+        spark.range(20)
+        .select(
+            F.col("id").cast("string").alias("key"),
+            F.concat(F.lpad(F.col("id").cast("string"), 4, "0"), F.lit(".txt")).alias(
+                "member"
+            ),
+            F.concat(F.lit("payload-"), F.col("id").cast("string"))
+            .cast("binary")
+            .alias("payload"),
+        )
+        .repartition(3, "key")
+    )
+    df.write.format("tarshard").mode("append").save(root)
+
+    shards = [f for f in os.listdir(root) if f.endswith(".tar")]
+    assert 1 <= len(shards) <= 3 and all(f.startswith("shard-") for f in shards)
+    assert not [f for f in os.listdir(root) if f.startswith("_tmp")]
+
+    back = spark.read.format("tarshard").load(root)
+    got = {r.member: bytes(r.payload).decode() for r in back.collect()}
+    assert got == {f"{i:04d}.txt": f"payload-{i}" for i in range(20)}
+
+    with pytest.raises(Exception):
+        spark.range(3).select(F.col("id").cast("string").alias("member")).write.format(
+            "tarshard"
+        ).mode("append").save(str(tmp_path / "bad"))

@@ -29,7 +29,9 @@ import tarfile
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from tw_etl_spark.sources.shards import CORRUPT_EXT, _split_key
@@ -96,8 +98,79 @@ class TarShardDataSource(DataSource):
     def reader(self, schema) -> TarShardReader:
         return TarShardReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "TarShardWriter":
+        names = [f.name for f in schema.fields]
+        if not {"member", "payload"} <= set(names):
+            raise ValueError(
+                f"tarshard write needs (member, payload) columns; got {names}"
+            )
+        return TarShardWriter(self.options)
+
 
 def register_tarshard(spark) -> None:
     """Idempotent format registration:
     ``spark.read.format('tarshard')`` afterwards."""
     spark.dataSource.register(TarShardDataSource)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, path: str, pid: int, n_members: int):
+        self.path = path
+        self.pid = pid
+        self.n_members = n_members
+
+
+class TarShardWriter(DataSourceWriter):
+    """Write half of the connector: each Spark task packs its partition
+    into one tar shard (members sorted by name, zeroed mtimes — the
+    write_tar_shards determinism rule), writes it to a task-unique temp
+    name, and ``commit()`` on the driver renames the temp shards into
+    place — the two-phase pattern that keeps a failed/speculative task
+    from leaving a half shard behind. Rows must carry (member: string,
+    payload: binary); partition the frame by sample key BEFORE writing
+    so samples stay whole (the write_tar_shards contract — this writer
+    packs what it is given and does not reshuffle)."""
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("tarshard write: .save(<shard root>) required")
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        from tw_etl_spark.sources.shards import write_tar_shard
+
+        pairs = []
+        for row in iterator:
+            pairs.append((row["member"], bytes(row["payload"])))
+        pid = TaskContext.get().partitionId()
+        if not pairs:
+            return _ShardCommit("", pid, 0)
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(
+            self.root, f"_tmp-shard-{pid:04d}-{uuid.uuid4().hex[:8]}.tar"
+        )
+        write_tar_shard(sorted(pairs), tmp)
+        return _ShardCommit(tmp, pid, len(pairs))
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            if not m or not m.path:
+                continue
+            os.replace(
+                m.path,
+                os.path.join(os.path.dirname(m.path), f"shard-{m.pid:04d}.tar"),
+            )
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
