@@ -169,6 +169,13 @@ def register(
 # in dd3p/dd4p/dd11/dd12/t8/x14 window rows), dd4p (the simhash
 # vote/banding pipeline is pinned by st5's survivor oracle and stays
 # strict-sweep green).
+# Round-11 rotation candidates (registered late in round 10, all
+# pytest-oracle + strict-sf0.1 green): g1_pagerank_purchase_graph (the
+# iterative-graph family), dd13_video_fingerprint_neardup (completes
+# the modality triple), j80_salted_skew_join (skew rewrite under the
+# plain-join oracle), st8_stream_cms_heavy_hitters (streaming sketch
+# maintenance, a11's oracle verbatim), io4_tarshard_datasource_roundtrip
+# (the Spark 4 Python DataSource connector), io5_schema_evolution_read.
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
