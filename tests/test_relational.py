@@ -414,3 +414,22 @@ def test_salted_join_result_identical_to_plain(spark):
         assert salted == plain, how
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="full")
+
+
+def test_pagerank_source_nodes_keep_teleport_mass(spark):
+    """Textbook teleport semantics for general digraphs: a source node
+    with out-edges but NO in-edges must keep receiving (1-d)*scale each
+    round instead of silently vanishing after its first distribution.
+    Graph: s -> a, a <-> b (s is a pure source)."""
+    from tw_etl_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1)], "src long, dst long"
+    )
+    for iters in (2, 3):
+        got = {
+            r.node: r.rank_micro
+            for r in pagerank_integer(edges, iterations=iters).collect()
+        }
+        assert got[0] == 150_000, (iters, got)  # teleport mass only
+        assert set(got) == {0, 1, 2}, (iters, got)

@@ -65,21 +65,34 @@ def pagerank_integer(
         "deg",
     ).localCheckpoint()
     base = F.lit((100 - damping_pct) * scale).cast("long")
+    nodes = deg.withColumnRenamed("s", "node")
     for _ in range(iterations):
-        contribs = e.join(
-            ranks.withColumnRenamed("node", "s"), "s"
-        ).select(F.col("d").alias("node"), floor_div(F.col("r"), F.col("deg")).alias("c"))
-        new_r = contribs.groupBy("node").agg(
-            floor_div(
-                base + F.lit(damping_pct).cast("long") * F.sum("c"),
-                F.lit(100),
-            ).alias("r")
-        )
-        ranks = (
-            new_r.join(
-                deg.withColumnRenamed("s", "node"), "node", "left"
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("d").alias("node"),
+                floor_div(F.col("r"), F.col("deg")).alias("c"),
             )
-            .select("node", "r", F.coalesce("deg", F.lit(1)).alias("deg"))
-            .localCheckpoint()
+            .groupBy("node")
+            .agg(F.sum("c").alias("s_in"))
         )
+        # every SOURCE node keeps receiving the teleport mass even with
+        # zero in-contributions (textbook PageRank; a bare groupBy over
+        # contributions would silently drop no-in-edge nodes after
+        # round 1). Destination-only nodes still absorb rank without
+        # redistributing it (the documented dangling semantics).
+        new_r = (
+            nodes.join(contribs, "node", "full")
+            .select(
+                "node",
+                floor_div(
+                    base
+                    + F.lit(damping_pct).cast("long")
+                    * F.coalesce("s_in", F.lit(0)),
+                    F.lit(100),
+                ).alias("r"),
+                F.coalesce("deg", F.lit(1)).alias("deg"),
+            )
+        )
+        ranks = new_r.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank_micro"))

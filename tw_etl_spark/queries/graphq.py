@@ -37,13 +37,19 @@ def _g1_oracle(iters: int = _G1_ITERS) -> str:
     ]
     for k in range(1, iters + 1):
         parts.append(f""",
-    r{k} AS (
-        SELECT e.dst AS node,
-               ((15000000 + 85 * sum(rr.r // d.deg)) // 100)::BIGINT AS r
+    c{k} AS (
+        SELECT e.dst AS node, sum(rr.r // d.deg)::BIGINT AS s_in
         FROM edges e
         JOIN r{k - 1} rr ON rr.node = e.src
         JOIN deg d ON d.src = e.src
         GROUP BY e.dst
+    ), r{k} AS (
+        -- anchored on deg so no-in-contribution source nodes keep the
+        -- teleport mass (mirrors pagerank_integer; in the symmetrized
+        -- graph every node is a source, so the anchor is complete)
+        SELECT d.src AS node,
+               ((15000000 + 85 * coalesce(c.s_in, 0)) // 100)::BIGINT AS r
+        FROM deg d LEFT JOIN c{k} c ON c.node = d.src
     )""")
     parts.append(f"""
     SELECT node, r AS rank_micro FROM r{iters} ORDER BY node

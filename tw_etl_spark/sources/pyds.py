@@ -99,6 +99,11 @@ class TarShardDataSource(DataSource):
         return TarShardReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "TarShardWriter":
+        if overwrite:
+            raise ValueError(
+                "tarshard: mode('overwrite') is not supported — shards "
+                "are append-only artifacts; clear the root explicitly"
+            )
         names = [f.name for f in schema.fields]
         if not {"member", "payload"} <= set(names):
             raise ValueError(
