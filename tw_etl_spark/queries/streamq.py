@@ -868,3 +868,97 @@ def st8(spark: SparkSession, sf_dir: str) -> DataFrame:
 from tw_etl_spark.queries import relational as _relational  # noqa: E402,F401
 
 REGISTRY["st8_stream_cms_heavy_hitters"].oracle = _st8_oracle()
+
+
+@register(
+    "st9_stream_scd2_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               TIMESTAMP '2024-01-01 00:00:00' AS vf,
+               make_timestamp(2024, 1, 5 + c_custkey % 20, 0, 0, 0.0) AS vt
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'UPGRADED-' || c_mktsegment,
+               make_timestamp(2024, 1, 5 + c_custkey % 20, 0, 0, 0.0),
+               TIMESTAMP '2024-03-01 00:00:00'
+        FROM customer
+    )
+    SELECT d.seg AS segment,
+           CAST(count(*) AS BIGINT)                AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(sum(e.value), 2)                  AS sum_value
+    FROM events e JOIN dim d
+      ON e.user_id = d.k AND e.ts >= d.vf AND e.ts < d.vt
+    WHERE e.ts IS NOT NULL
+    GROUP BY d.seg
+    ORDER BY segment
+    """,
+    doc="STREAMING enrichment against an SCD-2 dimension (the "
+    "streaming x temporal-validity intersection): each event joins the "
+    "dim VERSION valid at its event time (stream-static join on key + "
+    "ts-in-[valid_from, valid_to) — two versions per customer with a "
+    "per-key changeover day), the standard way a 100 TB event stream "
+    "picks up slowly-changing attributes without reprocessing. The "
+    "data-sized aggregation runs IN the stream ((segment, user) cells, "
+    "complete mode); the drained tiny table finishes batch-side (the "
+    "st8 two-level pattern — streaming disallows count-distinct, so "
+    "the distinct resolves exactly from the drained cells). Oracle "
+    "replays the temporal join relationally.",
+    tags=("streaming", "scd2", "join", "temporal"),
+)
+def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.streaming.windows import run_streams_to_memory
+
+    src, tag = _scratch(sf_dir, "st9")
+    (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    c = _t(spark, sf_dir, "customer")
+    change = F.expr("make_timestamp(2024, 1, 5 + c_custkey % 20, 0, 0, 0)")
+    dim = (
+        c.select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("vf"),
+            change.alias("vt"),
+        )
+        .unionByName(
+            c.select(
+                F.col("c_custkey").alias("k"),
+                F.concat(F.lit("UPGRADED-"), F.col("c_mktsegment")).alias(
+                    "seg"
+                ),
+                change.alias("vf"),
+                F.lit("2024-03-01 00:00:00").cast("timestamp").alias("vt"),
+            )
+        )
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    joined = stream.join(
+        dim,
+        (stream.user_id == dim.k)
+        & (stream.ts >= dim.vf)
+        & (stream.ts < dim.vt),
+    )
+    cells = joined.groupBy("seg", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("v"),
+    )
+    (em,) = run_streams_to_memory([(cells, f"st9_{tag}", "complete")])
+    return (
+        em.groupBy(F.col("seg").alias("segment"))
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.sum("v"), 2).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
