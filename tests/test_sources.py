@@ -599,3 +599,112 @@ def test_tarshard_datasource_writer_roundtrip(spark, tmp_path):
         spark.range(3).select(F.col("id").cast("string").alias("member")).write.format(
             "tarshard"
         ).mode("append").save(str(tmp_path / "bad"))
+
+
+def test_tarshard_reader_skips_orphan_temp_shards(spark, tmp_path):
+    """A failed or losing speculative write attempt leaves a
+    '_tmp-shard-*' temp in the root (abort only runs on whole-job
+    failure). The reader's listing must skip hidden basenames so the
+    orphan — possibly half-written — is never ingested as data."""
+    import os
+    import tarfile as _tar
+
+    from tw_etl_spark.sources.pyds import TarShardReader, register_tarshard
+
+    root = str(tmp_path / "shards")
+    os.makedirs(root)
+    with _tar.open(os.path.join(root, "shard-0000.tar"), "w") as tf:
+        import io as _io
+
+        data = b"real"
+        info = _tar.TarInfo(name="0001.txt")
+        info.size = len(data)
+        tf.addfile(info, _io.BytesIO(data))
+    # orphaned half-written temp + a dotfile: both must be invisible
+    with open(os.path.join(root, "_tmp-shard-0007-dead.tar"), "wb") as fh:
+        fh.write(b"half a tar header, then the task died")
+    with open(os.path.join(root, ".DS_Store"), "wb") as fh:
+        fh.write(b"junk")
+
+    parts = TarShardReader({"path": root}).partitions()
+    assert [os.path.basename(p.path) for p in parts] == ["shard-0000.tar"]
+    register_tarshard(spark)
+    rows = spark.read.format("tarshard").load(root).collect()
+    assert [r.member for r in rows] == ["0001.txt"]
+
+
+def test_tarshard_commit_refuses_to_clobber(spark, tmp_path):
+    """The writer is append-only by contract (overwrite mode is
+    rejected); commit() must therefore fail LOUDLY when a destination
+    shard name already exists from a previous write to the same root —
+    never silently replace it."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.sources.pyds import register_tarshard
+
+    register_tarshard(spark)
+    root = str(tmp_path / "out")
+    df = spark.range(4).select(
+        F.concat(F.col("id").cast("string"), F.lit(".txt")).alias("member"),
+        F.col("id").cast("string").cast("binary").alias("payload"),
+    ).coalesce(1)
+    df.write.format("tarshard").mode("append").save(root)
+    before = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for f in os.listdir(root)
+        if f.endswith(".tar") and not f.startswith("_")
+    }
+    assert before
+    with pytest.raises(Exception, match="already exists"):
+        df.write.format("tarshard").mode("append").save(root)
+    # the original shard survived untouched and still reads back
+    after = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for f in os.listdir(root)
+        if f.endswith(".tar") and not f.startswith("_")
+    }
+    assert after == before
+    assert spark.read.format("tarshard").load(root).count() == 4
+
+
+def test_tarshard_read_memory_bounded_by_member_not_shard():
+    """The reader streams members sequentially ('r|' mode): peak Python
+    allocation while scanning a 16 MiB shard must stay near ONE member
+    (2 MiB), proving the shard is never slurped whole (VERDICT r10 #2).
+    Measured directly on the reader (no JVM) with tracemalloc."""
+    import io as _io
+    import os
+    import tarfile as _tar
+    import tempfile
+    import tracemalloc
+
+    from tw_etl_spark.sources.pyds import TarShardReader, _ShardPartition
+
+    d = tempfile.mkdtemp(prefix="bigshard_")
+    path = os.path.join(d, "shard-0000.tar")
+    member_mb = 2
+    n_members = 8
+    with _tar.open(path, "w") as tf:
+        for i in range(n_members):
+            data = bytes([i]) * (member_mb << 20)
+            info = _tar.TarInfo(name=f"{i:04d}.bin")
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+    assert os.path.getsize(path) >= n_members * (member_mb << 20)
+
+    reader = TarShardReader({"path": d})
+    tracemalloc.start()
+    n = 0
+    total = 0
+    for row in reader.read(_ShardPartition(path)):
+        n += 1
+        total += row[5]  # consume, don't retain
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == n_members and total == n_members * (member_mb << 20)
+    # one member is 2 MiB; the whole shard is 16 MiB. 8 MiB of headroom
+    # still fails decisively on a whole-shard slurp.
+    assert peak < 8 << 20, f"peak {peak >> 20} MiB — shard was slurped?"

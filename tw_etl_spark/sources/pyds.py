@@ -8,21 +8,29 @@ The connector contract is what matters at 100 TB:
 
 - ``partitions()`` lists the shards on the driver and emits ONE input
   partition per shard file, so a 10k-shard corpus reads with 10k-way
-  parallelism and per-shard locality — no single-task untar;
-- ``read(partition)`` unpacks one shard on an executor, streaming
-  member rows (never materializing the whole shard's payload list);
+  parallelism and per-shard locality — no single-task untar. Basenames
+  starting with ``_`` or ``.`` are skipped (Spark's own hidden-file
+  convention), which also excludes this writer's two-phase
+  ``_tmp-shard-*`` temps — a failed or losing speculative attempt's
+  orphan can never be silently ingested as data;
+- ``read(partition)`` unpacks one shard on an executor in tarfile's
+  SEQUENTIAL stream mode (``r|`` — no seeks, no whole-shard buffer):
+  peak memory is one member, not one shard (unit-enforced with a
+  tracemalloc budget in tests/test_sources.py);
 - ``mode=permissive`` quarantines a corrupt shard as one marker row
   (ext = ``_corrupt_shard``) instead of killing the job — the
   read_tar_shards posture, enforced identically here.
 
 Shard listing uses the local/shared filesystem (the write_tar_shards
-contract); point the root at shared storage on a cluster.
+contract); point the root at shared storage on a cluster. The listing
+is one driver-side ``glob`` — fine for that contract, but an
+object-store port at 100k+ shards should swap in a paginated listing
+(the partitions() seam is the only change needed).
 """
 
 from __future__ import annotations
 
 import glob
-import io
 import os
 import tarfile
 
@@ -64,7 +72,14 @@ class TarShardReader(DataSourceReader):
             if any(ch in self.root for ch in "*?[")
             else os.path.join(self.root, "*.tar")
         )
-        paths = sorted(glob.glob(pattern))
+        paths = sorted(
+            p
+            for p in glob.glob(pattern)
+            # hidden-file convention: temps (_tmp-shard-*), markers, and
+            # dotfiles are never data — a crashed/speculative writer
+            # attempt's orphan must not be read back as a shard
+            if not os.path.basename(p).startswith(("_", "."))
+        )
         if not paths:
             raise ValueError(f"tarshard: no shards match {pattern!r}")
         return [_ShardPartition(p) for p in paths]
@@ -72,9 +87,13 @@ class TarShardReader(DataSourceReader):
     def read(self, partition: _ShardPartition):
         path = partition.path
         try:
-            with open(path, "rb") as fh:
-                data = fh.read()
-            with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            # "r|" = sequential stream mode: members decode in file
+            # order off the raw handle, no seeks, no whole-shard
+            # buffer — executor memory is bounded by ONE member even
+            # on a multi-GB WebDataset shard
+            with open(path, "rb") as fh, tarfile.open(
+                fileobj=fh, mode="r|"
+            ) as tf:
                 for m in tf:
                     if not m.isfile():
                         continue
@@ -128,10 +147,12 @@ class _ShardCommit(WriterCommitMessage):
 class TarShardWriter(DataSourceWriter):
     """Write half of the connector: each Spark task packs its partition
     into one tar shard (members sorted by name, zeroed mtimes — the
-    write_tar_shards determinism rule), writes it to a task-unique temp
-    name, and ``commit()`` on the driver renames the temp shards into
-    place — the two-phase pattern that keeps a failed/speculative task
-    from leaving a half shard behind. Rows must carry (member: string,
+    write_tar_shards determinism rule), writes it to a task-unique
+    ``_tmp-shard-*`` temp name (hidden from the reader's listing, so an
+    orphaned attempt is inert), and ``commit()`` on the driver links the
+    temp shards into place EXCLUSIVELY — colliding with a shard from a
+    previous write raises instead of clobbering (append-only contract).
+    Rows must carry (member: string,
     payload: binary); partition the frame by sample key BEFORE writing
     so samples stay whole (the write_tar_shards contract — this writer
     packs what it is given and does not reshuffle)."""
@@ -168,10 +189,22 @@ class TarShardWriter(DataSourceWriter):
         for m in messages:
             if not m or not m.path:
                 continue
-            os.replace(
-                m.path,
-                os.path.join(os.path.dirname(m.path), f"shard-{m.pid:04d}.tar"),
+            dest = os.path.join(
+                os.path.dirname(m.path), f"shard-{m.pid:04d}.tar"
             )
+            try:
+                # link() is the exclusive-create rename: it fails if
+                # dest exists instead of silently clobbering a shard
+                # from a previous write to the same root (the writer is
+                # append-only by contract — overwrite mode is rejected)
+                os.link(m.path, dest)
+            except FileExistsError:
+                raise ValueError(
+                    f"tarshard commit: {dest} already exists — shards "
+                    "are append-only artifacts; write to a fresh root "
+                    "or clear the old shards explicitly"
+                ) from None
+            os.remove(m.path)
 
     def abort(self, messages):
         import os
