@@ -416,6 +416,41 @@ def test_salted_join_result_identical_to_plain(spark):
         salted_join(fact, dim, "k", how="full")
 
 
+def test_salted_join_map_columns_and_salt_collision(spark):
+    """Salt-derivation edge cases (ADVICE r10): a map-typed fact column
+    must not break the rewrite (xxhash64 rejects MapType — it is
+    excluded from the salt hash), and a pre-existing '__salt' column on
+    either side is rejected loudly instead of silently overwritten."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(k % 3, k) for k in range(30)], "k long, v long"
+    ).withColumn("attrs", F.create_map(F.lit("a"), F.col("v")))
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(3)], "k long, label string"
+    )
+    plain = sorted((r.k, r.v, r.label) for r in fact.join(dim, "k").collect())
+    salted = sorted(
+        (r.k, r.v, r.label)
+        for r in salted_join(fact, dim, "k", n_salts=4).collect()
+    )
+    assert salted == plain
+
+    # nested map (struct<...map...>) must be excluded too
+    nested = fact.withColumn(
+        "s", F.struct(F.col("attrs").alias("m"), F.col("v").alias("w"))
+    )
+    assert salted_join(nested, dim, "k", n_salts=4).count() == 30
+
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(fact.withColumn("__salt", F.lit(1)), dim, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(fact, dim.withColumn("__salt", F.lit(1)), "k")
+
+
 def test_pagerank_source_nodes_keep_teleport_mass(spark):
     """Textbook teleport semantics for general digraphs: a source node
     with out-edges but NO in-edges must keep receiving (1-d)*scale each

@@ -153,25 +153,54 @@ def salted_join(
     PARTITIONS of the already-shuffled side, but a join key hotter than
     a whole executor's memory wants the rewrite at plan-build time).
 
-    The fact side gains a salt in [0, n_salts) (xxhash64 of the whole
-    row — any assignment yields the identical result set, a hash keeps
-    it deterministic for a fixed input); the dim side replicates each
-    row n_salts times via posexplode; the join runs on (key, salt), so
+    The fact side gains a salt in [0, n_salts) (xxhash64 of the row's
+    HASHABLE columns — any assignment yields the identical result set,
+    a hash keeps it deterministic for a fixed input; map-typed columns
+    are excluded because xxhash64 rejects them, and an all-map frame
+    falls back to a per-row id); the dim side replicates each row
+    n_salts times via posexplode; the join runs on (key, salt), so
     the hot key's rows spread across n_salts tasks at the cost of a
     ×n_salts dim replication — the standard trade (dim is the small
     side by contract).
 
     Result-identical to ``fact.join(dim, on, how)`` for 'inner' and
     'left' (property-tested); 'right'/'full' would double-count
-    unmatched dim rows across salts and are rejected loudly.
+    unmatched dim rows across salts and are rejected loudly. A
+    pre-existing ``__salt`` column on either side is rejected loudly
+    too — silently overwriting it would corrupt the caller's data.
     """
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports inner/left; {how!r} would duplicate "
             "unmatched dim rows across salts"
         )
+    for side, df in (("fact", fact), ("dim", dim)):
+        if "__salt" in df.columns:
+            raise ValueError(
+                f"salted_join: {side} side already has a '__salt' "
+                "column — rename it; the rewrite reserves that name"
+            )
+
+    def _hashable(dt) -> bool:
+        # xxhash64 rejects MapType anywhere in the type tree
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    hash_cols = [f.name for f in fact.schema.fields if _hashable(f.dataType)]
+    salt_src = (
+        F.xxhash64(*hash_cols)
+        if hash_cols
+        else F.monotonically_increasing_id()
+    )
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+        "__salt", F.pmod(salt_src, F.lit(n_salts)).cast("int")
     )
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
