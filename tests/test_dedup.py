@@ -589,3 +589,125 @@ def test_span_rewrite_hash_key_equivalence(spark):
             .collect()
         )
         assert a == b, seed
+
+
+def test_delta_dedup_identity_with_full_rededup(spark):
+    """The delta contract (VERDICT r10 #4): pairs(old ∪ new) ==
+    pairs(old) ∪ delta_pairs(new, index(old)) — planted cross-batch
+    near-dups are found by the delta path, old-old dup pairs are NOT
+    re-emitted (the corpus is never re-deduped), and the updated index
+    equals the union's signature table."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        lsh_delta_pairs_portable,
+        minhash_lsh_pairs_portable,
+        minhash_signatures_portable,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # old batch: an exact dup pair (1, 2) — old-old, must NOT
+        # appear in the delta output
+        (1, base),
+        (2, base),
+        (4, "totally different words here entirely"),
+        # new batch (% 3 == 0): 3 dups 1/2 cross-batch; 6 dups 9
+        # within the new batch; 12 matches nothing
+        (3, base),
+        (6, "one two three four five six seven eight nine ten"),
+        (9, "one two three four five six seven eight nine ten"),
+        (12, "unique snowflake document with own words"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    kw = dict(num_hashes=16, bands=4, threshold=0.9)
+
+    def pairs(df):
+        return {
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in minhash_lsh_pairs_portable(df, **kw).collect()
+        }
+
+    index = minhash_signatures_portable(old, num_hashes=16)
+    delta, updated = lsh_delta_pairs_portable(new, index, **kw)
+    delta_set = {(r.id_a, r.id_b, r.est_jaccard) for r in delta.collect()}
+
+    full = pairs(d)
+    old_only = pairs(old)
+    assert delta_set | old_only == full
+    assert delta_set & old_only == set()  # old-old never re-emitted
+    assert (1, 2, 1.0) in old_only and (1, 2, 1.0) not in delta_set
+    assert {(1, 3, 1.0), (2, 3, 1.0), (6, 9, 1.0)} <= delta_set
+
+    # updated index == signature table of the union (next delta's input)
+    want = {
+        (r.doc_id, tuple(r.signature))
+        for r in minhash_signatures_portable(d, num_hashes=16).collect()
+    }
+    got = {(r.doc_id, tuple(r.signature)) for r in updated.collect()}
+    assert got == want
+
+
+def test_delta_dedup_identity_fuzz(spark):
+    """Identity property over generated corpora with planted duplicate
+    structure (the dedupgen grammar): for several seeds and split mods,
+    full-corpus pairs == old pairs ∪ delta pairs, disjointly."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        lsh_delta_pairs_portable,
+        minhash_lsh_pairs_portable,
+        minhash_signatures_portable,
+    )
+    from tw_etl_spark.testing import dedupgen
+
+    import random
+
+    for seed, mod in ((11, 2), (27, 3), (42, 4)):
+        rows = dedupgen.gen_corpus(random.Random(seed))
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        old = d.filter(F.col("doc_id") % mod != 0)
+        new = d.filter(F.col("doc_id") % mod == 0)
+        kw = dict(num_hashes=16, bands=4, threshold=0.8)
+        full = {
+            tuple(r)
+            for r in minhash_lsh_pairs_portable(d, **kw).collect()
+        }
+        old_pairs = {
+            tuple(r)
+            for r in minhash_lsh_pairs_portable(old, **kw).collect()
+        }
+        index = minhash_signatures_portable(old, num_hashes=16)
+        delta, _ = lsh_delta_pairs_portable(new, index, **kw)
+        delta_set = {tuple(r) for r in delta.collect()}
+        assert delta_set | old_pairs == full, (seed, mod)
+        assert delta_set & old_pairs == set(), (seed, mod)
+
+
+def test_merge_survivor_index_associative_and_exact(spark):
+    """The st5-style exact-signature survivor index is a durable
+    mergeable artifact: folding per-batch survivor tables in ANY
+    grouping lands on the full-corpus recompute (min-id survivorship,
+    additive counts)."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import merge_survivor_index
+
+    def survivors(df):
+        return df.groupBy("sig").agg(
+            F.min("doc_id").alias("survivor"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+
+    rows = [(i, f"s{i % 4}") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, sig string")
+    b0 = survivors(d.filter("doc_id < 7"))
+    b1 = survivors(d.filter("doc_id >= 7 and doc_id < 13"))
+    b2 = survivors(d.filter("doc_id >= 13"))
+    full = {tuple(r) for r in survivors(d).collect()}
+    left_fold = merge_survivor_index(merge_survivor_index(b0, b1), b2)
+    right_fold = merge_survivor_index(b0, merge_survivor_index(b1, b2))
+    assert {tuple(r) for r in left_fold.collect()} == full
+    assert {tuple(r) for r in right_fold.collect()} == full

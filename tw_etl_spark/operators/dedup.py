@@ -503,6 +503,30 @@ def minhash_signatures_portable(
     )
 
 
+def _band_buckets_portable(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, band, bucket) rows for a portable signature table: bucket =
+    md5 of the comma-joined signature slice for that band. Shared by the
+    full-corpus pipeline (minhash_lsh_pairs_portable) and the delta
+    pipeline (lsh_delta_pairs_portable) so both tiers band identically."""
+    r = num_hashes // bands
+    return sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("signature"), b * r + 1, r), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band"), F.col("bb.bucket"))
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -518,24 +542,10 @@ def minhash_lsh_pairs_portable(
     DuckDB hash oracle as dd3p). Band bucket = md5 of the
     comma-joined signature slice. Same shuffle discipline: bands move
     (doc, band, bucket) only; signatures re-attach after the distinct."""
-    r = num_hashes // bands
     # localCheckpoint for the same storage-hygiene reason as
     # minhash_lsh_pairs (see note there).
     sig = minhash_signatures_portable(df, id_col, text_col, num_hashes).localCheckpoint()
-    banded = sig.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(F.slice(F.col("signature"), b * r + 1, r), ",")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band"), F.col("bb.bucket"))
+    banded = _band_buckets_portable(sig, id_col, num_hashes, bands)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -559,6 +569,106 @@ def minhash_lsh_pairs_portable(
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def lsh_delta_pairs_portable(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL (delta) near-dup dedup — the production shape at
+    100 TB: dedup today's crawl against the persisted survivor index,
+    never re-deduping the corpus (VERDICT r10 #4; reference analog: the
+    resume-from-snapshot posture of stream_manager/src/stream_manager/
+    state.py:59-81, which never re-downloads finished work).
+
+    ``index_sigs`` is the persisted signature table of the
+    already-deduped corpus (exactly what minhash_signatures_portable
+    emits — (id, signature array); dd3p's own artifact). The NEW batch
+    is signed, banded, and joined band-bucket-wise against
+    (new ∪ index) buckets — candidate pairs therefore always touch at
+    least one new doc; index×index pairs are structurally impossible,
+    so the old corpus contributes O(|index|) banding work and zero
+    pair work. Because the LSH pair criterion is a pure function of
+    the two docs' signatures, result identity holds:
+
+        pairs(old ∪ new) = pairs(old) ∪ delta_pairs(new, index(old))
+
+    (property-tested in tests/test_dedup.py; the dd14 oracle pins the
+    delta side cross-engine at three scales).
+
+    Returns ``(delta_pairs, updated_index)``: the pairs touching the
+    new batch (id_a < id_b, est_jaccard >= threshold) and the index
+    for the NEXT delta (old index ∪ new signatures — caller persists
+    it; ids must be disjoint from the index by contract).
+    """
+    new_sigs = minhash_signatures_portable(
+        new_df, id_col, text_col, num_hashes
+    ).localCheckpoint()
+    updated_index = index_sigs.unionByName(new_sigs)
+
+    banded_new = _band_buckets_portable(new_sigs, id_col, num_hashes, bands)
+    banded_all = _band_buckets_portable(
+        updated_index, id_col, num_hashes, bands
+    )
+    # one side always NEW: (new x all) with unordered-pair
+    # canonicalization; a.doc != b.doc keeps self-pairs out, least/
+    # greatest dedups the (n, i)/(i, n) double emission of new-new
+    # pairs before the distinct
+    n, al = banded_new.alias("n"), banded_all.alias("al")
+    cand = (
+        n.join(
+            al,
+            (F.col("n.band") == F.col("al.band"))
+            & (F.col("n.bucket") == F.col("al.bucket"))
+            & (F.col("n.doc") != F.col("al.doc")),
+        )
+        .select(
+            F.least("n.doc", "al.doc").alias("id_a"),
+            F.greatest("n.doc", "al.doc").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = updated_index.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sb = updated_index.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    est = agree / F.lit(num_hashes)
+    delta_pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return delta_pairs, updated_index
+
+
+def merge_survivor_index(
+    index: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """Merge two survivor tables (sig, survivor, n_members) — the
+    st5-style exact-signature cluster index. Survivorship is min-id
+    (deterministic), counts add; merging batch-by-batch lands on
+    exactly the full-corpus recompute (associative + commutative —
+    property-tested), which is what makes the index a durable artifact
+    a daily delta job can fold into forever."""
+    return (
+        index.unionByName(delta)
+        .groupBy("sig")
+        .agg(
+            F.min("survivor").alias("survivor"),
+            F.sum("n_members").cast("long").alias("n_members"),
+        )
     )
 
 

@@ -169,13 +169,26 @@ def register(
 # in dd3p/dd4p/dd11/dd12/t8/x14 window rows), dd4p (the simhash
 # vote/banding pipeline is pinned by st5's survivor oracle and stays
 # strict-sweep green).
-# Round-11 rotation candidates (registered late in round 10, all
-# pytest-oracle + strict-sf0.1 green): g1_pagerank_purchase_graph (the
-# iterative-graph family), dd13_video_fingerprint_neardup (completes
-# the modality triple), j80_salted_skew_join (skew rewrite under the
-# plain-join oracle), st8_stream_cms_heavy_hitters (streaming sketch
+# Round-11 rotation (VERDICT r10 #2 — the six candidates queued last
+# round): in — g1_pagerank_purchase_graph (the iterative-graph
+# family), dd13_video_fingerprint_neardup (completes the modality
+# triple), j80_salted_skew_join (skew rewrite under the plain-join
+# identity oracle), st8_stream_cms_heavy_hitters (streaming sketch
 # maintenance, a11's oracle verbatim), io4_tarshard_datasource_roundtrip
-# (the Spark 4 Python DataSource connector), io5_schema_evolution_read.
+# (the Spark 4 Python DataSource connector, post r10 stream-read/
+# exclusive-commit fixes), io5_schema_evolution_read. Out — six slots
+# whose semantics stay driver-pinned by a window twin, each remaining
+# pytest-oracle + strict-sweep green: a11 (st8's oracle IS a11's SQL
+# verbatim — the CMS cells stay hash-pinned, now with streaming-state
+# maintenance on top), a13 (its 64-long mergeable histogram + integer
+# crossing machinery is load-bearing in x13's driver row), e7 (st7's
+# oracle is e7's relational form verbatim — the cohort table stays
+# driver-pinned through the state machine), dd12 (the media-fingerprint
+# family keeps image dd11 + video dd13 driver slots; audio stays
+# fuzz kind 'afp' + sweep), st1 (tumbling-with-watermark stays driver-
+# pinned by st3's two-checkpoint run; e1 pins the hourly rollup batch
+# answer; slide/session stay equivalence-harness + 100-scenario fuzz),
+# t13 (quality family keeps t11/t12/t15/t8 driver slots).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
@@ -192,10 +205,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "v1_cosine_top_pairs",
     # -- events analytics [EXT] (2)
     "e6_funnel",
-    "e7_retention_cohorts",
+    "g1_pagerank_purchase_graph",
     # -- dedup / similarity [EXT] (7, incl. the dd10 rewrite + dd11)
     "dd3p_minhash_lsh_portable",
-    "dd12_audio_fingerprint_neardup",
+    "dd13_video_fingerprint_neardup",
     "v4p_ann_ivf_portable",
     "dd10_span_dedup_rewrite",
     "dd8p_semantic_dedup_relational",
@@ -212,7 +225,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- streaming (6)
     "st5_stream_neardup_dedup",
     "st4_event_time_watchdog",
-    "st1_stream_hourly_rollup",
+    "st8_stream_cms_heavy_hitters",
     "st2_stream_stateful_gauntlet",
     "st3_watermark_late_drop",
     "st6_stream_funnel",
@@ -226,12 +239,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t15_quality_classifier",
     "t11_gopher_quality",
     "t12_c4_clean",
-    "t13_lm_perplexity",
+    "j80_salted_skew_join",
     "t17_bpe_encode",
     # -- mergeable sketches [EXT] (3)
-    "a11_cms_heavy_hitters",
+    "io4_tarshard_datasource_roundtrip",
     "a12_kmv_set_algebra",
-    "a13_histogram_quantiles",
+    "io5_schema_evolution_read",
     # -- consolidated relational (9)
     "j10_outer_join_family",
     "j20_semi_anti_join",

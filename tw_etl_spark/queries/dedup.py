@@ -634,3 +634,85 @@ def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_rewrite(
         d, id_col="doc_id", text_col="text", chunk_tokens=10
     ).orderBy("doc_id")
+
+
+@register(
+    "dd14_delta_dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
+    sig AS (
+        SELECT doc, r.range AS i, min(md5(r.range::VARCHAR || ':' || tk)) AS h
+        FROM ex CROSS JOIN range(16) r
+        GROUP BY doc, r.range
+    ),
+    sigarr AS (SELECT doc, list(h ORDER BY i) AS sig FROM sig GROUP BY doc),
+    banded AS (
+        SELECT doc, g.range AS band,
+               md5(array_to_string(
+                   list_slice(sig, g.range * 4 + 1, g.range * 4 + 4), ',')) AS bucket
+        FROM sigarr CROSS JOIN range(4) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    )
+    SELECT c.id_a, c.id_b,
+           round(length(list_filter(range(16),
+                                    i -> sa.sig[i + 1] = sb.sig[i + 1])) / 16.0,
+                 6) AS est_jaccard
+    FROM cand c
+    JOIN sigarr sa ON sa.doc = c.id_a
+    JOIN sigarr sb ON sb.doc = c.id_b
+    WHERE length(list_filter(range(16),
+                             i -> sa.sig[i + 1] = sb.sig[i + 1])) / 16.0 >= 0.9
+      AND (c.id_a % 3 = 0 OR c.id_b % 3 = 0)
+    ORDER BY id_a, id_b
+    """,
+    doc="INCREMENTAL (delta) dedup — the 100 TB production shape "
+    "(VERDICT r10 #4): the corpus splits into an already-indexed batch "
+    "(doc_id % 3 != 0) and today's 'crawl' (doc_id % 3 == 0); the old "
+    "batch's dd3p signature table is PERSISTED to parquet (the durable "
+    "index artifact), and the new batch dedups against index + itself "
+    "via operators/dedup.lsh_delta_pairs_portable — banding joins "
+    "new-vs-(new ∪ index) only, so index×index pairs are structurally "
+    "impossible and the old corpus is never re-deduped. Because LSH "
+    "candidacy is a pure function of the two signatures, the delta "
+    "output equals EXACTLY the full-corpus dd3p pairs that touch a new "
+    "doc — which is what the oracle replays (full re-dedup on the "
+    "union, filtered to new-touching pairs); the disjoint old-old "
+    "remainder is pinned by the identity property test. Reference "
+    "analog: the resume-from-snapshot posture of stream_manager "
+    "state.py:59-81 (finished work is never re-fetched).",
+    tags=("dedup", "minhash", "delta", "ext"),
+)
+def dd14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from tw_etl_spark.operators.dedup import (
+        lsh_delta_pairs_portable,
+        minhash_signatures_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+
+    # the index is a durable artifact: write it, read it back — the
+    # delta job consumes parquet, not a live plan over the old corpus
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx_path = os.path.join(tempfile.gettempdir(), f"tw_etl_spark_dd14_{tag}")
+    minhash_signatures_portable(old, num_hashes=16).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    delta_pairs, _updated = lsh_delta_pairs_portable(
+        new, index, num_hashes=16, bands=4, threshold=0.9
+    )
+    return delta_pairs.orderBy("id_a", "id_b")

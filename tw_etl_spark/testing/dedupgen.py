@@ -44,6 +44,7 @@ KINDS = (
     "phash",  # dd11: perceptual image hash near-dup over synth PPMs
     "afp",  # dd12: audio fingerprint near-dup over synth WAVs
     "vfp",  # dd13: video fingerprint near-dup over synth PPM streams
+    "delta",  # dd14: incremental dedup vs a persisted signature index
 )
 
 
@@ -130,8 +131,18 @@ def span_sql(chunk_tokens: int) -> str:
     """
 
 
-def minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+def minhash_sql(
+    num_hashes: int, bands: int, threshold: float, delta_mod: int = 0
+) -> str:
+    """delta_mod > 0 restricts the output to pairs touching the 'new'
+    batch (doc_id % delta_mod == 0) — the dd14 delta-dedup oracle: the
+    full-corpus re-dedup filtered to new-touching pairs."""
     n, b = num_hashes, bands
+    delta_pred = (
+        f"AND (c.id_a % {delta_mod} = 0 OR c.id_b % {delta_mod} = 0)"
+        if delta_mod
+        else ""
+    )
     r = n // b
     return f"""
     WITH tok AS (
@@ -167,6 +178,7 @@ def minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
     WHERE length(list_filter(range({n}),
                              i -> sa.sig[i + 1] = sb.sig[i + 1]))
           / {n}.0 >= {threshold}
+      {delta_pred}
     ORDER BY id_a, id_b
     """
 
@@ -334,6 +346,16 @@ def generate(seed: int) -> DedupCase:
 
         params = {"max_hamming": rng.choice((3, 7, 12))}
         sql = _dd13_oracle(params["max_hamming"])
+    elif kind == "delta":
+        n = rng.choice(_MINHASH_N)
+        divs = [b for b in (2, 4, 5) if n % b == 0]
+        params = {
+            "num_hashes": n,
+            "bands": rng.choice(divs),
+            "threshold": rng.choice(_THRESHOLDS),
+            "delta_mod": rng.choice((2, 3, 4)),
+        }
+        sql = minhash_sql(**params)
     else:
         params = {"buckets": rng.choice((16, 64, 256)), "target_mod": rng.choice((2, 3, 5))}
         sql = dsir_sql(**params)
@@ -439,6 +461,26 @@ def run_spark(spark: SparkSession, case: DedupCase) -> DataFrame:
             .select("id_a", "id_b", "hamming")
             .orderBy("id_a", "id_b")
         )
+    if case.kind == "delta":
+        from tw_etl_spark.operators.dedup import (
+            lsh_delta_pairs_portable,
+            minhash_signatures_portable,
+        )
+
+        mod = p["delta_mod"]
+        old = df.filter(F.col("doc_id") % mod != 0)
+        new = df.filter(F.col("doc_id") % mod == 0)
+        index = minhash_signatures_portable(
+            old, num_hashes=p["num_hashes"]
+        )
+        delta, _ = lsh_delta_pairs_portable(
+            new,
+            index,
+            num_hashes=p["num_hashes"],
+            bands=p["bands"],
+            threshold=p["threshold"],
+        )
+        return delta.orderBy("id_a", "id_b")
     if case.kind == "cms":
         from tw_etl_spark.operators.sketch import cms_counts, cms_estimate
         from tw_etl_spark.operators.text import tokens_expr
