@@ -1324,3 +1324,69 @@ def test_no_complete_mode_data_sized_drain_in_stn_family():
     assert set(complete_tags) <= {"st1", "st8"}, complete_tags
     # and the fixed queries really route through the scale-safe drain
     assert src.count("drain_stream_latest(") >= 2  # st5 + st9 call sites
+
+
+def test_scd2_apply_writer_replay_safe(spark):
+    """The CDC-apply sink's exactly-once claim (st10): batch N's input
+    is pinned to the committed version chain (v{N-1}), so an
+    at-least-once foreachBatch REPLAY of any batch — even after a
+    partial/crashed write of its own output version — rewrites a
+    byte-identical version instead of double-applying the delta."""
+    from tw_etl_spark.streaming.sinks import scd2_apply_writer
+
+    root = tempfile.mkdtemp(prefix="scd2_apply_")
+    try:
+        seed = os.path.join(root, "seed")
+        out = os.path.join(root, "out")
+        spark.createDataFrame(
+            [(1, 10.0, "2024-01-01", None, True),
+             (2, 20.0, "2024-01-01", None, True)],
+            "k long, p double, ef string, et string, cur boolean",
+        ).selectExpr(
+            "k", "p",
+            "cast(ef as date) as effective_from",
+            "cast(et as date) as effective_to",
+            "cur as is_current",
+        ).write.mode("overwrite").parquet(seed)
+
+        b0 = spark.createDataFrame(
+            [(1, 11.0, "2024-02-01"), (3, 30.0, "2024-02-01")],
+            "k long, p double, ef string",
+        ).selectExpr("k", "p", "cast(ef as date) as effective_from")
+        b1 = spark.createDataFrame(
+            [(2, 22.0, "2024-03-01")], "k long, p double, ef string"
+        ).selectExpr("k", "p", "cast(ef as date) as effective_from")
+
+        apply_cdc = scd2_apply_writer(
+            spark, seed, out, keys=["k"], payload_cols=["p"]
+        )
+
+        def snap(v):
+            return {
+                tuple(r)
+                for r in spark.read.parquet(os.path.join(out, v)).collect()
+            }
+
+        apply_cdc(b0, 0)
+        apply_cdc(b1, 1)
+        v0, v1 = snap("v0"), snap("v1")
+        # sanity: k=1 closed+reopened in v0; k=3 inserted; k=2 closed in v1
+        assert len(v0) == 4 and len(v1) == 5
+
+        # crashed partial write of v1, then replay of batch 1
+        spark.createDataFrame(
+            [(99, 0.0, None, None, False)],
+            "k long, p double, effective_from date, effective_to date, "
+            "is_current boolean",
+        ).write.mode("overwrite").parquet(os.path.join(out, "v1"))
+        apply_cdc(b1, 1)
+        assert snap("v1") == v1
+
+        # replay of batch 0 too: v0 identical, and a subsequent batch-1
+        # replay still lands the same v1 (the chain re-derives)
+        apply_cdc(b0, 0)
+        assert snap("v0") == v0
+        apply_cdc(b1, 1)
+        assert snap("v1") == v1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

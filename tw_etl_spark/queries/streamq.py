@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 from tw_etl_spark.catalog import read_table as _t
 from tw_etl_spark.queries import REGISTRY, register
 from tw_etl_spark.streaming.sessions import sessionize_closed
-from tw_etl_spark.streaming.sinks import idempotent_parquet_writer
+from tw_etl_spark.streaming.sinks import (
+    idempotent_parquet_writer,
+    scd2_apply_writer,
+)
 from tw_etl_spark.streaming.windows import (
     run_streams_to_memory,
     session_agg,
@@ -975,4 +978,176 @@ def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
         )
         .orderBy("segment")
+    )
+
+
+@register(
+    "st10_stream_cdc_scd2_apply",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS p, o_orderdate AS ef,
+               CAST(NULL AS DATE) AS et, true AS cur
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ), upd_a AS (
+        SELECT o_orderkey AS k, o_totalprice + 1000.0 AS p,
+               DATE '1998-10-01' AS ef
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), ch_a AS (
+        SELECT b.k, b.p AS old_p, b.ef AS old_ef, u.p AS new_p, u.ef AS ch
+        FROM base b JOIN upd_a u USING (k) WHERE b.p <> u.p
+    ), f1 AS (
+        SELECT * FROM base WHERE k NOT IN (SELECT k FROM ch_a)
+        UNION ALL
+        SELECT k, old_p, old_ef, ch, false FROM ch_a
+        UNION ALL
+        SELECT k, new_p, ch, CAST(NULL AS DATE), true FROM ch_a
+        UNION ALL
+        SELECT u.k, u.p, u.ef, CAST(NULL AS DATE), true
+        FROM upd_a u WHERE u.k NOT IN (SELECT k FROM base)
+    ), upd_b AS (
+        -- %9 keys re-send the post-A current payload (a CDC echo):
+        -- the merge must drop them as no-ops
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice + 1500.0 END AS p,
+               DATE '1998-12-01' AS ef
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), f1cur AS (SELECT * FROM f1 WHERE cur),
+    f1hist AS (SELECT * FROM f1 WHERE NOT cur),
+    ch_b AS (
+        SELECT b.k, b.p AS old_p, b.ef AS old_ef, u.p AS new_p, u.ef AS ch
+        FROM f1cur b JOIN upd_b u USING (k) WHERE b.p <> u.p
+    ), f2 AS (
+        SELECT * FROM f1cur WHERE k NOT IN (SELECT k FROM ch_b)
+        UNION ALL
+        SELECT * FROM f1hist
+        UNION ALL
+        SELECT k, old_p, old_ef, ch, false FROM ch_b
+        UNION ALL
+        SELECT k, new_p, ch, CAST(NULL AS DATE), true FROM ch_b
+        UNION ALL
+        SELECT u.k, u.p, u.ef, CAST(NULL AS DATE), true
+        FROM upd_b u WHERE u.k NOT IN (SELECT k FROM f1cur)
+    )
+    SELECT cur                          AS is_current,
+           CAST(et AS TIMESTAMP)        AS effective_to,
+           CAST(count(*) AS BIGINT)     AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM f2
+    GROUP BY cur, et
+    ORDER BY is_current, effective_to
+    """,
+    doc="STREAMING CDC apply, SCD-2 write side (VERDICT r10 #6): a CDC "
+    "update stream drives operators/merge.scd2_merge through "
+    "foreachBatch — each micro-batch reads the PREVIOUS committed dim "
+    "version (v{batch_id-1}, or the seed for batch 0), folds the delta "
+    "in (broadcast delta, base never hash-partitioned), and overwrites "
+    "version v{batch_id} — so a foreachBatch replay recomputes from the "
+    "same committed input and lands the identical version: exactly-once "
+    "by construction (crash-replay unit in tests/test_streaming.py). "
+    "Two change batches flow through one checkpoint (st3's land+drain "
+    "pattern): batch A (+1000.0, day 1998-10-01) closes/updates %3 "
+    "keys and first-inserts the %21 keys missing from the base; batch "
+    "B (day 1998-12-01) updates %5 keys, re-sending the post-A payload "
+    "for %9 keys (CDC echoes — must no-op). The dim is "
+    "dimension-sized by contract (the 100 TB fact side CONSUMES it — "
+    "st9); full-version rewrite per batch is the portable snapshot "
+    "shape. Oracle replays both merge passes relationally; the final "
+    "version's (is_current, effective_to) rollup is hash-compared.",
+    tags=("streaming", "cdc", "scd2", "merge"),
+)
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tw_etl_spark.operators.merge import scd2_merge
+
+    root, tag = _scratch(sf_dir, "st10")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    seed = os.path.join(root, "seed")
+    stage = os.path.join(root, "stage")
+    os.makedirs(src)
+
+    o = _t(spark, sf_dir, "orders")
+    (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").alias("effective_from"),
+            F.lit(None).cast("date").alias("effective_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .write.mode("overwrite")
+        .parquet(seed)
+    )
+
+    def land(batch_df: DataFrame, name: str) -> None:
+        d = os.path.join(stage, name)
+        batch_df.coalesce(1).write.mode("overwrite").parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        shutil.copyfile(
+            os.path.join(d, part), os.path.join(src, f"{name}.parquet")
+        )
+
+    apply_cdc = scd2_apply_writer(
+        spark, seed, out, keys=["o_orderkey"], payload_cols=["o_totalprice"]
+    )
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, effective_from DATE"
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(apply_cdc)
+            .option("checkpointLocation", ckpt)
+            .queryName(f"st10_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            F.lit("1998-10-01").cast("date").alias("effective_from"),
+        ),
+        "batch_a",
+    )
+    drain()
+    land(
+        o.filter(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 9 == 0,
+                F.col("o_totalprice") + 1000.0,
+            )
+            .otherwise(F.col("o_totalprice") + 1500.0)
+            .alias("o_totalprice"),
+            F.lit("1998-12-01").cast("date").alias("effective_from"),
+        ),
+        "batch_b",
+    )
+    drain()
+
+    final = spark.read.parquet(os.path.join(out, "v1"))
+    return (
+        # timestamp cast: DuckDB's pandas bridge maps DATE to
+        # datetime64, Spark to date objects — pin one kind on both sides
+        final.withColumn(
+            "effective_to", F.col("effective_to").cast("timestamp")
+        )
+        .groupBy("is_current", "effective_to")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("is_current", "effective_to")
     )

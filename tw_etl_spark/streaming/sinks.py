@@ -49,6 +49,43 @@ def idempotent_parquet_writer(out_dir: str):
     return write
 
 
+def scd2_apply_writer(
+    spark,
+    seed_path: str,
+    out_root: str,
+    keys: list[str],
+    payload_cols: list[str],
+):
+    """foreachBatch function applying a CDC update stream to an SCD-2
+    dimension snapshot, exactly-once (VERDICT r10 #6).
+
+    Version-chained recompute: batch N reads the PREVIOUS committed
+    version (``out_root/v{N-1}``; the seed snapshot for batch 0), folds
+    the micro-batch in via :func:`operators.merge.scd2_merge`, and
+    overwrites ``out_root/v{N}``. foreachBatch is at-least-once; a
+    replay of batch N re-reads the same committed v{N-1} and therefore
+    rewrites a byte-identical v{N} — idempotent without a ledger,
+    because the input of every version is pinned by the version chain,
+    never by "latest" (which could be the crashed attempt's own
+    output). The dim is dimension-sized by contract (the 100 TB fact
+    side consumes it — st9's read path); a full-version rewrite per
+    micro-batch is the portable snapshot shape.
+    """
+
+    def apply_cdc(batch_df: DataFrame, batch_id: int) -> None:
+        from tw_etl_spark.operators.merge import scd2_merge
+
+        bid = int(batch_id)
+        prev = seed_path if bid == 0 else os.path.join(out_root, f"v{bid - 1}")
+        dim = spark.read.parquet(prev)
+        merged = scd2_merge(dim, batch_df, keys=keys, payload_cols=payload_cols)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"v{bid}")
+        )
+
+    return apply_cdc
+
+
 def drain_stream_latest(
     agg_df: DataFrame,
     key_cols: list[str],
