@@ -468,3 +468,98 @@ def test_pagerank_source_nodes_keep_teleport_mass(spark):
         }
         assert got[0] == 150_000, (iters, got)  # teleport mass only
         assert set(got) == {0, 1, 2}, (iters, got)
+
+
+def test_pagerank_conserving_known_answer_star_plus_chain(spark):
+    """Hand-checkable known answer for conserve_dangling=True: a star
+    (1->2, 1->3) plus a dangling chain (3->4; 4 has no out-edges).
+    Expected ranks come from an independent pure-Python replay of the
+    integer recurrence (floor contribution split, floor(D/N) uniform
+    dangling share, floor damping) — the operator must land on it
+    bit-exactly, and iteration 1 is additionally pinned by hand below."""
+    from tw_etl_spark.operators.graph import pagerank_integer
+
+    edges = [(1, 2), (1, 3), (3, 4)]
+    out = {1: [2, 3], 3: [4]}
+    nodes = [1, 2, 3, 4]
+    scale, d_pct, iters = 1_000_000, 85, 5
+
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        dm = sum(v for n, v in r.items() if n not in out)  # dangling mass
+        share = dm // len(nodes)
+        s_in = {n: 0 for n in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                s_in[v] += r[u] // len(vs)
+        r = {
+            n: (15 * scale + d_pct * (s_in[n] + share)) // 100
+            for n in nodes
+        }
+
+    # hand pin of iteration 1 (from all-at-scale): dangling = {2, 4},
+    # D = 2e6, share = 500000; node 1 gets 0 in-contribs ->
+    # (15e6 + 85*500000)//100 = 575000
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        row.node: row.rank_micro
+        for row in pagerank_integer(
+            df, iterations=iters, conserve_dangling=True
+        ).collect()
+    }
+    assert got == r
+    got1 = {
+        row.node: row.rank_micro
+        for row in pagerank_integer(
+            df, iterations=1, conserve_dangling=True
+        ).collect()
+    }
+    assert got1[1] == 575_000
+
+
+def test_pagerank_conserving_rank_sum_and_noop_properties(spark):
+    """(a) Conservation: total rank stays within the floor-loss band
+    [N*scale - iters*(E + 2N), N*scale]; without the flag the same
+    dangling-heavy graph bleeds rank well below that band. (b) On a
+    graph with NO dangling nodes the flag is a no-op."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.graph import pagerank_integer
+
+    # dangling-heavy: 6 sources each pointing at 2 of 8 sinks
+    edges = [(i, 100 + (i * 2) % 8) for i in range(6)] + [
+        (i, 100 + (i * 2 + 1) % 8) for i in range(6)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    n_nodes, n_edges, scale, iters = 6 + 8, len(edges), 1_000_000, 5
+
+    total_cons = (
+        pagerank_integer(df, iterations=iters, conserve_dangling=True)
+        .agg(F.sum("rank_micro"))
+        .first()[0]
+    )
+    band_lo = n_nodes * scale - iters * (n_edges + 2 * n_nodes)
+    assert band_lo <= total_cons <= n_nodes * scale, total_cons
+
+    total_plain = (
+        pagerank_integer(df, iterations=iters, conserve_dangling=False)
+        .agg(F.sum("rank_micro"))
+        .first()[0]
+    )
+    assert total_plain < band_lo  # the absorbed-mass bleed is real
+
+    # no dangling nodes -> flag is a no-op (identical result set)
+    sym = df.union(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a = {
+        (r.node, r.rank_micro)
+        for r in pagerank_integer(sym, iterations=3).collect()
+    }
+    b = {
+        (r.node, r.rank_micro)
+        for r in pagerank_integer(
+            sym, iterations=3, conserve_dangling=True
+        ).collect()
+    }
+    assert a == b

@@ -31,6 +31,7 @@ def pagerank_integer(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    conserve_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list
     (Page et al. 1999; the "rank sums to N" convention, started from
@@ -47,9 +48,28 @@ def pagerank_integer(
     ``n_nodes * scale * 100 < 2^63`` — ~9e16 nodes at micro-scale,
     never binding.
 
+    ``conserve_dangling=True`` (VERDICT r10 #5) switches to the
+    textbook dangling-mass treatment: EVERY node (sources and
+    destination-only) starts at ``scale``, and each iteration folds
+    the dangling nodes' aggregate rank back in uniformly —
+    ``share = floor(Σ_{u dangling} rank_u / n_nodes)`` added to every
+    node's contribution sum before damping. The dangling aggregate is
+    ONE 1-row reduction per iteration broadcast back via crossJoin
+    (the repo's 1-row-aggregate pattern — constant bytes, no
+    data-sized exchange added); integer-exact, so the unrolled-CTE
+    oracle replays it verbatim (g2). Rank mass is conserved up to the
+    floor losses (each division drops < 1 micro-unit per operand —
+    bounded per iteration by #edges + 2 * n_nodes micro-units,
+    property-tested); on a graph with no dangling nodes the flag is a
+    no-op (identical result, property-tested).
+
     Returns (node, rank_micro) for every node receiving rank after
-    the final iteration.
+    the final iteration (with conservation: every node, period).
     """
+    if conserve_dangling:
+        return _pagerank_conserving(
+            edges, src, dst, iterations, damping_pct, scale
+        )
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()
@@ -92,6 +112,74 @@ def pagerank_integer(
                     F.lit(100),
                 ).alias("r"),
                 F.coalesce("deg", F.lit(1)).alias("deg"),
+            )
+        )
+        ranks = new_r.localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def _pagerank_conserving(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int,
+    damping_pct: int,
+    scale: int,
+) -> DataFrame:
+    """conserve_dangling=True body: all-nodes anchor table (out-degree
+    NULL marks a dangling node), per-iteration 1-row dangling-mass
+    aggregate folded into every node's contribution sum."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .repartition("s")
+        .localCheckpoint()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .join(deg.withColumnRenamed("s", "node"), "node", "left")
+        .localCheckpoint()
+    )  # (node, deg) — deg NULL <=> dangling
+    n_nodes = nodes.count()  # one scalar; the uniform-share denominator
+    base = F.lit((100 - damping_pct) * scale).cast("long")
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("r"), "deg"
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            e.join(
+                ranks.filter(F.col("deg").isNotNull()).withColumnRenamed(
+                    "node", "s"
+                ),
+                "s",
+            )
+            .select(
+                F.col("d").alias("node"),
+                floor_div(F.col("r"), F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s_in"))
+        )
+        dang = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("__dm")
+        )
+        share = floor_div(F.col("__dm"), F.lit(n_nodes))
+        new_r = (
+            ranks.select("node", "deg")
+            .join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                floor_div(
+                    base
+                    + F.lit(damping_pct).cast("long")
+                    * (F.coalesce("s_in", F.lit(0)) + share),
+                    F.lit(100),
+                ).alias("r"),
+                "deg",
             )
         )
         ranks = new_r.localCheckpoint()

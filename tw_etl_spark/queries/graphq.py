@@ -93,3 +93,86 @@ def g1(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_integer(edges, iterations=_G1_ITERS)
         .orderBy("node")
     )
+
+
+def _g2_oracle(iters: int = _G1_ITERS) -> str:
+    """Unrolled replay of the CONSERVING variant: all-nodes anchor
+    (deg NULL = dangling supplier in the unsymmetrized purchase graph),
+    every node starts at scale, and each round folds
+    floor(dangling_mass / n_nodes) into every node's contribution sum
+    before damping. All operands non-negative BIGINTs, so DuckDB's
+    truncating // is floor and the replay is bit-exact."""
+    parts = [
+        """
+    WITH edges AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity > 45
+    ), deg AS (
+        SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src
+    ), nd AS (
+        SELECT n.node, d.deg
+        FROM (SELECT DISTINCT node FROM (
+                  SELECT src AS node FROM edges
+                  UNION ALL SELECT dst FROM edges)) n
+        LEFT JOIN deg d ON d.src = n.node
+    ), nn AS (SELECT count(*)::BIGINT AS n FROM nd),
+    r0 AS (SELECT node, 1000000::BIGINT AS r, deg FROM nd)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    d{k} AS (
+        SELECT coalesce(sum(r), 0)::BIGINT AS dm
+        FROM r{k - 1} WHERE deg IS NULL
+    ),
+    c{k} AS (
+        SELECT e.dst AS node, sum(rr.r // rr.deg)::BIGINT AS s_in
+        FROM edges e JOIN r{k - 1} rr ON rr.node = e.src
+        GROUP BY e.dst
+    ), r{k} AS (
+        SELECT nd.node,
+               ((15000000 + 85 * (coalesce(c.s_in, 0)
+                                  + (SELECT dm FROM d{k})
+                                    // (SELECT n FROM nn)))
+                // 100)::BIGINT AS r,
+               nd.deg
+        FROM nd LEFT JOIN c{k} c ON c.node = nd.node
+    )""")
+    parts.append(f"""
+    SELECT node, r AS rank_micro FROM r{iters} ORDER BY node
+    """)
+    return "".join(parts)
+
+
+@register(
+    "g2_pagerank_conserving",
+    oracle=_g2_oracle(),
+    doc="Conserved-dangling integer PageRank (VERDICT r10 #5) over the "
+    "UNSYMMETRIZED purchase graph — customers point at suppliers, so "
+    "every supplier is a dangling node and the variant matters: each "
+    "iteration folds the dangling nodes' aggregate rank back in "
+    "uniformly (share = floor(dangling_mass / n_nodes), ONE 1-row "
+    "broadcast aggregate per round — no data-sized exchange added to "
+    "g1's per-round join + groupBy shape). Integer-exact end to end; "
+    "the oracle replays every round, including the dangling aggregate, "
+    "as unrolled CTEs. Rank-sum conservation up to floor losses and "
+    "the no-dangling no-op property are unit-tested "
+    "(tests/test_relational.py).",
+    tags=("graph", "iterative", "pagerank", "dangling", "ext"),
+)
+def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.graph import pagerank_integer
+
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_integer(
+        edges, iterations=_G1_ITERS, conserve_dangling=True
+    ).orderBy("node")
