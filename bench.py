@@ -138,10 +138,17 @@ def main() -> None:
     medians: dict[str, float] = {}
     for name, spec in specs.items():
         # Prepared-statement style: build the plan once, then time full
-        # re-executions (scan → compute → Arrow collect). Warm-up pays
-        # codegen + file listing.
+        # re-executions (scan → compute → Arrow collect). Warm to
+        # STEADY STATE (3 passes — the sf1_bench protocol, applied here
+        # per VERDICT r10 #8): one pass pays codegen + file listing but
+        # C2 keeps recompiling hot loops for ~3 runs (measured: q1
+        # medians 67/53/52/39 ms over consecutive rounds); a single
+        # warm-up leaves the first timed runs riding that transient,
+        # which is exactly the shape of r10's w1 +25% phantom
+        # regression.
         df = spec.spark(spark, sf_dir)
-        df.toPandas()
+        for _ in range(3):
+            df.toPandas()
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -182,6 +189,17 @@ def main() -> None:
                 # can't hide behind a single noisy probe.
                 "load_factor": round(load, 3),
                 "value_load_normalized": round(total / load, 4),
+                # floor decomposition (VERDICT r10 #8): queries whose
+                # best run is within 1.3x of the fixed-work Spark probe
+                # are measuring the per-job launch floor, not the plan —
+                # their baseline ratios compare fixed costs (see the
+                # sf1 artifact for the compute-dominated comparison).
+                "floor_ms": calibration["spark_probe_ms"],
+                "queries_at_floor": sorted(
+                    n
+                    for n, t in timings.items()
+                    if t * 1000 <= 1.3 * calibration["spark_probe_ms"]
+                ),
                 "runs": runs,
                 "sf": sf,
             }
