@@ -1,0 +1,78 @@
+"""Driver-window sf1 sweep under the STRICT oracle harness (VERDICT
+r10 #7): every DRIVER_WINDOW query runs Spark vs DuckDB on the
+generated sf1 tables (tools/make_sf1.py) through the exact harness the
+sf0.1 sweep uses — exact stringified values, dtype-kind schema gate —
+so scale-sensitive divergence (the round-9 rounding-bug class) is
+caught one decade above the driver's own gate.
+
+Run: PYTHONPATH=. python tools/sweep_sf1_strict.py 2>/dev/null
+Writes tools/sweep_sf1_strict.json; prints failures and the slowest
+oracle replays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.oracle_utils import assert_frames_match, run_oracle
+from tw_etl_spark.queries import DRIVER_WINDOW, all_queries
+from tw_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SF1_DIR", "/root/repo/.scale/sf1")
+OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "sweep_sf1_strict.json"
+)
+
+
+def main() -> int:
+    spark = get_spark(app_name="sweep-sf1-strict")
+    reg = all_queries()
+    results: dict[str, dict] = {}
+    failures = []
+    for name in DRIVER_WINDOW:
+        spec = reg[name]
+        row: dict = {}
+        try:
+            t0 = time.perf_counter()
+            spark_pdf = spec.spark(spark, SF_DIR).toPandas()
+            row["spark_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            oracle_pdf = run_oracle(spec.oracle, SF_DIR)
+            row["oracle_s"] = round(time.perf_counter() - t0, 3)
+            row["rows"] = len(spark_pdf)
+            assert_frames_match(spark_pdf, oracle_pdf, name)
+            row["ok"] = True
+        except Exception as exc:  # noqa: BLE001 — sweep must finish
+            row["ok"] = False
+            row["err"] = f"{type(exc).__name__}: {exc}"[:500]
+            failures.append(name)
+            traceback.print_exc(limit=2)
+        results[name] = row
+        status = "ok" if row.get("ok") else "FAIL"
+        print(
+            f"{status:4s} {name:40s} spark={row.get('spark_s', '-'):>8} "
+            f"oracle={row.get('oracle_s', '-'):>8} rows={row.get('rows', '-')}",
+            flush=True,
+        )
+    payload = {"sf_dir": SF_DIR, "strict": True, "window_only": True,
+               "results": results, "n": len(results), "failures": failures}
+    with open(OUT, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"\n{len(results) - len(failures)}/{len(results)} strict-green at {SF_DIR}")
+    if failures:
+        print("FAILURES:", failures)
+    slow = sorted(
+        ((r.get("oracle_s") or 0, n) for n, r in results.items()), reverse=True
+    )[:8]
+    print("slowest oracle replays:", [(n, s) for s, n in slow])
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

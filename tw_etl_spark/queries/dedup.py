@@ -716,3 +716,77 @@ def dd14(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, index, num_hashes=16, bands=4, threshold=0.9
     )
     return delta_pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "dd15_delta_survivor_index",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ), ex AS (
+        SELECT doc_id AS doc, unnest(toks) AS tk FROM tok
+    ), hashes AS (
+        SELECT doc, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM ex
+    ), votes AS (
+        SELECT doc, g.range AS b,
+               sum(CASE WHEN (h >> g.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashes CROSS JOIN range(32) g
+        GROUP BY doc, g.range
+    ), sh AS (
+        SELECT doc, sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS s
+        FROM votes GROUP BY doc
+    ), sigs AS (
+        SELECT d.doc_id, coalesce(sh.s, 0)::BIGINT AS sig
+        FROM documents d LEFT JOIN sh ON sh.doc = d.doc_id
+    )
+    SELECT sig, min(doc_id) AS survivor,
+           count(*)::BIGINT AS n_members
+    FROM sigs GROUP BY sig HAVING count(*) >= 2
+    ORDER BY sig
+    """,
+    doc="INCREMENTAL survivor-index maintenance, exact-signature tier "
+    "(dd14's LSH sibling; the durable artifact behind st5's streaming "
+    "form): the old batch's per-SimHash-signature survivor table "
+    "(sig -> min doc_id, member count) persists as a parquet index; "
+    "the new batch's survivor table folds in via "
+    "operators/dedup.merge_survivor_index — min-id survivorship and "
+    "additive counts are associative+commutative (property-tested), so "
+    "a daily delta job folds forever and lands on exactly the "
+    "full-corpus recompute. The oracle IS that full recompute (st5's "
+    "relational form verbatim); a hash match proves batch-wise "
+    "incremental == whole-corpus, the same identity a 100 TB corpus "
+    "relies on to never re-dedup history.",
+    tags=("dedup", "simhash", "delta", "ext"),
+)
+def dd15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from tw_etl_spark.operators.dedup import merge_survivor_index
+
+    d = _t(spark, sf_dir, "documents")
+
+    def survivors(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "doc_id", simhash_portable_expr(F.col("text")).alias("sig")
+            )
+            .groupBy("sig")
+            .agg(
+                F.min("doc_id").alias("survivor"),
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+            )
+        )
+
+    tag = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx_path = _os.path.join(_tf.gettempdir(), f"tw_etl_spark_dd15_{tag}")
+    survivors(d.filter(F.col("doc_id") % 3 != 0)).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    merged = merge_survivor_index(
+        index, survivors(d.filter(F.col("doc_id") % 3 == 0))
+    )
+    return merged.filter(F.col("n_members") >= 2).orderBy("sig")
