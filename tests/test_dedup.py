@@ -577,7 +577,12 @@ def test_span_rewrite_hash_key_equivalence(spark):
     from tw_etl_spark.operators.dedup import span_dedup_rewrite
     from tw_etl_spark.testing import dedupgen
 
-    for seed in (0, 10, 20, 30, 40, 50):  # seed % len(KINDS) == 0 -> span
+    # derive span-kind seeds from the registry: hardcoded seed lists
+    # break every time a fuzz kind is added (generate() maps seed ->
+    # KINDS[seed % len(KINDS)])
+    step = len(dedupgen.KINDS)
+    start = dedupgen.KINDS.index("span")
+    for seed in range(start, start + 6 * step, step):
         case = dedupgen.generate(seed)
         assert case.kind == "span", seed
         df = spark.createDataFrame(case.rows, "doc_id long, text string")

@@ -31,7 +31,14 @@ OUT = os.path.join(
 
 
 def main() -> int:
-    spark = get_spark(app_name="sweep-sf1-strict")
+    # the strict compare COLLECTS both sides; dd3p's sf1 pair set alone
+    # serializes past the default 1g maxResultSize — a harness collect
+    # limit (the pairs are produced distributed; they only materialize
+    # here for the cross-engine diff), not a plan signal
+    spark = get_spark(
+        app_name="sweep-sf1-strict",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     reg = all_queries()
     results: dict[str, dict] = {}
     failures = []
