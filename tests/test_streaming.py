@@ -1390,3 +1390,23 @@ def test_scd2_apply_writer_replay_safe(spark):
         assert snap("v1") == v1
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_drain_stream_latest_empty_source(spark):
+    """An empty source directory produces zero micro-batches — no batch
+    ever commits, the out dir never materializes, and the drain must
+    return an EMPTY frame with the aggregation's schema instead of
+    failing on the missing parquet path."""
+    from tw_etl_spark.streaming.sinks import drain_stream_latest
+
+    src = tempfile.mkdtemp(prefix="drain_empty_src_")
+    scratch = tempfile.mkdtemp(prefix="drain_empty_scratch_")
+    try:
+        stream = spark.readStream.schema("k string, v long").parquet(src)
+        agg = stream.groupBy("k").agg(F.sum("v").alias("s"))
+        got = drain_stream_latest(agg, ["k"], scratch, "drain_empty_unit")
+        assert got.count() == 0
+        assert got.columns == ["k", "s"]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
