@@ -230,3 +230,47 @@ def test_ann_recall_at_sf01(spark):
     # little on top of the IVF ceiling.
     r_pq = recall(ann_ivfpq_topk(v, v, k=k, n_lists=16, nprobe=4))
     assert r_pq >= 0.5, f"IVF-PQ recall@10 degraded at sf0.1: {r_pq:.3f}"
+
+
+def test_cosine_delta_pairs_identity_with_full_scan(spark):
+    """The embedding delta-dedup contract (dd16): pairs(index ∪ new) ==
+    pairs(index) ∪ delta_pairs(new, index), disjointly — index-index
+    pairs never re-emitted, new-new pairs emitted exactly once, and
+    cos_sim values identical to the full scan's."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.similarity import (
+        cosine_delta_pairs,
+        cosine_threshold_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    for i in range(40):
+        # heavy planted near-dup structure: cluster around 6 anchors
+        v = base[i % 6] + rng.normal(scale=0.05, size=8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = df.filter(F.col("vec_id") % 3 != 0)
+    new = df.filter(F.col("vec_id") % 3 == 0)
+
+    def pairs(d):
+        return {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in cosine_threshold_pairs(d, threshold=0.9).collect()
+        }
+
+    full = pairs(df)
+    old_pairs = pairs(old)
+    delta = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cosine_delta_pairs(new, old, threshold=0.9).collect()
+    }
+    assert delta | old_pairs == full
+    assert delta & old_pairs == set()
+    assert delta  # the planted structure guarantees cross-batch pairs
+    # no duplicate emission of any pair
+    got = cosine_delta_pairs(new, old, threshold=0.9).collect()
+    assert len(got) == len({(r.id_a, r.id_b) for r in got})

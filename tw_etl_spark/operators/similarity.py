@@ -392,6 +392,89 @@ def cosine_threshold_pairs(
     return _spread(df.select(id_col, vec_col)).mapInPandas(gen, schema=out_schema)
 
 
+def cosine_delta_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    broadcast_row_budget: int | None = DEFAULT_BROADCAST_ROW_BUDGET,
+) -> DataFrame:
+    """INCREMENTAL embedding-cosine near-dup (dd16; the embedding cell
+    of the delta-dedup family beside dd14's token-LSH and dd15's
+    exact-signature cells): pairs (id_a < id_b, rounded cosine >=
+    threshold) touching the NEW batch only — new×index and new×new,
+    never index×index. Because the pair criterion is a pure function of
+    the two vectors (same rounding as :func:`cosine_threshold_pairs`),
+    result identity holds:
+
+        pairs(index ∪ new) = pairs(index) ∪ delta_pairs(new, index)
+
+    (property-tested). Shape: the counterpart matrix (index ∪ new)
+    broadcasts under the same row budget as the parent; the matmul is
+    driven by the NEW rows only — a daily batch against a big persisted
+    index costs |new|·|all| dot products instead of the full |all|²
+    re-scan, which is the entire point of the delta at 100 TB.
+    """
+    ids_new = new_df.select(F.col(id_col).alias("id"))
+    counterparts = index_df.select(id_col, vec_col).unionByName(
+        new_df.select(id_col, vec_col)
+    )
+    _check_broadcast_budget(
+        counterparts, broadcast_row_budget, "cosine_delta_pairs"
+    )
+    sc = new_df.sparkSession.sparkContext
+    c_ids, c_mat = _collect_matrix(counterparts, id_col, vec_col)
+    new_id_arr = np.array(
+        sorted(r.id for r in ids_new.distinct().collect()), dtype=np.int64
+    )
+    b = sc.broadcast((c_ids, c_mat, new_id_arr))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, new_ids = b.value
+        order = np.argsort(ids)
+        # _collect_matrix already L2-normalized the counterpart rows
+        ids_s, mat_n = ids[order], mat[order]
+        is_new = np.isin(ids_s, new_ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (q / qn[:, None]) @ mat_n.T
+            for i, qid in enumerate(q_ids):
+                s = np.round(sims[i], 6)
+                # vs an INDEX counterpart: always qid's pair to report
+                # (index×index never scans). vs a NEW counterpart: only
+                # cid > qid, so each new-new pair is emitted once.
+                keep = (s >= threshold) & (ids_s != qid) & (
+                    ~is_new | (ids_s > qid)
+                )
+                if keep.any():
+                    cids = ids_s[keep]
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.minimum(qid, cids),
+                            "id_b": np.maximum(qid, cids),
+                            "cos_sim": s[keep],
+                        }
+                    )
+
+    return _spread(new_df.select(id_col, vec_col)).mapInPandas(
+        gen, schema=out_schema
+    )
+
+
 def cosine_topk(
     query_df: DataFrame,
     corpus_df: DataFrame,

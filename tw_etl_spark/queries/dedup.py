@@ -790,3 +790,54 @@ def dd15(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, survivors(d.filter(F.col("doc_id") % 3 == 0))
     )
     return merged.filter(F.col("n_members") >= 2).orderBy("sig")
+
+
+@register(
+    "dd16_delta_embedding_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+           6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(
+              list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+          6) >= 0.45
+      AND (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)
+    ORDER BY id_a, id_b
+    """,
+    doc="INCREMENTAL embedding-cosine near-dup (the third delta-dedup "
+    "cell beside dd14's token-LSH and dd15's exact-signature tiers — "
+    "the full representation triple now has a delta form): the old "
+    "batch's embeddings (vec_id % 3 != 0) persist as a parquet index; "
+    "the new batch scans new-vs-(new ∪ index) only via "
+    "operators/similarity.cosine_delta_pairs — a daily batch costs "
+    "|new|·|all| dot products instead of the |all|² re-scan, and "
+    "index×index pairs are structurally impossible. The pair criterion "
+    "is a pure function of the two vectors, so the delta output equals "
+    "EXACTLY the full re-scan's new-touching pairs — which is what the "
+    "oracle replays (dd5's relational form filtered to new-touching); "
+    "the identity property pins the disjoint remainder.",
+    tags=("dedup", "vector", "delta", "ext"),
+)
+def dd16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from tw_etl_spark.operators.similarity import cosine_delta_pairs
+
+    v = _t(spark, sf_dir, "embeddings")
+    tag = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx_path = _os.path.join(_tf.gettempdir(), f"tw_etl_spark_dd16_{tag}")
+    v.filter(F.col("vec_id") % 3 != 0).select(
+        "vec_id", "embedding"
+    ).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    return cosine_delta_pairs(
+        v.filter(F.col("vec_id") % 3 == 0), index, threshold=0.45
+    ).orderBy("id_a", "id_b")
