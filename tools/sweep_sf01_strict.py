@@ -32,9 +32,17 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "sweep_sf01_stric
 def main() -> int:
     spark = get_spark(app_name="sweep-sf01-strict")
     results: dict[str, dict] = {}
+    # ONLY=<comma names>: re-run a subset and merge into the existing
+    # artifact (e.g. a late registration) instead of the full sweep.
+    only = os.environ.get("ONLY")
+    if only and os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)["results"]
     failures = []
     for name, spec in all_queries().items():
         if spec.oracle is None:
+            continue
+        if only and name not in only.split(","):
             continue
         row: dict = {}
         try:
@@ -59,6 +67,7 @@ def main() -> int:
             f"oracle={row.get('oracle_s', '-'):>8} rows={row.get('rows', '-')}",
             flush=True,
         )
+    failures = [n for n, r in results.items() if not r.get("ok")]
     payload = {"sf_dir": SF_DIR, "strict": True, "results": results,
                "n": len(results), "failures": failures}
     with open(OUT, "w") as f:
