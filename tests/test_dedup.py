@@ -716,3 +716,41 @@ def test_merge_survivor_index_associative_and_exact(spark):
     right_fold = merge_survivor_index(b0, merge_survivor_index(b1, b2))
     assert {tuple(r) for r in left_fold.collect()} == full
     assert {tuple(r) for r in right_fold.collect()} == full
+
+
+def test_delta_dedup_chains_across_many_batches(spark):
+    """The 'folds forever' claim for the LSH tier: feeding batches
+    one at a time — each delta run consuming the PREVIOUS run's updated
+    index — accumulates exactly the full-corpus pair set. Three daily
+    'crawls' over a generated corpus with planted duplicate structure."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        lsh_delta_pairs_portable,
+        minhash_lsh_pairs_portable,
+        minhash_signatures_portable,
+    )
+    from tw_etl_spark.testing import dedupgen
+
+    rows = dedupgen.gen_corpus(random.Random(5))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=4, threshold=0.8)
+
+    batch0 = d.filter(F.col("doc_id") % 3 == 0)
+    acc = {
+        tuple(r) for r in minhash_lsh_pairs_portable(batch0, **kw).collect()
+    }
+    index = minhash_signatures_portable(batch0, num_hashes=16)
+    for m in (1, 2):
+        delta, index = lsh_delta_pairs_portable(
+            d.filter(F.col("doc_id") % 3 == m), index, **kw
+        )
+        new_pairs = {tuple(r) for r in delta.collect()}
+        assert not (new_pairs & acc)  # nothing re-emitted, ever
+        acc |= new_pairs
+        index = index.localCheckpoint()  # the persisted-artifact step
+
+    full = {tuple(r) for r in minhash_lsh_pairs_portable(d, **kw).collect()}
+    assert acc == full
