@@ -754,3 +754,62 @@ def test_delta_dedup_chains_across_many_batches(spark):
 
     full = {tuple(r) for r in minhash_lsh_pairs_portable(d, **kw).collect()}
     assert acc == full
+
+
+def test_semantic_delta_pairs_identity_with_fixed_centroids(spark):
+    """dd17's contract: with centroids FIXED by the index (trained on
+    the old corpus), within-cluster pairs of (old ∪ new) ==
+    within-cluster pairs of (old) ∪ delta pairs, disjointly — and the
+    delta variant's cos_sim equals the full scan's exact verify fold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        kmeans_assign_expr,
+        relational_kmeans_centroids,
+        unit_vectors,
+        within_cluster_delta_pairs,
+        within_cluster_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    anchors = rng.normal(size=(4, 16))
+    rows = [
+        (i, [float(x) for x in anchors[i % 4] + rng.normal(scale=0.04, size=16)])
+        for i in range(36)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unit_all = unit_vectors(df)
+    old_unit = unit_vectors(df.filter(F.col("vec_id") % 3 != 0))
+    _seeds, cents = relational_kmeans_centroids(old_unit, 4)
+
+    def assigned(u_df, flag_new):
+        a = u_df.select(
+            "id", "u", kmeans_assign_expr(cents).alias("cluster")
+        )
+        return a.withColumn(
+            "__new", (F.col("id") % 3 == 0) if flag_new else F.lit(False)
+        )
+
+    thr = 0.9
+    full = {
+        (r.id_a, r.id_b)
+        for r in within_cluster_pairs(
+            assigned(unit_all, False), "id", "u", "cluster", thr
+        ).collect()
+    }
+    old_pairs = {
+        (r.id_a, r.id_b)
+        for r in within_cluster_pairs(
+            assigned(unit_vectors(df.filter(F.col("vec_id") % 3 != 0)), False),
+            "id", "u", "cluster", thr,
+        ).collect()
+    }
+    delta_rows = within_cluster_delta_pairs(
+        assigned(unit_all, True), "id", "u", "cluster", "__new", thr
+    ).collect()
+    delta = {(r.id_a, r.id_b) for r in delta_rows}
+    assert delta | old_pairs == full
+    assert delta & old_pairs == set()
+    assert delta  # planted anchors guarantee cross-batch pairs
+    assert len(delta_rows) == len(delta)  # single emission per pair

@@ -1072,6 +1072,81 @@ def within_cluster_pairs(
     )
 
 
+def within_cluster_delta_pairs(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    new_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Delta form of :func:`within_cluster_pairs` (the dd17 primitive):
+    per cluster, candidate pairs are NEW-vs-ALL instead of ALL-vs-ALL —
+    ``X_new @ X_all.T`` per block, so a daily batch costs
+    |new_c|·|all_c| dot products per cluster and index×index pairs are
+    structurally impossible. Each new-new pair emits once (counterpart
+    id must exceed the scanning id); new-index pairs always report.
+    Vectors are treated as unit-normalized (the dd8p "dot" contract);
+    the authoritative verify re-folds the exact index-order dot and
+    rounds to 6, bit-identical to the oracle. Returns
+    (id_a, id_b, cos_sim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from tw_etl_spark.functions.vectors import dot_expr
+
+    pre = float(threshold) - 1e-6
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        )
+        ids = pdf[id_col].to_numpy()
+        is_new = pdf[new_col].to_numpy(dtype=bool)
+        n = len(ids)
+        if n < 2 or not is_new.any():
+            return empty
+        X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xn, ids_n = X[is_new], ids[is_new]
+        outs_a, outs_b = [], []
+        block = 1024
+        for i0 in range(0, len(ids_n), block):
+            S = Xn[i0 : i0 + block] @ X.T
+            ii, jj = np.nonzero(S >= pre)
+            qid = ids_n[ii + i0]
+            cid = ids[jj]
+            # self out; new counterpart only above the scanning id
+            keep = (qid != cid) & (~is_new[jj] | (cid > qid))
+            qid, cid = qid[keep], cid[keep]
+            if len(qid):
+                outs_a.append(np.minimum(qid, cid))
+                outs_b.append(np.maximum(qid, cid))
+        if not outs_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        )
+
+    cand = (
+        assigned.select(cluster_col, id_col, vec_col, new_col)
+        .groupBy(cluster_col)
+        .applyInPandas(scan, "id_a long, id_b long")
+    )
+    va = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot_expr(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -841,3 +841,118 @@ def dd16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_delta_pairs(
         v.filter(F.col("vec_id") % 3 == 0), index, threshold=0.45
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd17_delta_semantic_dedup",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    -- the INDEX: centroids trained on the OLD corpus only (dd8p's
+    -- recipe verbatim: seed on the 8 smallest old ids, assign old,
+    -- one exact scaled-integer Lloyd update) — training never sees
+    -- the new batch
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
+        FROM unitv WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN seeds s
+            WHERE n.vec_id % 3 <> 0
+        )
+    ),
+    a1 AS (
+        SELECT vec_id, u, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT c1, g.range AS i,
+               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
+        FROM a1 CROSS JOIN range(64) g
+        GROUP BY c1, g.range
+    ),
+    cents2 AS (
+        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
+        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
+    ),
+    -- ALL vectors assign against the FIXED index centroids (old rows
+    -- land on their index assignments, new rows on delta assignments —
+    -- both pure functions of cents2)
+    d2 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN cents2 s
+        )
+    ),
+    a2 AS (
+        SELECT vec_id, u, j AS cluster
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.u, b.u), 6) AS cos_sim
+    FROM a2 a JOIN a2 b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.u, b.u), 6) >= 0.4
+      AND (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)
+    ORDER BY id_a, id_b
+    """,
+    doc="INCREMENTAL SemDeDup (the delta-dedup family's clustered "
+    "cell, completing dd14/dd15/dd16): the index is dd8p's relational "
+    "k-means trained on the OLD corpus only (fixed centroids = the "
+    "durable artifact; dd14/dd16 demonstrate the parquet persistence "
+    "step); the new batch assigns against those FIXED centroids (a "
+    "shuffle-free narrow map — centroids ride as literals) and the "
+    "within-cluster scan is NEW-vs-ALL per cluster "
+    "(operators/dedup.within_cluster_delta_pairs: |new_c|·|all_c| "
+    "blocked-matmul work, index×index pairs structurally impossible). "
+    "Because assignment and the pair criterion are pure functions of "
+    "(centroids, two vectors), the delta output equals EXACTLY the "
+    "fixed-centroid full scan's new-touching pairs — the oracle "
+    "replays index training on the old slice, assignment of all, and "
+    "the filtered pair scan; the identity property pins the disjoint "
+    "old-old remainder.",
+    tags=("dedup", "semantic", "embedding", "delta", "ext"),
+)
+def dd17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import (
+        kmeans_assign_expr,
+        relational_kmeans_centroids,
+        unit_vectors,
+        within_cluster_delta_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    unit_all = unit_vectors(e)
+    old_unit = unit_vectors(e.filter(F.col("vec_id") % 3 != 0))
+    _seeds, cents2 = relational_kmeans_centroids(old_unit, 8)
+    a = unit_all.select(
+        "id",
+        "u",
+        kmeans_assign_expr(cents2).alias("cluster"),
+        (F.col("id") % 3 == 0).alias("__new"),
+    )
+    return within_cluster_delta_pairs(
+        a, "id", "u", "cluster", "__new", threshold=0.4
+    ).orderBy("id_a", "id_b")
