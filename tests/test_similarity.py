@@ -274,3 +274,21 @@ def test_cosine_delta_pairs_identity_with_full_scan(spark):
     # no duplicate emission of any pair
     got = cosine_delta_pairs(new, old, threshold=0.9).collect()
     assert len(got) == len({(r.id_a, r.id_b) for r in got})
+
+
+def test_cosine_delta_pairs_rejects_overlapping_ids(spark):
+    """The disjoint-id contract (ADVICE r11) fails LOUDLY: an id on
+    both sides would corrupt the new-vs-index pair filtering, so the
+    guard raises with guidance instead of emitting wrong pairs."""
+    import pytest
+
+    from tw_etl_spark.operators.similarity import cosine_delta_pairs
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    new = df.filter("vec_id < 3")  # ids 0-2
+    index = df.filter("vec_id >= 2")  # ids 2-5 — id 2 overlaps
+    with pytest.raises(ValueError, match="must be\\s+disjoint"):
+        cosine_delta_pairs(new, index, threshold=0.5).collect()

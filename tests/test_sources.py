@@ -670,6 +670,48 @@ def test_tarshard_commit_refuses_to_clobber(spark, tmp_path):
     assert spark.read.format("tarshard").load(root).count() == 4
 
 
+def test_tarshard_commit_is_all_or_nothing(tmp_path):
+    """A collision on a LATER shard must not leave EARLIER shards
+    published (ADVICE r11): a reader of the root would otherwise
+    silently ingest a partial dataset from a failed write. Drive
+    commit() directly (no JVM) with two staged shards where only the
+    SECOND destination collides, and assert nothing was published."""
+    import os
+
+    import pytest
+
+    from tw_etl_spark.sources.pyds import TarShardWriter, _ShardCommit
+    from tw_etl_spark.sources.shards import write_tar_shard
+
+    root = tmp_path / "out"
+    root.mkdir()
+    msgs = []
+    for pid in (0, 1):
+        tmp = root / f"_tmp-shard-{pid:04d}-deadbeef.tar"
+        write_tar_shard([(f"{pid}.txt", b"x")], str(tmp))
+        msgs.append(_ShardCommit(str(tmp), pid, 1))
+    # pre-existing shard collides with pid=1 (the SECOND link)
+    write_tar_shard([("old.txt", b"old")], str(root / "shard-0001.tar"))
+
+    writer = TarShardWriter({"path": str(root)})
+    with pytest.raises(ValueError, match="already exists"):
+        writer.commit(msgs)
+    published = sorted(
+        f for f in os.listdir(root)
+        if f.endswith(".tar") and not f.startswith("_")
+    )
+    assert published == ["shard-0001.tar"]  # nothing new visible
+    # temps survive the failed commit so abort() can clean them
+    assert sorted(
+        f for f in os.listdir(root) if f.startswith("_tmp-shard")
+    ) == [
+        "_tmp-shard-0000-deadbeef.tar",
+        "_tmp-shard-0001-deadbeef.tar",
+    ]
+    writer.abort(msgs)
+    assert not [f for f in os.listdir(root) if f.startswith("_tmp")]
+
+
 def test_tarshard_read_memory_bounded_by_member_not_shard():
     """The reader streams members sequentially ('r|' mode): peak Python
     allocation while scanning a 16 MiB shard must stay near ONE member

@@ -35,7 +35,17 @@ def main() -> int:
     # ONLY=<comma names>: re-run a subset and merge into the existing
     # artifact (e.g. a late registration) instead of the full sweep.
     only = os.environ.get("ONLY")
-    if only and os.path.exists(OUT):
+    if only:
+        if not os.path.exists(OUT):
+            # ADVICE r11: without a prior full-sweep artifact to merge
+            # into, a subset rerun would WRITE an artifact containing
+            # only the subset — masquerading as a full-sweep result.
+            print(
+                f"ONLY={only} set but {OUT} is absent — run the full "
+                "sweep first; refusing to write a subset-only artifact.",
+                file=sys.stderr,
+            )
+            return 2
         with open(OUT) as f:
             results = json.load(f)["results"]
     failures = []

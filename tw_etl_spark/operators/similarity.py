@@ -415,6 +415,15 @@ def cosine_delta_pairs(
     driven by the NEW rows only — a daily batch against a big persisted
     index costs |new|·|all| dot products instead of the full |all|²
     re-scan, which is the entire point of the delta at 100 TB.
+
+    ``new_df`` and ``index_df`` ids must be disjoint by contract (same
+    wording as :func:`~tw_etl_spark.operators.dedup.
+    lsh_delta_pairs_portable`): an id on both sides would contribute
+    duplicate counterpart rows and corrupt the new-vs-index pair
+    filtering. Enforced below — the union's collected id vector must be
+    duplicate-free (catches both cross-side overlap and within-side
+    duplicate ids), raising with guidance instead of emitting wrong
+    pairs.
     """
     ids_new = new_df.select(F.col(id_col).alias("id"))
     counterparts = index_df.select(id_col, vec_col).unionByName(
@@ -425,6 +434,16 @@ def cosine_delta_pairs(
     )
     sc = new_df.sparkSession.sparkContext
     c_ids, c_mat = _collect_matrix(counterparts, id_col, vec_col)
+    uniq, counts = np.unique(c_ids, return_counts=True)
+    if len(uniq) != len(c_ids):
+        dupes = [int(x) for x in uniq[counts > 1][:5]]
+        raise ValueError(
+            "cosine_delta_pairs: new_df and index_df ids must be "
+            "disjoint (and unique within each side) by contract; "
+            f"duplicated id(s) seen in the union, e.g. {dupes} — dedup "
+            "the batch or anti-join it against the index before the "
+            "delta call"
+        )
     new_id_arr = np.array(
         sorted(r.id for r in ids_new.distinct().collect()), dtype=np.int64
     )

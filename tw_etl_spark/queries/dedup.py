@@ -33,6 +33,28 @@ from tw_etl_spark.queries import register
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
 
+def _delta_scratch(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Scratch dir for a delta query's persisted index artifact.
+
+    Keyed by (sf_dir, Spark applicationId) so two concurrent runs over
+    the same sf_dir can never race on one path (ADVICE r11: the old
+    md5(sf_dir)-only key let one run overwrite the parquet dir while
+    another was reading it). The applicationId component also scopes
+    the dir's lifetime to the session — the session's own temp sweep /
+    OS tempdir policy reclaims it, and a rerun in the same session
+    reuses (mode=overwrite) rather than leaks.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"tw_etl_spark_{name}_{tag}")
+
+
 @register(
     "dd1_exact_dedup_keep_first",
     oracle="""
@@ -690,10 +712,6 @@ def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "delta", "ext"),
 )
 def dd14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from tw_etl_spark.operators.dedup import (
         lsh_delta_pairs_portable,
         minhash_signatures_portable,
@@ -705,8 +723,7 @@ def dd14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the index is a durable artifact: write it, read it back — the
     # delta job consumes parquet, not a live plan over the old corpus
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx_path = os.path.join(tempfile.gettempdir(), f"tw_etl_spark_dd14_{tag}")
+    idx_path = _delta_scratch(spark, sf_dir, "dd14")
     minhash_signatures_portable(old, num_hashes=16).write.mode(
         "overwrite"
     ).parquet(idx_path)
@@ -759,10 +776,6 @@ def dd14(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash", "delta", "ext"),
 )
 def dd15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-    import os as _os
-    import tempfile as _tf
-
     from tw_etl_spark.operators.dedup import merge_survivor_index
 
     d = _t(spark, sf_dir, "documents")
@@ -779,8 +792,7 @@ def dd15(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    tag = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx_path = _os.path.join(_tf.gettempdir(), f"tw_etl_spark_dd15_{tag}")
+    idx_path = _delta_scratch(spark, sf_dir, "dd15")
     survivors(d.filter(F.col("doc_id") % 3 != 0)).write.mode(
         "overwrite"
     ).parquet(idx_path)
@@ -824,15 +836,10 @@ def dd15(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "vector", "delta", "ext"),
 )
 def dd16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-    import os as _os
-    import tempfile as _tf
-
     from tw_etl_spark.operators.similarity import cosine_delta_pairs
 
     v = _t(spark, sf_dir, "embeddings")
-    tag = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx_path = _os.path.join(_tf.gettempdir(), f"tw_etl_spark_dd16_{tag}")
+    idx_path = _delta_scratch(spark, sf_dir, "dd16")
     v.filter(F.col("vec_id") % 3 != 0).select(
         "vec_id", "embedding"
     ).write.mode("overwrite").parquet(idx_path)

@@ -1134,7 +1134,20 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drain()
 
-    final = spark.read.parquet(os.path.join(out, "v1"))
+    # Resolve the final committed version by scanning out/ for the max
+    # v{N} rather than hard-coding v1 (ADVICE r11): trigger/config
+    # drift (maxFilesPerTrigger splits, empty batches) would otherwise
+    # silently return a stale version. Two drains are still EXPECTED —
+    # assert the chain shape loudly instead of assuming it.
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(out)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    if not versions or versions != list(range(versions[-1] + 1)):
+        raise RuntimeError(
+            f"st10: broken SCD-2 version chain in {out}: {versions}"
+        )
+    final = spark.read.parquet(os.path.join(out, f"v{versions[-1]}"))
     return (
         # timestamp cast: DuckDB's pandas bridge maps DATE to
         # datetime64, Spark to date objects — pin one kind on both sides

@@ -184,27 +184,57 @@ class TarShardWriter(DataSourceWriter):
         return _ShardCommit(tmp, pid, len(pairs))
 
     def commit(self, messages):
+        """All-or-nothing publish of the task shards.
+
+        Three passes so a collision can never leave a PARTIAL dataset
+        visible in the root (a reader listing ``shard-*.tar`` must see
+        either none or all of this write's shards):
+
+        1. verify — every destination must be absent; raise BEFORE any
+           link if one exists (append-only contract).
+        2. link — exclusive-create every shard; if a racing writer
+           landed a dest between passes, roll back the links made by
+           THIS commit, then raise.
+        3. clean — remove the temp names only after every link landed.
+        """
         import os
 
-        for m in messages:
-            if not m or not m.path:
-                continue
-            dest = os.path.join(
-                os.path.dirname(m.path), f"shard-{m.pid:04d}.tar"
+        staged = [
+            (
+                m.path,
+                os.path.join(
+                    os.path.dirname(m.path), f"shard-{m.pid:04d}.tar"
+                ),
             )
+            for m in messages
+            if m and m.path
+        ]
+        clash = [dest for _, dest in staged if os.path.exists(dest)]
+        if clash:
+            raise ValueError(
+                f"tarshard commit: {clash[0]} already exists — shards "
+                "are append-only artifacts; write to a fresh root "
+                "or clear the old shards explicitly (no shard from "
+                "this write was published)"
+            )
+        linked = []
+        for tmp, dest in staged:
             try:
                 # link() is the exclusive-create rename: it fails if
                 # dest exists instead of silently clobbering a shard
-                # from a previous write to the same root (the writer is
-                # append-only by contract — overwrite mode is rejected)
-                os.link(m.path, dest)
+                # from a previous write to the same root
+                os.link(tmp, dest)
             except FileExistsError:
+                for done in linked:  # roll back: none-or-all visible
+                    os.remove(done)
                 raise ValueError(
-                    f"tarshard commit: {dest} already exists — shards "
-                    "are append-only artifacts; write to a fresh root "
-                    "or clear the old shards explicitly"
+                    f"tarshard commit: {dest} appeared mid-commit "
+                    "(concurrent writer to the same root); this "
+                    "write's shards were rolled back"
                 ) from None
-            os.remove(m.path)
+            linked.append(dest)
+        for tmp, _ in staged:
+            os.remove(tmp)
 
     def abort(self, messages):
         import os
