@@ -813,3 +813,33 @@ def test_semantic_delta_pairs_identity_with_fixed_centroids(spark):
     assert delta & old_pairs == set()
     assert delta  # planted anchors guarantee cross-batch pairs
     assert len(delta_rows) == len(delta)  # single emission per pair
+
+
+def test_cluster_cell_budget_rejects_oversized_cluster(spark):
+    """VERDICT r11 #8: the per-cluster memory contract ("raise k with
+    n") is a loud guard, not a docstring. A cluster whose m*d cells
+    exceed cluster_cell_budget must fail with raise-k guidance BEFORE
+    the matmul allocates — for both the full and the delta scans."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        within_cluster_delta_pairs,
+        within_cluster_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0] * 8, 0) for i in range(30)],
+        "id long, u array<double>, cluster int",
+    )  # one cluster: 30 * 8 = 240 cells
+    with pytest.raises(Exception, match="per-cluster scan budget"):
+        within_cluster_pairs(
+            df, "id", "u", "cluster", 0.9, cluster_cell_budget=100
+        ).collect()
+    with pytest.raises(Exception, match="per-cluster scan budget"):
+        within_cluster_delta_pairs(
+            df.withColumn("__new", F.col("id") % 2 == 0),
+            "id", "u", "cluster", "__new", 0.9, cluster_cell_budget=100,
+        ).collect()
+    # the default budget admits the same input untouched
+    assert within_cluster_pairs(df, "id", "u", "cluster", 0.9).count() > 0

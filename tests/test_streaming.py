@@ -1309,21 +1309,20 @@ def test_no_complete_mode_data_sized_drain_in_stn_family():
     """Scale posture of the driver streaming family (VERDICT r10 #1):
     complete-mode memory-sink drains re-emit the FULL result table
     every micro-batch into the driver, so they are only admissible for
-    BOUNDED-cardinality results. Whitelist: st1's window tables
-    (cardinality = the event-time span in hours, fixed by the dataset's
-    clock, not its row count) and st8's CMS sketch (4x256 cells,
-    constant by construction). Data-sized aggregates (st5's signature
-    table, st9's per-user cells) must use the update-mode foreachBatch
-    parquet drain instead."""
+    BOUNDED-cardinality results. Whitelist (VERDICT r11 #6 shrank it to
+    one): st8's CMS sketch alone — 4x256 cells, CONSTANT by
+    construction. Everything data- or window-cardinality-sized (st1's
+    window tables, st5's signature table, st9's per-user cells) routes
+    through the update-mode foreachBatch parquet drain instead."""
     import re
 
     import tw_etl_spark.queries.streamq as streamq
 
     src = open(streamq.__file__).read()
     complete_tags = re.findall(r'\(\w+, f"(st\d+)[^"]*", "complete"\)', src)
-    assert set(complete_tags) <= {"st1", "st8"}, complete_tags
+    assert set(complete_tags) <= {"st8"}, complete_tags
     # and the fixed queries really route through the scale-safe drain
-    assert src.count("drain_stream_latest(") >= 2  # st5 + st9 call sites
+    assert src.count("drain_stream_latest(") >= 4  # st1 t+s, st5, st9
 
 
 def test_scd2_apply_writer_replay_safe(spark):

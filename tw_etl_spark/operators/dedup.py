@@ -27,6 +27,31 @@ from pyspark.sql import functions as F
 
 from tw_etl_spark.operators.text import tokens_expr
 
+# Per-cluster memory budget for the within-cluster matmul scans
+# (dd8/dd17): the scan holds one cluster's m×d float64 matrix plus a
+# 1024×m score tile in a single Python worker. 256M cells ≈ 2 GiB for
+# X — beyond that the right fix is a larger k (more, smaller clusters),
+# so the guard fails loudly WITH that guidance instead of letting the
+# executor OOM (VERDICT r11 #8: this contract used to live only in a
+# docstring).
+DEFAULT_CLUSTER_CELL_BUDGET = 256_000_000
+
+
+def _check_cluster_budget(
+    n_rows: int, dim: int, budget: int | None, caller: str
+) -> None:
+    if budget is None or n_rows * dim <= budget:
+        return
+    raise ValueError(
+        f"{caller}: one cluster holds {n_rows} vectors x {dim} dims = "
+        f"{n_rows * dim} cells, over the per-cluster scan budget "
+        f"({budget} cells ~ {budget * 8 >> 30} GiB of float64). The "
+        f"scan materializes each cluster on one worker — raise k so "
+        f"clusters shrink (k should grow with n; target m*d under the "
+        f"budget), or pass cluster_cell_budget=<cells> (or None) if "
+        f"the workers genuinely have the memory."
+    )
+
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep one row (min id) per exact content hash."""
@@ -991,6 +1016,7 @@ def within_cluster_pairs(
     cluster_col: str,
     threshold: float,
     similarity: str = "dot",
+    cluster_cell_budget: int | None = DEFAULT_CLUSTER_CELL_BUDGET,
 ) -> DataFrame:
     """Similarity-threshold pairs WITHIN each cluster, in two stages:
 
@@ -1010,7 +1036,9 @@ def within_cluster_pairs(
     (dd8p's contract); ``"cosine"`` normalizes inside the scan and
     verifies with the full cosine expression. Per-cluster memory is
     m·d doubles plus an m×1024 score tile — bound it by scaling the
-    cluster count with n.
+    cluster count with n; ``cluster_cell_budget`` enforces that
+    contract loudly (an oversized cluster raises with raise-k guidance
+    before the matmul allocates, instead of OOMing the worker).
     """
     import numpy as np
     import pandas as pd
@@ -1029,6 +1057,10 @@ def within_cluster_pairs(
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
             )
+        _check_cluster_budget(
+            n, len(pdf[vec_col].iloc[0]), cluster_cell_budget,
+            "within_cluster_pairs",
+        )
         X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         if normalize:
             X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -1079,6 +1111,7 @@ def within_cluster_delta_pairs(
     cluster_col: str,
     new_col: str,
     threshold: float,
+    cluster_cell_budget: int | None = DEFAULT_CLUSTER_CELL_BUDGET,
 ) -> DataFrame:
     """Delta form of :func:`within_cluster_pairs` (the dd17 primitive):
     per cluster, candidate pairs are NEW-vs-ALL instead of ALL-vs-ALL —
@@ -1089,7 +1122,9 @@ def within_cluster_delta_pairs(
     Vectors are treated as unit-normalized (the dd8p "dot" contract);
     the authoritative verify re-folds the exact index-order dot and
     rounds to 6, bit-identical to the oracle. Returns
-    (id_a, id_b, cos_sim).
+    (id_a, id_b, cos_sim). ``cluster_cell_budget`` bounds the one
+    cluster a worker materializes (m·d cells), raising with raise-k
+    guidance instead of OOMing.
     """
     import numpy as np
     import pandas as pd
@@ -1107,6 +1142,10 @@ def within_cluster_delta_pairs(
         n = len(ids)
         if n < 2 or not is_new.any():
             return empty
+        _check_cluster_budget(
+            n, len(pdf[vec_col].iloc[0]), cluster_cell_budget,
+            "within_cluster_delta_pairs",
+        )
         X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         Xn, ids_n = X[is_new], ids[is_new]
         outs_a, outs_b = [], []

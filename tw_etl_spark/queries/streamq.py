@@ -110,8 +110,10 @@ def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
     "a parquet drop directory, a file-source STREAM reads them "
     "(explicit schema, no inference), and tumbling (1h), sliding "
     "(1h/30min), and per-user session (30min gap) event-time windows "
-    "with watermarks aggregate into memory sinks (three branches, one "
-    "row). The tumble oracle is the batch hourly rollup; the slide "
+    "with watermarks aggregate three branches — tumble/slide drain "
+    "through the update-mode foreachBatch parquet ledger "
+    "(streaming/sinks.drain_stream_latest), session through an "
+    "append memory sink. The tumble oracle is the batch hourly rollup; the slide "
     "oracle expands each row into its duration/slide = 2 windows via "
     "unnest; the session branch runs APPEND mode, whose emission rule "
     "on a drained availableNow stream is exactly 'session end "
@@ -171,16 +173,26 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    out_t, out_s, out_g = run_streams_to_memory(
-        [
-            (tumble, f"st1_t_{tag}", "complete"),
-            (slide, f"st1_s_{tag}", "complete"),
-            # complete mode is unsupported for session windows (state
-            # merge); append's watermark-cutoff emission is pinned in
-            # the oracle instead.
-            (sess, f"st1_g_{tag}", "append"),
-        ]
+    # Tumble/slide drain through the scale-safe update-mode parquet
+    # ledger (VERDICT r11 #6: the old complete-mode memory sinks were
+    # whitelist-justified by window cardinality, but the whitelist is
+    # now unnecessary — changed windows ship to executor-written
+    # parquet and the latest-per-window resolve is one keyed shuffle).
+    from tw_etl_spark.streaming.sinks import drain_stream_latest
+
+    drain_root, _ = _scratch(sf_dir, "st1drain")
+    out_t = drain_stream_latest(
+        tumble, ["win_start", "key"],
+        os.path.join(drain_root, "t"), f"st1_t_{tag}",
     )
+    out_s = drain_stream_latest(
+        slide, ["win_start", "key"],
+        os.path.join(drain_root, "s"), f"st1_s_{tag}",
+    )
+    # complete/update latest-resolve is unsupported for session windows
+    # (state merge can re-key a session); append's watermark-cutoff
+    # emission is pinned in the oracle instead.
+    (out_g,) = run_streams_to_memory([(sess, f"st1_g_{tag}", "append")])
     return (
         out_t.unionByName(out_s)
         .unionByName(out_g)
