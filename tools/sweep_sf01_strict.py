@@ -1,10 +1,18 @@
 """Full-registry sf0.1 sweep under the STRICT oracle harness: run every
 oracle-bearing registered query Spark vs DuckDB on the sf0.1 tables
-through tests.oracle_utils.check_query (exact stringified values,
-dtype-kind schema gate) and record per-side wall times — so the
-COVERAGE.md sf0.1 claim is a measured artifact, and the DuckDB replay
-cost of the heavy twin oracles (dd3p's band join, dd8p's recursive
-CTE) stays visible as the data scales.
+and record per-side wall times — so the COVERAGE.md sf0.1 claim is a
+measured artifact, and the DuckDB replay cost of the heavy twin
+oracles (dd3p's band join, dd8p's recursive CTE) stays visible as the
+data scales.
+
+Compare tiers (VERDICT r11 #2): the IN-ENGINE canonical hash runs
+first — each engine reduces its own result to (row count, hash sum)
+and only two scalars reach the harness, so the compare itself is
+scale-free. Non-scalar schemas fall back to the pandas compare, and an
+in-engine MISMATCH is re-adjudicated by the pandas compare (the
+authoritative driver-mirroring tier) before a failure is declared —
+the fast path can never false-fail. Each row records which tier
+decided it ("compare": inengine | pandas | pandas-adjudicated).
 
 Run: PYTHONPATH=. python tools/sweep_sf01_strict.py 2>/dev/null
 Writes tools/sweep_sf01_strict.json; prints failures and the slowest
@@ -16,12 +24,11 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.oracle_utils import assert_frames_match, run_oracle
+from tests.oracle_utils import strict_compare
 from tw_etl_spark.queries import all_queries
 from tw_etl_spark.session import get_spark
 
@@ -54,27 +61,18 @@ def main() -> int:
             continue
         if only and name not in only.split(","):
             continue
-        row: dict = {}
         try:
-            t0 = time.perf_counter()
-            spark_pdf = spec.spark(spark, SF_DIR).toPandas()
-            row["spark_s"] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            oracle_pdf = run_oracle(spec.oracle, SF_DIR)
-            row["oracle_s"] = round(time.perf_counter() - t0, 3)
-            row["rows"] = len(spark_pdf)
-            assert_frames_match(spark_pdf, oracle_pdf, name)
-            row["ok"] = True
+            row = strict_compare(spark, spec, SF_DIR)
         except Exception as exc:  # noqa: BLE001 — sweep must finish
-            row["ok"] = False
-            row["err"] = f"{type(exc).__name__}: {exc}"[:500]
+            row = {"ok": False, "err": f"{type(exc).__name__}: {exc}"[:500]}
             failures.append(name)
             traceback.print_exc(limit=2)
         results[name] = row
         status = "ok" if row.get("ok") else "FAIL"
         print(
             f"{status:4s} {name:40s} spark={row.get('spark_s', '-'):>8} "
-            f"oracle={row.get('oracle_s', '-'):>8} rows={row.get('rows', '-')}",
+            f"oracle={row.get('oracle_s', '-'):>8} "
+            f"rows={row.get('rows', '-')} {row.get('compare', '')}",
             flush=True,
         )
     failures = [n for n, r in results.items() if not r.get("ok")]

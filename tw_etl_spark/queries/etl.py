@@ -381,9 +381,36 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM b2),
     sizes AS (SELECT doc_id AS doc, len(toks) AS n FROM b2),
+    -- prefix-filtered candidate generation (VERDICT r11 #3): the old
+    -- all-pairs shared-token self-join is quadratic in hot-token df
+    -- and exhausted the box's disk at sf1. PPJoin prefix principle:
+    -- under ANY global token order, two sets with Jaccard >= t share
+    -- a token within their first (n - ceil(t*n) + 1) tokens — so the
+    -- candidate join touches only those rare-ordered prefixes and the
+    -- exact shared count is computed per CANDIDATE, never all-pairs.
+    -- Lossless: candidates are a superset of all qualifying pairs.
+    df_rank AS (SELECT tk, count(*) AS df FROM ex GROUP BY tk),
+    ranked AS (
+        SELECT e.doc, e.tk,
+               row_number() OVER (
+                   PARTITION BY e.doc ORDER BY d.df, e.tk
+               ) AS rn
+        FROM ex e JOIN df_rank d USING (tk)
+    ),
+    pre AS (
+        SELECT r.doc, r.tk
+        FROM ranked r JOIN sizes s ON s.doc = r.doc
+        WHERE r.rn <= s.n - ceil(0.95 * s.n) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM pre a JOIN pre b ON a.tk = b.tk AND a.doc < b.doc
+    ),
     shared AS (
-        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS sh
-        FROM ex a JOIN ex b ON a.tk = b.tk AND a.doc < b.doc
+        SELECT c.id_a, c.id_b, count(*) AS sh
+        FROM cand c
+        JOIN ex ea ON ea.doc = c.id_a
+        JOIN ex eb ON eb.doc = c.id_b AND eb.tk = ea.tk
         GROUP BY 1, 2
     ),
     pairs AS (
