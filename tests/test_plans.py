@@ -468,3 +468,137 @@ def test_j80_join_keys_carry_salt(spark):
         assert re.search(r"hashpartitioning\(k#\d+L?, __salt", plan2), plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_banded_index_scan_prunes_partitions(spark, tmp_path):
+    """The persisted delta index layout (VERDICT r11 #4): banded rows
+    land partitionBy(band), so a per-band probe is a PRUNED directory
+    scan — PartitionFilters on band, never a full-index read — and the
+    candidate-generation read touches only (doc, band, bucket), never
+    the signatures (separate artifact)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        minhash_signatures_portable,
+        read_banded_index,
+        write_banded_index,
+    )
+    from tw_etl_spark.catalog import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(200)
+    root = str(tmp_path / "idx")
+    write_banded_index(
+        minhash_signatures_portable(docs, num_hashes=16), root,
+        num_hashes=16, bands=4,
+    )
+    banded, sigs = read_banded_index(spark, root)
+    plan = explain_str(banded.filter(F.col("band") == 2))
+    assert re.search(r"PartitionFilters: \[[^\]]*band[^\]]*= 2", plan), plan
+    # schema of the banded artifact: exactly the candidate-gen columns
+    assert {f.name for f in banded.schema.fields} == {"doc", "band", "bucket"}
+    assert {f.name for f in sigs.schema.fields} == {"doc_id", "signature"}
+
+
+def test_prebanded_delta_never_rebands_the_index(spark, tmp_path):
+    """lsh_delta_pairs_prebanded's 100 TB contract: the md5 banding
+    work in the candidate plan is proportional to the NEW batch only —
+    the index side is a parquet scan of pre-banded rows. The plan must
+    contain NO md5 computation over the index scan branch: every md5
+    in the candidate plan hangs off the new batch's in-memory
+    signatures (localCheckpoint), so the banded parquet scan feeds the
+    join directly."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        lsh_delta_pairs_prebanded,
+        minhash_signatures_portable,
+        read_banded_index,
+        write_banded_index,
+    )
+    from tw_etl_spark.catalog import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "idx")
+    write_banded_index(
+        minhash_signatures_portable(old, num_hashes=16), root,
+        num_hashes=16, bands=4,
+    )
+    banded, sigs = read_banded_index(spark, root)
+    pairs, _, _ = lsh_delta_pairs_prebanded(
+        new, banded, sigs, num_hashes=16, bands=4, threshold=0.5
+    )
+    plan = explain_str(pairs)
+    # the index branch is a real parquet scan of the banded dir whose
+    # ReadSchema contains the STORED bucket column — the buckets come
+    # off disk, they are not an md5 Project over the signature table
+    # (which is what the non-prebanded form's plan shows: its sigs
+    # scan reads `signature` and computes buckets above the scan)
+    scan_blocks = [
+        b for b in plan.split("\n\n")
+        if "Location" in b and "/banded" in b and "ReadSchema" in b
+    ]
+    assert scan_blocks, plan  # the index scan is really the parquet dir
+    assert any("bucket" in b and "md5" not in b for b in scan_blocks), (
+        scan_blocks
+    )
+    # and the contrast: the portable (re-banding) form reads ONLY the
+    # signature column from its index and must compute buckets — its
+    # index scan has no stored bucket to read
+    from tw_etl_spark.operators.dedup import lsh_delta_pairs_portable
+
+    pairs_full, _ = lsh_delta_pairs_portable(
+        new, sigs, num_hashes=16, bands=4, threshold=0.5
+    )
+    full_plan = explain_str(pairs_full)
+    full_scans = [
+        b for b in full_plan.split("\n\n")
+        if "Location" in b and "/sigs" in b and "ReadSchema" in b
+    ]
+    assert full_scans and all("bucket" not in b for b in full_scans), (
+        full_scans
+    )
+
+
+def test_bucketed_survivor_merge_reads_index_without_exchange(spark, tmp_path):
+    """The sig-bucketed survivor index (VERDICT r11 #4): the daily
+    merge's full-outer join must consume the index branch straight off
+    the bucket files — 'Bucketed: true' on the index scan and no
+    Exchange between that scan and the join. (The delta branch still
+    shuffles — it is delta-sized; the index branch is corpus-sized and
+    must not.)"""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.operators.dedup import (
+        merge_survivor_index_bucketed,
+        write_survivor_index_bucketed,
+    )
+
+    idx = spark.createDataFrame(
+        [(f"s{i % 7}", i, 1) for i in range(50)],
+        "sig string, survivor long, n_members long",
+    ).groupBy("sig").agg(
+        F.min("survivor").alias("survivor"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    write_survivor_index_bucketed(idx, "test_surv_bucketed")
+    try:
+        index = spark.table("test_surv_bucketed")
+        delta = spark.createDataFrame(
+            [("s1", 100, 2), ("zz", 9, 1)],
+            "sig string, survivor long, n_members long",
+        )
+        merged = merge_survivor_index_bucketed(index, delta)
+        plan = explain_str(merged)
+        assert "Bucketed: true" in plan, plan
+        # the merged values match the plain fold exactly
+        from tw_etl_spark.operators.dedup import merge_survivor_index
+
+        a = {tuple(r) for r in merged.collect()}
+        b = {tuple(r) for r in merge_survivor_index(index, delta).collect()}
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_surv_bucketed")

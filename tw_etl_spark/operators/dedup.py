@@ -697,6 +697,162 @@ def merge_survivor_index(
     )
 
 
+def write_survivor_index_bucketed(
+    df: DataFrame, table: str, n_buckets: int = 16
+) -> None:
+    """Persist a survivor table (sig, survivor, n_members) as a
+    sig-BUCKETED, sig-sorted parquet table (VERDICT r11 #4): the write
+    pays the sig shuffle ONCE, and every daily merge thereafter joins
+    the index side straight off the bucket files — no Exchange over
+    history (see :func:`merge_survivor_index_bucketed`), which is the
+    difference between a daily O(|delta|) job and re-shuffling a
+    corpus-sized index every day."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "sig")
+        .sortBy("sig")
+        .saveAsTable(table)
+    )
+
+
+def merge_survivor_index_bucketed(
+    index: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """:func:`merge_survivor_index` shaped for a bucketed index: the
+    small delta pre-aggregates per sig (one shuffle of delta-sized
+    data), then a full-outer join on sig merges it into the index —
+    whose bucketed layout joins WITHOUT an Exchange (plan-asserted in
+    tests/test_plans.py). min-survivorship and additive counts match
+    the fold exactly: F.least/greatest skip nulls, so an index-only or
+    delta-only sig keeps its side's values."""
+    d = delta.groupBy("sig").agg(
+        F.min("survivor").alias("survivor"),
+        F.sum("n_members").cast("long").alias("n_members"),
+    )
+    i, dl = index.alias("i"), d.alias("d")
+    return i.join(dl, "sig", "full_outer").select(
+        "sig",
+        F.least("i.survivor", "d.survivor").alias("survivor"),
+        (
+            F.coalesce("i.n_members", F.lit(0))
+            + F.coalesce("d.n_members", F.lit(0))
+        ).cast("long").alias("n_members"),
+    )
+
+
+def write_banded_index(
+    sigs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the delta-dedup index in its QUERY-SHAPED layout
+    (VERDICT r11 #4): the daily job should consume a pruned parquet
+    scan, not re-band the whole corpus.
+
+    Two artifacts under ``path``:
+
+    - ``banded/`` — the PRE-BANDED rows (doc, bucket), written
+      ``partitionBy(band)``: candidate generation reads exactly these
+      three columns (band comes back as the partition column, so a
+      per-band probe is a pruned directory scan), and — the 100 TB
+      point — the md5 banding of the historical corpus is computed
+      ONCE at write time instead of once per daily batch
+      (`lsh_delta_pairs_portable` re-bands the full updated index
+      every call at dedup.py's `_band_buckets_portable`).
+    - ``sigs/`` — the raw signature table (id, signature) the verify
+      join consumes.
+
+    Both are APPEND-friendly: banded rows and signatures are immutable
+    facts keyed by doc, so the daily job folds the new batch in with
+    ``mode="append"`` — no rewrite of history, which is what makes the
+    layout viable when the index is 100 TB-corpus-sized.
+    """
+    import os
+
+    _band_buckets_portable(sigs, id_col, num_hashes, bands).write.mode(
+        mode
+    ).partitionBy("band").parquet(os.path.join(path, "banded"))
+    sigs.write.mode(mode).parquet(os.path.join(path, "sigs"))
+
+
+def read_banded_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(banded, sigs) readers for a :func:`write_banded_index` root."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "banded")),
+        spark.read.parquet(os.path.join(path, "sigs")),
+    )
+
+
+def lsh_delta_pairs_prebanded(
+    new_df: DataFrame,
+    index_banded: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`lsh_delta_pairs_portable` against a PERSISTED pre-banded
+    index (:func:`write_banded_index`): only the NEW batch is signed
+    and banded; the index side is a parquet scan of (doc, band,
+    bucket) — zero md5 recompute over history, which at 100 TB turns
+    the daily banding cost from O(|corpus|) hashing into a columnar
+    read. Ids must be disjoint from the index by contract (same as the
+    portable form).
+
+    Returns ``(delta_pairs, new_sigs, new_banded)`` — the caller
+    appends the last two to the persisted index (``mode="append"``)
+    AFTER materializing the pairs (the pairs plan reads the index
+    parquet, so appending first would feed the plan its own output).
+    """
+    new_sigs = minhash_signatures_portable(
+        new_df, id_col, text_col, num_hashes
+    ).localCheckpoint()
+    new_banded = _band_buckets_portable(new_sigs, id_col, num_hashes, bands)
+    banded_all = index_banded.select("doc", "band", "bucket").unionByName(
+        new_banded
+    )
+    n, al = new_banded.alias("n"), banded_all.alias("al")
+    cand = (
+        n.join(
+            al,
+            (F.col("n.band") == F.col("al.band"))
+            & (F.col("n.bucket") == F.col("al.bucket"))
+            & (F.col("n.doc") != F.col("al.doc")),
+        )
+        .select(
+            F.least("n.doc", "al.doc").alias("id_a"),
+            F.greatest("n.doc", "al.doc").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_sigs = index_sigs.unionByName(new_sigs)
+    sa = all_sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sb = all_sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    est = agree / F.lit(num_hashes)
+    delta_pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return delta_pairs, new_sigs, new_banded
+
+
 def simhash_portable_expr(text: Column, bits: int = 32) -> Column:
     """SimHash over the portable 32-bit hash family: token hash = first
     8 hex chars of md5(token) parsed as an unsigned 32-bit int —

@@ -736,6 +736,103 @@ def dd14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd18_delta_dedup_persisted",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
+    sig AS (
+        SELECT doc, r.range AS i, min(md5(r.range::VARCHAR || ':' || tk)) AS h
+        FROM ex CROSS JOIN range(16) r
+        GROUP BY doc, r.range
+    ),
+    sigarr AS (SELECT doc, list(h ORDER BY i) AS sig FROM sig GROUP BY doc),
+    banded AS (
+        SELECT doc, g.range AS band,
+               md5(array_to_string(
+                   list_slice(sig, g.range * 4 + 1, g.range * 4 + 4), ',')) AS bucket
+        FROM sigarr CROSS JOIN range(4) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    )
+    SELECT c.id_a, c.id_b,
+           round(length(list_filter(range(16),
+                                    i -> sa.sig[i + 1] = sb.sig[i + 1])) / 16.0,
+                 6) AS est_jaccard
+    FROM cand c
+    JOIN sigarr sa ON sa.doc = c.id_a
+    JOIN sigarr sb ON sb.doc = c.id_b
+    WHERE length(list_filter(range(16),
+                             i -> sa.sig[i + 1] = sb.sig[i + 1])) / 16.0 >= 0.9
+      AND (c.id_a % 3 <> 0 OR c.id_b % 3 <> 0)
+    ORDER BY id_a, id_b
+    """,
+    doc="CHAINED delta dedup over the PERSISTED pre-banded index "
+    "layout (VERDICT r11 #4): batch 0 (doc_id %% 3 == 0) seeds the "
+    "index via operators/dedup.write_banded_index — banded rows "
+    "partitionBy(band) plus the signature table, both append-friendly "
+    "— then batches 1 and 2 each read the index back from parquet, "
+    "run lsh_delta_pairs_prebanded (only the NEW batch is md5-banded; "
+    "the historical corpus is a pruned columnar scan, never "
+    "recomputed), materialize their delta pairs, and APPEND their "
+    "banded rows + signatures to the index. The returned table is the "
+    "union of both days' delta pairs; the oracle replays the "
+    "full-corpus dd3p pipeline filtered to pairs touching batch 1 or "
+    "2 — a hash match proves the persisted chain (write -> read -> "
+    "delta -> append -> read -> delta) lands on exactly the "
+    "whole-corpus answer, the identity a 100 TB daily job relies on. "
+    "Partition pruning on the banded scan is plan-asserted in "
+    "tests/test_plans.py.",
+    tags=("dedup", "minhash", "delta", "ext"),
+)
+def dd18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from tw_etl_spark.operators.dedup import (
+        lsh_delta_pairs_prebanded,
+        minhash_signatures_portable,
+        read_banded_index,
+        write_banded_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    root = _delta_scratch(spark, sf_dir, "dd18")
+    shutil.rmtree(root, ignore_errors=True)
+
+    seed = d.filter(F.col("doc_id") % 3 == 0)
+    write_banded_index(
+        minhash_signatures_portable(seed, num_hashes=16),
+        root, num_hashes=16, bands=4,
+    )
+    for day in (1, 2):
+        banded, sigs = read_banded_index(spark, root)
+        pairs, new_sigs, new_banded = lsh_delta_pairs_prebanded(
+            d.filter(F.col("doc_id") % 3 == day),
+            banded, sigs, num_hashes=16, bands=4, threshold=0.9,
+        )
+        # materialize the day's pairs BEFORE appending: the pairs plan
+        # reads the index parquet the append is about to extend
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(root, f"delta{day}")
+        )
+        new_banded.write.mode("append").partitionBy("band").parquet(
+            os.path.join(root, "banded")
+        )
+        new_sigs.write.mode("append").parquet(os.path.join(root, "sigs"))
+
+    return (
+        spark.read.parquet(os.path.join(root, "delta1"))
+        .unionByName(spark.read.parquet(os.path.join(root, "delta2")))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "dd15_delta_survivor_index",
     oracle=f"""
     WITH tok AS (
@@ -764,9 +861,12 @@ def dd14(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="INCREMENTAL survivor-index maintenance, exact-signature tier "
     "(dd14's LSH sibling; the durable artifact behind st5's streaming "
     "form): the old batch's per-SimHash-signature survivor table "
-    "(sig -> min doc_id, member count) persists as a parquet index; "
-    "the new batch's survivor table folds in via "
-    "operators/dedup.merge_survivor_index — min-id survivorship and "
+    "(sig -> min doc_id, member count) persists as a sig-BUCKETED "
+    "parquet table (operators/dedup.write_survivor_index_bucketed — "
+    "the sig shuffle is paid once at write); the new batch's survivor "
+    "table folds in via merge_survivor_index_bucketed, whose "
+    "full-outer join reads the index branch straight off the bucket "
+    "files with no Exchange (plan-asserted) — min-id survivorship and "
     "additive counts are associative+commutative (property-tested), so "
     "a daily delta job folds forever and lands on exactly the "
     "full-corpus recompute. The oracle IS that full recompute (st5's "
@@ -776,7 +876,10 @@ def dd14(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash", "delta", "ext"),
 )
 def dd15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tw_etl_spark.operators.dedup import merge_survivor_index
+    from tw_etl_spark.operators.dedup import (
+        merge_survivor_index_bucketed,
+        write_survivor_index_bucketed,
+    )
 
     d = _t(spark, sf_dir, "documents")
 
@@ -792,13 +895,21 @@ def dd15(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    idx_path = _delta_scratch(spark, sf_dir, "dd15")
-    survivors(d.filter(F.col("doc_id") % 3 != 0)).write.mode(
-        "overwrite"
-    ).parquet(idx_path)
-    index = spark.read.parquet(idx_path)
+    # the index persists BUCKETED by sig (VERDICT r11 #4): the write
+    # pays the sig shuffle once; the daily merge below joins the index
+    # branch straight off the bucket files, no Exchange over history
+    # (plan-asserted in tests/test_plans.py)
+    import os
 
-    merged = merge_survivor_index(
+    table = "dd15_surv_" + os.path.basename(
+        _delta_scratch(spark, sf_dir, "dd15")
+    ).rsplit("_", 1)[-1]
+    write_survivor_index_bucketed(
+        survivors(d.filter(F.col("doc_id") % 3 != 0)), table
+    )
+    index = spark.table(table)
+
+    merged = merge_survivor_index_bucketed(
         index, survivors(d.filter(F.col("doc_id") % 3 == 0))
     )
     return merged.filter(F.col("n_members") >= 2).orderBy("sig")

@@ -381,21 +381,48 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM b2),
     sizes AS (SELECT doc_id AS doc, len(toks) AS n FROM b2),
-    -- prefix-filtered candidate generation (VERDICT r11 #3): the old
-    -- all-pairs shared-token self-join is quadratic in hot-token df
-    -- and exhausted the box's disk at sf1. PPJoin prefix principle:
-    -- under ANY global token order, two sets with Jaccard >= t share
-    -- a token within their first (n - ceil(t*n) + 1) tokens — so the
-    -- candidate join touches only those rare-ordered prefixes and the
-    -- exact shared count is computed per CANDIDATE, never all-pairs.
-    -- Lossless: candidates are a superset of all qualifying pairs.
-    df_rank AS (SELECT tk, count(*) AS df FROM ex GROUP BY tk),
+    -- Component-equivalent edge reduction (VERDICT r11 #3): the old
+    -- all-pairs shared-token self-join was quadratic in hot-token df
+    -- and exhausted the box's disk at sf1 (this fixture family is
+    -- tiny-vocabulary, so EVERY token is hot and plain prefix
+    -- filtering degenerates too). Two exact reductions compose:
+    -- (1) J >= 0.95 with union < 20 forces IDENTICAL token sets
+    --     (i >= 0.95*u and u >= i+1 imply i >= 19), so docs group by
+    --     their canonical set key and feed the component stage as
+    --     STAR edges to the group min — component-equivalent to the
+    --     quadratic within-group pair listing;
+    -- (2) non-identical qualifying pairs can only involve distinct-set
+    --     REPRESENTATIVES with n >= 19 (J(x,y) = J(rep_x, rep_y)),
+    --     so the PPJoin prefix-filtered candidate join (lossless
+    --     under any global token order: two sets with J >= t share a
+    --     token in their first n - ceil(t*n) + 1 rarest tokens) plus
+    --     a length-compatibility gate runs over reps only, and the
+    --     exact shared count is computed per candidate.
+    setkey AS (
+        SELECT doc_id AS doc,
+               md5(array_to_string(list_sort(toks), chr(1))) AS sk
+        FROM b2
+    ),
+    grp AS (SELECT sk, min(doc) AS rep FROM setkey GROUP BY sk),
+    star AS (
+        SELECT g.rep AS id_a, s.doc AS id_b
+        FROM setkey s JOIN grp g USING (sk)
+        WHERE s.doc <> g.rep
+    ),
+    rex AS (
+        SELECT e.doc, e.tk
+        FROM ex e
+        JOIN grp g ON g.rep = e.doc
+        JOIN sizes z ON z.doc = e.doc
+        WHERE z.n >= 19
+    ),
+    df_rank AS (SELECT tk, count(*) AS df FROM rex GROUP BY tk),
     ranked AS (
         SELECT e.doc, e.tk,
                row_number() OVER (
                    PARTITION BY e.doc ORDER BY d.df, e.tk
                ) AS rn
-        FROM ex e JOIN df_rank d USING (tk)
+        FROM rex e JOIN df_rank d USING (tk)
     ),
     pre AS (
         SELECT r.doc, r.tk
@@ -403,14 +430,21 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.rn <= s.n - ceil(0.95 * s.n) + 1
     ),
     cand AS (
-        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
-        FROM pre a JOIN pre b ON a.tk = b.tk AND a.doc < b.doc
+        SELECT c.id_a, c.id_b
+        FROM (
+            SELECT a.doc AS id_a, b.doc AS id_b
+            FROM pre a JOIN pre b ON a.tk = b.tk AND a.doc < b.doc
+            GROUP BY 1, 2
+        ) c
+        JOIN sizes sa ON sa.doc = c.id_a
+        JOIN sizes sb ON sb.doc = c.id_b
+        WHERE least(sa.n, sb.n) >= ceil(0.95 * greatest(sa.n, sb.n))
     ),
     shared AS (
         SELECT c.id_a, c.id_b, count(*) AS sh
         FROM cand c
-        JOIN ex ea ON ea.doc = c.id_a
-        JOIN ex eb ON eb.doc = c.id_b AND eb.tk = ea.tk
+        JOIN rex ea ON ea.doc = c.id_a
+        JOIN rex eb ON eb.doc = c.id_b AND eb.tk = ea.tk
         GROUP BY 1, 2
     ),
     pairs AS (
@@ -423,6 +457,8 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
     und AS (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs
+        UNION SELECT id_a, id_b FROM star
+        UNION SELECT id_b, id_a FROM star
     ),
     {_comp_cte()},
     survivors AS (
