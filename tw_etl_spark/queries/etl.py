@@ -383,21 +383,26 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT doc_id AS doc, len(toks) AS n FROM b2),
     -- Component-equivalent edge reduction (VERDICT r11 #3): the old
     -- all-pairs shared-token self-join was quadratic in hot-token df
-    -- and exhausted the box's disk at sf1 (this fixture family is
+    -- and exhausted the box's disk at sf1; this fixture family is
     -- tiny-vocabulary, so EVERY token is hot and plain prefix
-    -- filtering degenerates too). Two exact reductions compose:
-    -- (1) J >= 0.95 with union < 20 forces IDENTICAL token sets
-    --     (i >= 0.95*u and u >= i+1 imply i >= 19), so docs group by
-    --     their canonical set key and feed the component stage as
-    --     STAR edges to the group min — component-equivalent to the
-    --     quadratic within-group pair listing;
-    -- (2) non-identical qualifying pairs can only involve distinct-set
-    --     REPRESENTATIVES with n >= 19 (J(x,y) = J(rep_x, rep_y)),
-    --     so the PPJoin prefix-filtered candidate join (lossless
-    --     under any global token order: two sets with J >= t share a
-    --     token in their first n - ceil(t*n) + 1 rarest tokens) plus
-    --     a length-compatibility gate runs over reps only, and the
-    --     exact shared count is computed per candidate.
+    -- filtering degenerates too (measured: 160M prefix candidates at
+    -- sf1 even over distinct-set representatives). Three EXACT tiers
+    -- compose — J = i/u >= 0.95 and u > i force i >= 19*(u-i), so a
+    -- qualifying pair has (u-i = 0) identical sets, (u-i = 1, i>=19)
+    -- sets differing by exactly one element, or (u-i>=2) i >= 38,
+    -- i.e. BOTH sides hold >= 38 distinct tokens:
+    -- (A) identical sets: group docs by canonical set key; STAR edges
+    --     to the group min are component-equivalent to the quadratic
+    --     within-group pair listing;
+    -- (B) one-element difference: B = A minus one token — join A's
+    --     1-DELETION keys against B's full key over distinct-set
+    --     representatives (J(x,y) = J(rep_x, rep_y)); |B| >= 19 is
+    --     the exact threshold test, no shared-count needed;
+    -- (C) u-i >= 2: both n >= 38 — the PPJoin prefix-filtered
+    --     candidate join (lossless under any global token order) +
+    --     length gate + exact shared-count verify, restricted to
+    --     n >= 38 representatives (empty at these fixtures, kept so
+    --     the oracle stays exact for arbitrary corpora).
     setkey AS (
         SELECT doc_id AS doc,
                md5(array_to_string(list_sort(toks), chr(1))) AS sk
@@ -409,12 +414,36 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM setkey s JOIN grp g USING (sk)
         WHERE s.doc <> g.rep
     ),
+    rsets AS (
+        SELECT g.rep AS doc, list_sort(b.toks) AS st, len(b.toks) AS n
+        FROM grp g JOIN b2 b ON b.doc_id = g.rep
+    ),
+    fullkey AS (
+        SELECT doc, n, md5(array_to_string(st, chr(1))) AS k FROM rsets
+    ),
+    delpos AS (
+        SELECT doc, n, st, unnest(generate_series(1, n)) AS j FROM rsets
+    ),
+    delk AS (
+        SELECT doc, n,
+               md5(array_to_string(
+                   list_concat(st[1:j - 1], st[j + 1:len(st)]), chr(1)
+               )) AS k
+        FROM delpos
+    ),
+    contain AS (
+        SELECT least(f.doc, d.doc) AS id_a,
+               greatest(f.doc, d.doc) AS id_b
+        FROM fullkey f
+        JOIN delk d ON f.k = d.k AND f.doc <> d.doc
+        WHERE f.n >= 19
+    ),
     rex AS (
         SELECT e.doc, e.tk
         FROM ex e
         JOIN grp g ON g.rep = e.doc
         JOIN sizes z ON z.doc = e.doc
-        WHERE z.n >= 19
+        WHERE z.n >= 38
     ),
     df_rank AS (SELECT tk, count(*) AS df FROM rex GROUP BY tk),
     ranked AS (
@@ -459,6 +488,8 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION SELECT id_b, id_a FROM pairs
         UNION SELECT id_a, id_b FROM star
         UNION SELECT id_b, id_a FROM star
+        UNION SELECT id_a, id_b FROM contain
+        UNION SELECT id_b, id_a FROM contain
     ),
     {_comp_cte()},
     survivors AS (
