@@ -843,3 +843,61 @@ def test_cluster_cell_budget_rejects_oversized_cluster(spark):
         ).collect()
     # the default budget admits the same input untouched
     assert within_cluster_pairs(df, "id", "u", "cluster", 0.9).count() > 0
+
+
+def test_prebanded_delta_identity_with_portable_form(spark, tmp_path):
+    """The persisted-layout delta (dd18's primitive) must emit exactly
+    the pairs of lsh_delta_pairs_portable given the same split — the
+    layout changes WHERE banding work happens (write time vs query
+    time), never the answer. Also pins the append chain: after folding
+    batch 1 into the index on disk, batch 2's delta against the
+    re-read index equals the portable two-batch chain."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.dedup import (
+        lsh_delta_pairs_portable,
+        lsh_delta_pairs_prebanded,
+        minhash_signatures_portable,
+        read_banded_index,
+        write_banded_index,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    root = str(tmp_path / "idx")
+    sig0 = minhash_signatures_portable(b0, num_hashes=16).localCheckpoint()
+    write_banded_index(sig0, root, num_hashes=16, bands=4)
+
+    def pairs_set(df):
+        return {(r.id_a, r.id_b, r.est_jaccard) for r in df.collect()}
+
+    # batch 1: prebanded == portable against the same index
+    banded, sigs = read_banded_index(spark, root)
+    got1, new_sigs, new_banded = lsh_delta_pairs_prebanded(
+        b1, banded, sigs, num_hashes=16, bands=4, threshold=0.5
+    )
+    want1, updated = lsh_delta_pairs_portable(
+        b1, sig0, num_hashes=16, bands=4, threshold=0.5
+    )
+    got1_set = pairs_set(got1)
+    assert got1_set == pairs_set(want1)
+    assert got1_set  # the fixture's dup structure guarantees pairs
+
+    # fold batch 1 into the persisted index, then batch 2
+    import os
+
+    new_banded.write.mode("append").partitionBy("band").parquet(
+        os.path.join(root, "banded")
+    )
+    new_sigs.write.mode("append").parquet(os.path.join(root, "sigs"))
+    banded2, sigs2 = read_banded_index(spark, root)
+    got2, _, _ = lsh_delta_pairs_prebanded(
+        b2, banded2, sigs2, num_hashes=16, bands=4, threshold=0.5
+    )
+    want2, _ = lsh_delta_pairs_portable(
+        b2, updated, num_hashes=16, bands=4, threshold=0.5
+    )
+    assert pairs_set(got2) == pairs_set(want2)
