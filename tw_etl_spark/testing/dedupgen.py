@@ -45,6 +45,7 @@ KINDS = (
     "afp",  # dd12: audio fingerprint near-dup over synth WAVs
     "vfp",  # dd13: video fingerprint near-dup over synth PPM streams
     "delta",  # dd14: incremental dedup vs a persisted signature index
+    "deltap",  # dd18: the delta against the PERSISTED pre-banded index
 )
 
 
@@ -346,7 +347,7 @@ def generate(seed: int) -> DedupCase:
 
         params = {"max_hamming": rng.choice((3, 7, 12))}
         sql = _dd13_oracle(params["max_hamming"])
-    elif kind == "delta":
+    elif kind in ("delta", "deltap"):
         n = rng.choice(_MINHASH_N)
         divs = [b for b in (2, 4, 5) if n % b == 0]
         params = {
@@ -476,6 +477,45 @@ def run_spark(spark: SparkSession, case: DedupCase) -> DataFrame:
         delta, _ = lsh_delta_pairs_portable(
             new,
             index,
+            num_hashes=p["num_hashes"],
+            bands=p["bands"],
+            threshold=p["threshold"],
+        )
+        return delta.orderBy("id_a", "id_b")
+    if case.kind == "deltap":
+        # the same delta semantics through the PERSISTED pre-banded
+        # layout (dd18's primitive): write the index, read it back,
+        # band only the new batch — same oracle as "delta"
+        import os
+        import shutil
+        import tempfile
+
+        from tw_etl_spark.operators.dedup import (
+            lsh_delta_pairs_prebanded,
+            minhash_signatures_portable,
+            read_banded_index,
+            write_banded_index,
+        )
+
+        mod = p["delta_mod"]
+        root = os.path.join(
+            tempfile.gettempdir(), "tw_etl_fuzz_deltap", str(case.seed)
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        write_banded_index(
+            minhash_signatures_portable(
+                df.filter(F.col("doc_id") % mod != 0),
+                num_hashes=p["num_hashes"],
+            ),
+            root,
+            num_hashes=p["num_hashes"],
+            bands=p["bands"],
+        )
+        banded, sigs = read_banded_index(spark, root)
+        delta, _, _ = lsh_delta_pairs_prebanded(
+            df.filter(F.col("doc_id") % mod == 0),
+            banded,
+            sigs,
             num_hashes=p["num_hashes"],
             bands=p["bands"],
             threshold=p["threshold"],
