@@ -569,7 +569,16 @@ def test_bucketed_survivor_merge_reads_index_without_exchange(spark, tmp_path):
     the bucket files — 'Bucketed: true' on the index scan and no
     Exchange between that scan and the join. (The delta branch still
     shuffles — it is delta-sized; the index branch is corpus-sized and
-    must not.)"""
+    must not.) autoBucketedScan is pinned OFF for the assertion: its
+    heuristic (DisableUnnecessaryBucketedScan) opts out of bucketed
+    reads it deems not worth the lost parallelism at toy file counts —
+    a tiny-fixture artifact, while the claim under test is that the
+    LAYOUT enables the exchange-free read; at corpus scale the
+    heuristic keeps the bucketed scan precisely because the Exchange
+    it avoids is the expensive one. The writer defaults n_buckets to
+    the session's shuffle partitions — measured: Spark only elides the
+    index-side Exchange when bucket count == the join's target
+    partition count."""
     from pyspark.sql import functions as F
 
     from tw_etl_spark.operators.dedup import (
@@ -585,7 +594,10 @@ def test_bucketed_survivor_merge_reads_index_without_exchange(spark, tmp_path):
         F.count(F.lit(1)).cast("long").alias("n_members"),
     )
     write_survivor_index_bucketed(idx, "test_surv_bucketed")
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old_auto = spark.conf.get(auto_key)
     try:
+        spark.conf.set(auto_key, "false")
         index = spark.table("test_surv_bucketed")
         delta = spark.createDataFrame(
             [("s1", 100, 2), ("zz", 9, 1)],
@@ -594,6 +606,20 @@ def test_bucketed_survivor_merge_reads_index_without_exchange(spark, tmp_path):
         merged = merge_survivor_index_bucketed(index, delta)
         plan = explain_str(merged)
         assert "Bucketed: true" in plan, plan
+        # no Exchange between the bucketed scan and the join: in the
+        # formatted plan tree the index branch is the lines from the
+        # join down to the bucketed scan — an Exchange there means the
+        # corpus-sized side re-shuffled and the layout bought nothing
+        tree = plan.split("\n\n")[0]
+        join_idx = next(
+            i for i, ln in enumerate(tree.splitlines()) if "Join" in ln
+        )
+        scan_idx = next(
+            i for i, ln in enumerate(tree.splitlines())
+            if "test_surv_bucketed" in ln
+        )
+        between = tree.splitlines()[join_idx + 1 : scan_idx]
+        assert not any("Exchange" in ln for ln in between), tree
         # the merged values match the plain fold exactly
         from tw_etl_spark.operators.dedup import merge_survivor_index
 
@@ -601,4 +627,5 @@ def test_bucketed_survivor_merge_reads_index_without_exchange(spark, tmp_path):
         b = {tuple(r) for r in merge_survivor_index(index, delta).collect()}
         assert a == b
     finally:
+        spark.conf.set(auto_key, old_auto)
         spark.sql("DROP TABLE IF EXISTS test_surv_bucketed")

@@ -698,7 +698,7 @@ def merge_survivor_index(
 
 
 def write_survivor_index_bucketed(
-    df: DataFrame, table: str, n_buckets: int = 16
+    df: DataFrame, table: str, n_buckets: int | None = None
 ) -> None:
     """Persist a survivor table (sig, survivor, n_members) as a
     sig-BUCKETED, sig-sorted parquet table (VERDICT r11 #4): the write
@@ -706,7 +706,18 @@ def write_survivor_index_bucketed(
     the index side straight off the bucket files — no Exchange over
     history (see :func:`merge_survivor_index_bucketed`), which is the
     difference between a daily O(|delta|) job and re-shuffling a
-    corpus-sized index every day."""
+    corpus-sized index every day.
+
+    ``n_buckets`` defaults to the session's ``spark.sql.shuffle.
+    partitions``: Spark only elides the index-side Exchange when the
+    join's target partition count equals the bucket count (measured —
+    16 buckets under 32 shuffle partitions re-shuffles the BUCKETED
+    side up to 32), so buckets must be sized to the consumer, the
+    standard bucketing sizing rule at any scale."""
+    if n_buckets is None:
+        n_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     (
         df.write.mode("overwrite")
         .format("parquet")
