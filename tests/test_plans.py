@@ -629,3 +629,41 @@ def test_bucketed_survivor_merge_reads_index_without_exchange(spark, tmp_path):
     finally:
         spark.conf.set(auto_key, old_auto)
         spark.sql("DROP TABLE IF EXISTS test_surv_bucketed")
+
+
+def test_ivf_persisted_probe_is_partition_pruned(spark, tmp_path):
+    """The persisted IVF index (v7p): nprobe must surface as parquet
+    partition PRUNING on the inverted-lists scan — PartitionFilters on
+    list_id with the probed subset, and the probed subset must be a
+    STRICT subset of the lists (otherwise the assert is vacuous). This
+    is the physical form of 'the unprobed share of the corpus is never
+    opened'."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        write_ivf_index,
+    )
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path / "ivf")
+    write_ivf_index(v, root, n_lists=16)
+    q = v.filter(F.col("vec_id") < 5)
+    out = ann_ivf_persisted_topk(q, root, nprobe=2, k=3)
+    plan = explain_str(out)
+    blocks = [
+        b for b in plan.split("\n\n")
+        if "Location" in b and "/lists" in b and "PartitionFilters" in b
+    ]
+    assert blocks, plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", blocks[0]).group(1)
+    assert "list_id" in pf, blocks[0]
+    # the probed set is a strict subset: 5 queries x 2 probes <= 10 of
+    # 16 lists; count the list-id literals in the filter
+    probed_ids = set(re.findall(r"\b(\d+)\b", pf))
+    assert 0 < len(probed_ids) < 16, pf
+    # and the result is non-trivial
+    assert out.count() == 15  # 5 queries x top-3

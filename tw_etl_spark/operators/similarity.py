@@ -22,6 +22,7 @@ semantics tests, never for bulk similarity.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -1012,6 +1013,132 @@ def ann_ivf_portable_topk(
         "rank",
         F.row_number()
         .over(Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("cand_id")))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+) -> None:
+    """Persist an IVF ANN index in its QUERY-SHAPED layout — the
+    similarity-family sibling of the delta-dedup banded index (VERDICT
+    r11 #4's theme made physical for ANN): centroids (tiny — n_lists x
+    dim doubles) beside the inverted lists written
+    ``partitionBy(list_id)``, so a query batch probing ``nprobe``
+    lists reads EXACTLY those directories — nprobe stops being a
+    candidate-count bookkeeping trick and becomes parquet partition
+    PRUNING (plan-asserted). At 100 TB the unprobed (n_lists - nprobe)
+    / n_lists of the corpus is never opened.
+
+    The quantizer is dd8p's relational k-means (fixed smallest-id
+    seeds + one exact scaled-integer Lloyd step) so every value in the
+    index — centroids, assignments — is engine-reconstructible and the
+    persisted query result sits under the full hash oracle (v7p)."""
+    from tw_etl_spark.operators.dedup import (
+        kmeans_assign_expr,
+        relational_kmeans_centroids,
+        unit_vectors,
+    )
+
+    uc = unit_vectors(corpus, id_col, vec_col)
+    _, cents = relational_kmeans_centroids(uc, n_lists)
+    spark = corpus.sparkSession
+    (
+        uc.select(
+            F.col("id").alias("cand_id"),
+            F.col("u").alias("cu"),
+            kmeans_assign_expr(cents).alias("list_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "lists"))
+    )
+    spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(cents)],
+        "j int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+
+
+def ann_ivf_persisted_topk(
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Query a :func:`write_ivf_index` artifact: assign each query its
+    ``nprobe`` nearest centroids (narrow map over the broadcast-tiny
+    centroid table), then scan ONLY the probed list partitions — the
+    driver collects the probed list-id set (at most n_lists ints, never
+    data-sized) and pushes it as a literal IN-filter so the parquet
+    scan partition-prunes. Ranking contract matches
+    :func:`ann_ivf_portable_topk` exactly (round-6 sim, id tiebreak)."""
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.functions.vectors import dot_expr
+    from tw_etl_spark.operators.dedup import kmeans_dists_expr, unit_vectors
+    from tw_etl_spark.operators.text import let_expr
+
+    spark = queries.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r.j,
+    )
+    cents = [list(r.c) for r in cent_rows]
+    nprobe = min(nprobe, len(cents))
+
+    probes = let_expr(
+        kmeans_dists_expr(cents),
+        lambda ds: F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                        lambda j: F.struct(
+                            F.element_at(ds, j + 1).alias("d"), j.alias("j")
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+            lambda s: s["j"],
+        ),
+    )
+    q = unit_vectors(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("u").alias("qu"),
+        F.explode(probes).alias("list_id"),
+    )
+    # the probed set is <= n_lists ints by construction (bounded by the
+    # index geometry, not the data) — collecting it is what turns
+    # nprobe into a STATIC partition filter on the lists scan
+    probed = sorted(
+        r.list_id for r in q.select("list_id").distinct().collect()
+    )
+    lists = spark.read.parquet(os.path.join(path, "lists")).filter(
+        F.col("list_id").isin(probed)
+    )
+    cand = q.join(lists, "list_id").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    sim = F.round(dot_expr(F.col("qu"), F.col("cu")), 6) + F.lit(0.0)
+    ranked = cand.select("query_id", "cand_id", sim.alias("sim")).withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("sim"), F.col("cand_id")
+            )
+        )
         .cast("bigint"),
     )
     return ranked.filter(F.col("rank") <= k)

@@ -237,6 +237,120 @@ def v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v7p_ann_ivf_persisted",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
+        FROM unitv ORDER BY vec_id LIMIT 16
+    ),
+    d1 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN seeds s
+        )
+    ),
+    a1 AS (
+        SELECT vec_id, u, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT c1, g.range AS i,
+               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
+        FROM a1 CROSS JOIN range(64) g
+        GROUP BY c1, g.range
+    ),
+    cents2 AS (
+        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
+        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
+    ),
+    d2 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN cents2 s
+        )
+    ),
+    clist AS (
+        SELECT vec_id AS cand_id, u AS cu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, u AS qu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2 WHERE vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT query_id, cand_id,
+               round(list_dot_product(qu, cu), 6) + 0.0 AS sim
+        FROM qprobe q JOIN clist c
+          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id
+        ) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="IVF ANN against a PERSISTED index artifact (the similarity "
+    "family's round-12 sibling of dd18's banded layout): "
+    "operators/similarity.write_ivf_index stores the relational-kmeans "
+    "centroids beside the inverted lists written partitionBy(list_id); "
+    "ann_ivf_persisted_topk assigns the query batch its nprobe nearest "
+    "lists as a narrow map, collects the probed list-id set (bounded "
+    "by n_lists, never data-sized) and pushes it as a literal "
+    "IN-filter — nprobe becomes parquet PARTITION PRUNING, so the "
+    "unprobed share of a 100 TB corpus is never opened "
+    "(plan-asserted in tests/test_plans.py). Values identical to v4p's "
+    "contract (round-6 sim, id tiebreak); the oracle replays the whole "
+    "thing: 16-list k-means, assignment, 5-query/2-probe sets, exact "
+    "re-rank — a hash match proves the write -> read -> prune -> rank "
+    "roundtrip loses nothing.",
+    tags=("vector", "ann", "index", "ext"),
+)
+def v7p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        write_ivf_index,
+    )
+    from tw_etl_spark.queries.dedup import _delta_scratch
+
+    v = _t(spark, sf_dir, "embeddings")
+    root = _delta_scratch(spark, sf_dir, "v7p")
+    shutil.rmtree(root, ignore_errors=True)
+    write_ivf_index(v, root, n_lists=16)
+    q = v.filter(F.col("vec_id") < 5)
+    return ann_ivf_persisted_topk(q, root, nprobe=2, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
     "v5p_knn_quantized_portable",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
