@@ -667,3 +667,70 @@ def test_ivf_persisted_probe_is_partition_pruned(spark, tmp_path):
     assert 0 < len(probed_ids) < 16, pf
     # and the result is non-trivial
     assert out.count() == 15  # 5 queries x top-3
+
+
+def test_ivf_append_never_scans_existing_lists_and_pruning_survives(
+    spark, tmp_path
+):
+    """v8p's plan contract: (1) the append job's write plan reads ONLY
+    the new batch — the existing inverted lists never appear as a scan
+    (the 100 TB already indexed is not re-read to add a day's batch);
+    (2) after the append, the persisted-index query still partition-
+    prunes on list_id over the MERGED lists (old + appended files sit
+    in the same probed directories)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.dedup import (
+        kmeans_assign_expr,
+        unit_vectors,
+    )
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        append_ivf_index,
+        write_ivf_index,
+    )
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    old = v.filter(F.col("vec_id") % 3 != 0)
+    new = v.filter(F.col("vec_id") % 3 == 0)
+    root = str(tmp_path / "ivf_delta")
+    write_ivf_index(old, root, n_lists=16)
+
+    # (1) replicate the append's assignment frame (the exact df
+    # append_ivf_index writes) and assert its plan scans only the
+    # embeddings table — no /lists location anywhere
+    import os
+
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(root, "centroids")).collect(),
+        key=lambda r: r.j,
+    )
+    cents = [list(r.c) for r in cent_rows]
+    un = unit_vectors(new, "vec_id", "embedding")
+    assign = un.select(
+        F.col("id").alias("cand_id"),
+        F.col("u").alias("cu"),
+        kmeans_assign_expr(cents).alias("list_id"),
+    )
+    plan = explain_str(assign)
+    assert "/lists" not in plan, plan
+    assert "Exchange" not in plan.split("\n\n")[0], plan  # narrow map
+
+    # (2) the real append, then the merged-index query still prunes
+    append_ivf_index(new, root)
+    q = v.filter(F.col("vec_id") < 5)
+    out = ann_ivf_persisted_topk(q, root, nprobe=2, k=3)
+    plan = explain_str(out)
+    blocks = [
+        b for b in plan.split("\n\n")
+        if "Location" in b and "/lists" in b and "PartitionFilters" in b
+    ]
+    assert blocks, plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", blocks[0]).group(1)
+    assert "list_id" in pf, blocks[0]
+    probed_ids = set(re.findall(r"\b(\d+)\b", pf))
+    assert 0 < len(probed_ids) < 16, pf
+    assert out.count() == 15

@@ -292,3 +292,68 @@ def test_cosine_delta_pairs_rejects_overlapping_ids(spark):
     index = df.filter("vec_id >= 2")  # ids 2-5 — id 2 overlaps
     with pytest.raises(ValueError, match="must be\\s+disjoint"):
         cosine_delta_pairs(new, index, threshold=0.5).collect()
+
+
+def test_append_ivf_index_matches_single_shot_and_is_append_only(
+    spark, tmp_path
+):
+    """v8p's two load-bearing properties:
+
+    1. BATCH-ORDER FREEDOM — appending the new corpus in one batch or
+       split across two appends yields identical query results, because
+       assignment is a per-row function of the FIXED persisted
+       centroids (the quantizer never sees the appended rows).
+    2. APPEND-ONLY PHYSICS — the centroids artifact and every
+       pre-existing list file are byte-identical after the append; the
+       new batch only ADDS files. At 100 TB this is the difference
+       between a daily O(|new|) job and a full index rebuild.
+    """
+    import os
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        append_ivf_index,
+        write_ivf_index,
+    )
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    old = v.filter(F.col("vec_id") % 3 != 0)
+    new = v.filter(F.col("vec_id") % 3 == 0)
+    q = v.filter(F.col("vec_id") < 5)
+
+    def snapshot(root):
+        files = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    files[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return files
+
+    root1 = str(tmp_path / "one_shot")
+    write_ivf_index(old, root1, n_lists=16)
+    before = snapshot(root1)
+    append_ivf_index(new, root1)
+    after = snapshot(root1)
+    # every pre-append file survives untouched; appends only add
+    assert set(before) <= set(after)
+    for p, meta in before.items():
+        assert after[p] == meta, f"append rewrote {p}"
+    assert len(after) > len(before)
+
+    root2 = str(tmp_path / "two_batches")
+    write_ivf_index(old, root2, n_lists=16)
+    append_ivf_index(new.filter(F.col("vec_id") % 2 == 0), root2)
+    append_ivf_index(new.filter(F.col("vec_id") % 2 != 0), root2)
+
+    r1 = {
+        tuple(r)
+        for r in ann_ivf_persisted_topk(q, root1, nprobe=2, k=3).collect()
+    }
+    r2 = {
+        tuple(r)
+        for r in ann_ivf_persisted_topk(q, root2, nprobe=2, k=3).collect()
+    }
+    assert r1 == r2
+    assert len(r1) == 15  # 5 queries x top-3

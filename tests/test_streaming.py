@@ -1409,3 +1409,69 @@ def test_drain_stream_latest_empty_source(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_ivf_append_writer_replay_safe_and_matches_batch_append(spark):
+    """st11's exactly-once contract: a PARTIAL crashed attempt of a
+    micro-batch followed by its full replay leaves the stream_lists
+    state identical to a single clean run — assignment against the
+    FIXED persisted centroids is deterministic, so dynamic partition
+    overwrite of (batch_id, list_id) rewrites exactly the crashed
+    attempt's partitions. And the streamed index must answer queries
+    identically to the batch append path (append_ivf_index), since
+    both are the same assignment against the same centroids."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        append_ivf_index,
+        write_ivf_index,
+    )
+    from tw_etl_spark.streaming.sinks import ivf_append_writer
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    old = v.filter(F.col("vec_id") % 3 != 0)
+    new = v.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    q = v.filter(F.col("vec_id") < 5)
+
+    d = tempfile.mkdtemp(prefix="ivf_stream_")
+    try:
+        stream_idx = os.path.join(d, "stream")
+        batch_idx = os.path.join(d, "batch")
+        write_ivf_index(old, stream_idx, n_lists=16)
+        write_ivf_index(old, batch_idx, n_lists=16)
+
+        write = ivf_append_writer(spark, stream_idx)
+        b0 = new.filter(F.col("vec_id") % 2 == 0)
+        b1 = new.filter(F.col("vec_id") % 2 != 0)
+        write(b0, 0)
+        # crashed attempt of batch 1 delivers a partial prefix, then
+        # the replay delivers the full batch
+        write(b1.limit(3), 1)
+        write(b1, 1)
+
+        streamed = {
+            tuple(r)
+            for r in ann_ivf_persisted_topk(
+                q, stream_idx, nprobe=2, k=3, stream_appends=True
+            ).collect()
+        }
+        append_ivf_index(new, batch_idx)
+        batched = {
+            tuple(r)
+            for r in ann_ivf_persisted_topk(
+                q, batch_idx, nprobe=2, k=3
+            ).collect()
+        }
+        assert streamed == batched
+        assert len(streamed) == 15  # 5 queries x top-3
+        # replay left no duplicate candidates: every appended id appears
+        # exactly once in the streamed lists
+        lists = spark.read.parquet(os.path.join(stream_idx, "stream_lists"))
+        n = lists.count()
+        assert n == lists.select("cand_id").distinct().count()
+        assert n == new.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,7 +1,8 @@
 """Round-12 10x measurements (sf0.01 -> sf0.1, warm best-of-3, whole
 callable) for SCALE.md: the two round-11 delta cells VERDICT r11 #5
 flagged as unmeasured (dd16, dd17) plus the round-12 persisted-layout
-cells (dd18, dd15 bucketed rewrite, st1's reshaped drains). Run on a
+cells (dd18, dd15 bucketed rewrite, st1's reshaped drains, v8p
+ANN index append). Run on a
 QUIET box: PYTHONPATH=. python tools/measure_r12.py 2>/dev/null"""
 import sys
 import time
@@ -12,6 +13,7 @@ from tw_etl_spark.queries import all_queries
 from tw_etl_spark.session import get_spark
 
 NAMES = [
+    "v8p_ann_ivf_delta",
     "dd16_delta_embedding_neardup",
     "dd17_delta_semantic_dedup",
     "dd18_delta_dedup_persisted",

@@ -1066,6 +1066,52 @@ def write_ivf_index(
     )
 
 
+def append_ivf_index(
+    new_batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new embedding batch to a :func:`write_ivf_index`
+    artifact WITHOUT retraining the quantizer or rewriting a single
+    existing list file — the delta-dedup pattern (dd14/dd17's fixed
+    durable index) applied to the ANN index. The persisted centroids
+    are the contract: the new batch is assigned to its nearest FIXED
+    centroid as a shuffle-free narrow map (centroid literals ride in
+    the expression, same as :func:`write_ivf_index`'s initial
+    assignment) and appended ``partitionBy(list_id)``, so a daily
+    batch costs O(|new|) assignment work plus append-only partition
+    writes. The 100 TB corpus already in the lists is never reopened;
+    :func:`ann_ivf_persisted_topk` queries the merged index unchanged
+    (its nprobe partition pruning sees old and new files alike).
+
+    Ids in ``new_batch`` must be disjoint from ids already in the
+    index (and unique within the batch) by contract — the ranking join
+    does not deduplicate candidates, so a replayed id would surface
+    twice. Callers replaying a failed append should clear the batch's
+    files first (parquet append is not idempotent).
+    """
+    from tw_etl_spark.operators.dedup import kmeans_assign_expr, unit_vectors
+
+    spark = new_batch.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r.j,
+    )
+    cents = [list(r.c) for r in cent_rows]
+    un = unit_vectors(new_batch, id_col, vec_col)
+    (
+        un.select(
+            F.col("id").alias("cand_id"),
+            F.col("u").alias("cu"),
+            kmeans_assign_expr(cents).alias("list_id"),
+        )
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "lists"))
+    )
+
+
 def ann_ivf_persisted_topk(
     queries: DataFrame,
     path: str,
@@ -1073,6 +1119,7 @@ def ann_ivf_persisted_topk(
     vec_col: str = "embedding",
     nprobe: int = 2,
     k: int = 3,
+    stream_appends: bool = False,
 ) -> DataFrame:
     """Query a :func:`write_ivf_index` artifact: assign each query its
     ``nprobe`` nearest centroids (narrow map over the broadcast-tiny
@@ -1080,7 +1127,15 @@ def ann_ivf_persisted_topk(
     driver collects the probed list-id set (at most n_lists ints, never
     data-sized) and pushes it as a literal IN-filter so the parquet
     scan partition-prunes. Ranking contract matches
-    :func:`ann_ivf_portable_topk` exactly (round-6 sim, id tiebreak)."""
+    :func:`ann_ivf_portable_topk` exactly (round-6 sim, id tiebreak).
+
+    ``stream_appends=True`` additionally unions the
+    ``stream_lists`` table maintained by
+    :func:`streaming.sinks.ivf_append_writer` (partitioned
+    ``(batch_id, list_id)``; ``batch_id`` is dropped — it exists for
+    the writer's exactly-once overwrite, not for query semantics).
+    The literal IN-filter prunes that scan on list_id identically:
+    partition pruning applies at any nesting level."""
     from pyspark.sql.window import Window
 
     from tw_etl_spark.functions.vectors import dot_expr
@@ -1127,6 +1182,15 @@ def ann_ivf_persisted_topk(
     lists = spark.read.parquet(os.path.join(path, "lists")).filter(
         F.col("list_id").isin(probed)
     )
+    if stream_appends:
+        streamed = (
+            spark.read.parquet(os.path.join(path, "stream_lists"))
+            .drop("batch_id")
+            .filter(F.col("list_id").isin(probed))
+        )
+        lists = lists.select("cand_id", "cu", "list_id").unionByName(
+            streamed.select("cand_id", "cu", "list_id")
+        )
     cand = q.join(lists, "list_id").filter(
         F.col("query_id") != F.col("cand_id")
     )

@@ -351,6 +351,131 @@ def v7p(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v8p_ann_ivf_delta",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    -- the quantizer trains on the OLD corpus only (vec_id % 3 <> 0):
+    -- dd8p's recipe verbatim — seed on the 16 smallest OLD ids, assign
+    -- OLD, one exact scaled-integer Lloyd update. The new batch never
+    -- influences the centroids (that is the append contract).
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
+        FROM unitv WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 16
+    ),
+    d1 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN seeds s
+            WHERE n.vec_id % 3 <> 0
+        )
+    ),
+    a1 AS (
+        SELECT vec_id, u, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT c1, g.range AS i,
+               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
+        FROM a1 CROSS JOIN range(64) g
+        GROUP BY c1, g.range
+    ),
+    cents2 AS (
+        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
+        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
+    ),
+    -- assignment runs over the FULL corpus against the old-trained
+    -- centroids: old rows at write time, new rows at append time —
+    -- same expression, so one CTE replays both
+    d2 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN cents2 s
+        )
+    ),
+    clist AS (
+        SELECT vec_id AS cand_id, u AS cu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, u AS qu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2 WHERE vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT query_id, cand_id,
+               round(list_dot_product(qu, cu), 6) + 0.0 AS sim
+        FROM qprobe q JOIN clist c
+          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id
+        ) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="INCREMENTAL IVF index maintenance — the delta-dedup pattern "
+    "(fixed durable index, O(|new|) daily cost) applied to ANN, closing "
+    "the similarity family's last batch-rebuild dependency: "
+    "write_ivf_index trains the quantizer on the OLD corpus "
+    "(vec_id % 3 != 0) and persists centroids + partitionBy(list_id) "
+    "lists; operators/similarity.append_ivf_index assigns the NEW batch "
+    "(vec_id % 3 == 0) to the FIXED persisted centroids as a "
+    "shuffle-free narrow map and appends its partitions — no retrain, "
+    "no rewrite, not one old list file reopened (plan- and file-level "
+    "asserted in tests). ann_ivf_persisted_topk then queries the merged "
+    "index with nprobe partition pruning exactly as v7p. The oracle "
+    "replays the whole lifecycle: old-only k-means, full-corpus "
+    "assignment, 5-query/2-probe sets, round-6/id-tiebroken top-3 — a "
+    "hash match proves train -> write -> append -> prune -> rank loses "
+    "nothing across the batch boundary.",
+    tags=("vector", "ann", "index", "delta", "ext"),
+)
+def v8p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        append_ivf_index,
+        write_ivf_index,
+    )
+    from tw_etl_spark.queries.dedup import _delta_scratch
+
+    v = _t(spark, sf_dir, "embeddings")
+    root = _delta_scratch(spark, sf_dir, "v8p")
+    shutil.rmtree(root, ignore_errors=True)
+    write_ivf_index(v.filter(F.col("vec_id") % 3 != 0), root, n_lists=16)
+    append_ivf_index(v.filter(F.col("vec_id") % 3 == 0), root)
+    q = v.filter(F.col("vec_id") < 5)
+    return ann_ivf_persisted_topk(q, root, nprobe=2, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
     "v5p_knn_quantized_portable",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

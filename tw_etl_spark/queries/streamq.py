@@ -1176,3 +1176,155 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_current", "effective_to")
     )
+
+
+@register(
+    "st11_stream_ann_index_append",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    -- the quantizer trains on the OLD corpus only (vec_id % 3 <> 0):
+    -- identical to v8p's batch lifecycle — the stream never retrains
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
+        FROM unitv WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 16
+    ),
+    d1 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN seeds s
+            WHERE n.vec_id % 3 <> 0
+        )
+    ),
+    a1 AS (
+        SELECT vec_id, u, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT c1, g.range AS i,
+               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
+        FROM a1 CROSS JOIN range(64) g
+        GROUP BY c1, g.range
+    ),
+    cents2 AS (
+        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
+        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
+    ),
+    d2 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN cents2 s
+        )
+    ),
+    clist AS (
+        SELECT vec_id AS cand_id, u AS cu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, u AS qu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2 WHERE vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT query_id, cand_id,
+               round(list_dot_product(qu, cu), 6) + 0.0 AS sim
+        FROM qprobe q JOIN clist c
+          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id
+        ) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="STREAMING ANN index maintenance — v8p's append lifecycle "
+    "driven by Structured Streaming: the persisted IVF index (old "
+    "corpus, vec_id % 3 != 0, 16 relational-kmeans lists) is "
+    "maintained by a micro-batch stream of new embeddings "
+    "(maxFilesPerTrigger=1 → one batch per landed file) through "
+    "streaming/sinks.ivf_append_writer: each batch assigns against "
+    "the FIXED persisted centroids (deterministic narrow map) and "
+    "lands under stream_lists partitionBy(batch_id, list_id) with "
+    "dynamic partition overwrite — a replayed batch rewrites exactly "
+    "its own partitions (assignment is deterministic), so the sink is "
+    "exactly-once without a ledger; the base lists are never touched. "
+    "ann_ivf_persisted_topk(stream_appends=True) then queries base ∪ "
+    "stream with the same literal-IN list_id pruning on BOTH scans. "
+    "The oracle is v8p's lifecycle replay verbatim — the stream path "
+    "must land byte-equivalent index state to the batch append.",
+    tags=("streaming", "vector", "ann", "index", "delta", "ext"),
+)
+def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        write_ivf_index,
+    )
+    from tw_etl_spark.streaming.sinks import ivf_append_writer
+
+    root, tag = _scratch(sf_dir, "st11")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    idx = os.path.join(root, "index")
+    stage = os.path.join(root, "stage")
+    os.makedirs(src)
+
+    v = _t(spark, sf_dir, "embeddings")
+    write_ivf_index(v.filter(F.col("vec_id") % 3 != 0), idx, n_lists=16)
+
+    new = v.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+
+    def land(batch_df: DataFrame, name: str) -> None:
+        d = os.path.join(stage, name)
+        batch_df.coalesce(1).write.mode("overwrite").parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        shutil.copyfile(
+            os.path.join(d, part), os.path.join(src, f"{name}.parquet")
+        )
+
+    land(new.filter(F.col("vec_id") % 2 == 0), "batch_a")
+    land(new.filter(F.col("vec_id") % 2 != 0), "batch_b")
+
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivf_append_writer(spark, idx))
+        .option("checkpointLocation", ckpt)
+        .queryName(f"st11_{tag}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return ann_ivf_persisted_topk(
+        v.filter(F.col("vec_id") < 5), idx, nprobe=2, k=3,
+        stream_appends=True,
+    ).orderBy("query_id", "rank")

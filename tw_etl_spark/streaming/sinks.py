@@ -49,6 +49,58 @@ def idempotent_parquet_writer(out_dir: str):
     return write
 
 
+def ivf_append_writer(
+    spark,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch function maintaining a persisted IVF ANN index
+    (:func:`operators.similarity.write_ivf_index` layout) from a
+    stream of new embeddings, exactly-once.
+
+    Each micro-batch is assigned to the index's FIXED persisted
+    centroids (read once, driver-side — n_lists × dim doubles, never
+    data-sized; the quantizer is the durable contract, same as
+    ``append_ivf_index``'s batch form) and lands under
+    ``index_root/stream_lists`` partitioned by ``(batch_id, list_id)``
+    with dynamic partition OVERWRITE. Assignment is a deterministic
+    per-row function of the fixed centroids, so a replayed batch
+    produces exactly the same (batch_id, list_id) partition set and
+    overwrites its own previous — possibly partial — output instead of
+    appending next to it: exactly-once without a ledger. The base
+    ``lists`` table is never touched; queries read base ∪ stream via
+    ``ann_ivf_persisted_topk(..., stream_appends=True)``, whose
+    list_id pruning applies to both scans (list_id is a partition
+    column at either nesting level).
+    """
+    from tw_etl_spark.operators.dedup import kmeans_assign_expr, unit_vectors
+
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(index_root, "centroids")).collect(),
+        key=lambda r: r.j,
+    )
+    cents = [list(r.c) for r in cent_rows]
+    out = os.path.join(index_root, "stream_lists")
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        un = unit_vectors(batch_df, id_col, vec_col)
+        (
+            un.select(
+                F.col("id").alias("cand_id"),
+                F.col("u").alias("cu"),
+                kmeans_assign_expr(cents).alias("list_id"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "list_id")
+            .parquet(out)
+        )
+
+    return append
+
+
 def scd2_apply_writer(
     spark,
     seed_path: str,
