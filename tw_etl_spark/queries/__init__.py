@@ -216,6 +216,29 @@ def register(
 # s10 (set-op/null semantics stay pinned by the 500-seed relational
 # fuzz grammar, which generates union/intersect/except incl. ALL, and
 # j10/j20's null-safe families stay in-window).
+# Round-12 late rotation (this session's persisted-index operators,
+# all strict-sweep green at sf0.1): in — dd18_delta_dedup_persisted
+# (the delta index in its query-shaped pre-banded partitionBy(band)
+# layout, chained 3-batch write->read->delta pipeline),
+# v7p_ann_ivf_persisted (the IVF index as a durable partitionBy(list_id)
+# artifact — nprobe as parquet partition pruning),
+# v8p_ann_ivf_delta (incremental index append against the FIXED
+# persisted centroids — O(|new|) daily cost, no retrain/rewrite),
+# st11_stream_ann_index_append (the same lifecycle as exactly-once
+# Structured Streaming maintenance). Out — four slots whose semantics
+# stay driver-pinned by a STRICTLY STRONGER window twin, each remaining
+# pytest-oracle + strict-sweep green: v4p (v7p/v8p's oracles replay
+# v4p's entire IVF pipeline — relational k-means, assignment, probe
+# sets, round-6/id-tiebroken re-rank — plus the persistence lifecycle
+# on top), x10 (st10's oracle replays scd2_merge twice and adds the
+# version-chained exactly-once streaming apply), dd13 (the
+# media-fingerprint family keeps image dd11 driver-pinned; the banded
+# ids-only exchange shape is identical across modalities and video
+# stays fuzz kind 'vfp' + sweep — the same ground dd12 rotated out on
+# in round 11), a12 (the mergeable-sketch family keeps st8 CMS
+# maintenance + x13's load-bearing histogram driver slots; the KMV
+# min-set machinery stays hash-pinned by a9's portable twin and the
+# set-algebra composition stays strict-sweep green at three scales).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
@@ -232,10 +255,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "v1_cosine_top_pairs",
     # -- graph [EXT] (1)
     "g2_pagerank_conserving",
-    # -- dedup / similarity [EXT] (11, incl. the delta family)
+    # -- dedup / similarity [EXT] (12, incl. the delta + persisted-index families)
     "dd3p_minhash_lsh_portable",
-    "dd13_video_fingerprint_neardup",
-    "v4p_ann_ivf_portable",
+    "dd18_delta_dedup_persisted",
+    "v7p_ann_ivf_persisted",
+    "v8p_ann_ivf_delta",
     "dd10_span_dedup_rewrite",
     "dd8p_semantic_dedup_relational",
     "dd11_perceptual_image_neardup",
@@ -244,14 +268,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dd16_delta_embedding_neardup",
     "dd17_delta_semantic_dedup",
     "x13_quantile_quality_gate",
-    # -- ETL / pipeline [EXT] (6)
+    # -- ETL / pipeline [EXT] (5)
     "p1_filename_parse",
     "p4_tiered_routing",
     "x1_training_data_pipeline",
     "x14_importance_resample",
     "x11_bloom_decontaminate",
-    "x10_scd2_merge",
-    # -- streaming (7)
+    # -- streaming (8)
     "st5_stream_neardup_dedup",
     "st4_event_time_watchdog",
     "st8_stream_cms_heavy_hitters",
@@ -259,6 +282,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "st3_watermark_late_drop",
     "st6_stream_funnel",
     "st10_stream_cdc_scd2_apply",
+    "st11_stream_ann_index_append",
     # -- multimodal [EXT] (1)
     "m1_media_sidecar_probe",
     # -- text [EXT] (6)
@@ -268,9 +292,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t12_c4_clean",
     "j80_salted_skew_join",
     "t17_bpe_encode",
-    # -- mergeable sketches [EXT] (3)
+    # -- sources / connectors [EXT] (2)
     "io4_tarshard_datasource_roundtrip",
-    "a12_kmv_set_algebra",
     "io5_schema_evolution_read",
     # -- consolidated relational (8)
     "j10_outer_join_family",
