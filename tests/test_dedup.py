@@ -901,3 +901,63 @@ def test_prebanded_delta_identity_with_portable_form(spark, tmp_path):
         b2, updated, num_hashes=16, bands=4, threshold=0.5
     )
     assert pairs_set(got2) == pairs_set(want2)
+
+
+def test_delta_duplicate_spans_identity_with_full_scan(spark):
+    """dd19's load-bearing identity: span stats for the new batch
+    computed against (persisted gram-count index + batch) EQUAL the
+    full duplicate_spans re-scan of the union restricted to new docs —
+    the criterion cnt_old + n_all_new > n_own reconstructs 'gram
+    occurs beyond own doc in the union' exactly."""
+    from tw_etl_spark.operators.dedup import (
+        delta_duplicate_spans,
+        duplicate_spans,
+        gram_count_index,
+    )
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+
+    got = {
+        tuple(r)
+        for r in delta_duplicate_spans(
+            new, gram_count_index(old, n=8), n=8
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duplicate_spans(d, n=8)
+        .filter(F.col("doc_id") % 3 == 0)
+        .collect()
+    }
+    assert got == want
+    assert got  # the fixture plants cross-batch duplicated text
+
+
+def test_gram_index_merge_is_exact_and_fold_order_free(spark):
+    """The span index's merge contract (the dd15 shape for the span
+    family): folding per-batch gram-count indexes in ANY order equals
+    the index of the union — so a daily chain index(d1) ⊕ index(d2) ⊕
+    ... never drifts from a fresh full build."""
+    from tw_etl_spark.operators.dedup import (
+        gram_count_index,
+        merge_gram_index,
+    )
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    a = d.filter(F.col("doc_id") % 3 == 0)
+    b = d.filter(F.col("doc_id") % 3 == 1)
+    c = d.filter(F.col("doc_id") % 3 == 2)
+
+    full = {tuple(r) for r in gram_count_index(d, n=8).collect()}
+    left = merge_gram_index(
+        merge_gram_index(gram_count_index(a, n=8), gram_count_index(b, n=8)),
+        gram_count_index(c, n=8),
+    )
+    right = merge_gram_index(
+        gram_count_index(a, n=8),
+        merge_gram_index(gram_count_index(b, n=8), gram_count_index(c, n=8)),
+    )
+    assert {tuple(r) for r in left.collect()} == full
+    assert {tuple(r) for r in right.collect()} == full

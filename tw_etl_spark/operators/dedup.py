@@ -1424,10 +1424,28 @@ def duplicate_spans(
     """
     from pyspark.sql.window import Window
 
+    w_g = Window.partitionBy("gh")
+    w_gd = Window.partitionBy("gh", "doc")
+    hits = (
+        _gram_positions(df, id_col, text_col, n)
+        .withColumn("n_all", F.count(F.lit(1)).over(w_g))
+        .withColumn("n_own", F.count(F.lit(1)).over(w_gd))
+        .filter(F.col("n_all") > F.col("n_own"))
+        .drop("n_all", "n_own")
+    )
+    return _merge_span_islands(hits, id_col, n)
+
+
+def _gram_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, n_tok, pos, gh) — per-doc n-grams with 1-based positions,
+    gram identity as 8-byte xxhash64 (the shared front half of
+    :func:`duplicate_spans` and its delta form)."""
     base = df.select(
         F.col(id_col).alias("doc"), tokens_expr(F.col(text_col)).alias("tk")
     ).filter(F.size("tk") >= n)
-    grams = base.select(
+    return base.select(
         "doc",
         F.size("tk").alias("n_tok"),
         F.explode(
@@ -1440,14 +1458,15 @@ def duplicate_spans(
             )
         ).alias("g"),
     ).select("doc", "n_tok", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
-    w_g = Window.partitionBy("gh")
-    w_gd = Window.partitionBy("gh", "doc")
-    hits = (
-        grams.withColumn("n_all", F.count(F.lit(1)).over(w_g))
-        .withColumn("n_own", F.count(F.lit(1)).over(w_gd))
-        .filter(F.col("n_all") > F.col("n_own"))
-        .drop("n_all", "n_own")
-    )
+
+
+def _merge_span_islands(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Island merge + per-doc span stats (the shared back half of
+    :func:`duplicate_spans` and its delta form): a duplicated position
+    extends the current span iff pos <= prev + n, else a new span
+    starts — lag + running-sum window."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc").orderBy("pos")
     run = Window.partitionBy("doc").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1477,6 +1496,81 @@ def duplicate_spans(
         )
         .withColumnRenamed("doc", id_col)
     )
+
+
+def gram_count_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(gh, cnt) — n-gram-hash occurrence counts, the persisted INDEX
+    for :func:`delta_duplicate_spans` (the exact-substring cell of the
+    delta-dedup family beside dd14's LSH bands, dd15's survivor sigs,
+    dd16's embeddings, dd17's centroids). One groupBy over the gram
+    explode; mergeable across batches with :func:`merge_gram_index`
+    (sum of counts — associative and commutative, so daily jobs fold
+    their batch's counts into the corpus index instead of re-scanning
+    100 TB of history)."""
+    return (
+        _gram_positions(df, id_col, text_col, n)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def merge_gram_index(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two gram-count indexes: union + sum. Associative and
+    commutative (integer sum), so any batch fold order lands the same
+    index — the dd15 merge contract for the span family."""
+    return (
+        a.unionByName(b)
+        .groupBy("gh")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def delta_duplicate_spans(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """INCREMENTAL duplicated-span detection: span stats for the NEW
+    batch's documents against (old corpus ∪ new batch), where the old
+    corpus is represented ONLY by its persisted
+    :func:`gram_count_index` — the daily job never re-tokenizes the
+    100 TB history. A new-doc position is duplicated iff its n-gram
+    occurs beyond its own document in the union, i.e.
+    ``cnt_old + n_all_new > n_own`` (index count plus the batch-wide
+    window count vs the within-doc count), which is exactly
+    :func:`duplicate_spans`' criterion on the union restricted to new
+    docs — so the delta output EQUALS the full re-scan's rows for the
+    new batch (the dd14/dd16 identity, hash-oracled as dd19).
+
+    Plan shape: the gram explode is the new batch only; the two window
+    counts and the left join against the index all key on ``gh``, so
+    one hash exchange of the batch's grams serves all three; the
+    index side is a corpus-sized but LINEAR scan (never re-banded,
+    never re-hashed — the counts were paid once at index time).
+    Ids in ``new_df`` must be disjoint from the docs the index was
+    built over (the index carries no doc ids to check against — same
+    contract as the rest of the delta family)."""
+    from pyspark.sql.window import Window
+
+    w_g = Window.partitionBy("gh")
+    w_gd = Window.partitionBy("gh", "doc")
+    hits = (
+        _gram_positions(new_df, id_col, text_col, n)
+        .withColumn("n_all", F.count(F.lit(1)).over(w_g))
+        .withColumn("n_own", F.count(F.lit(1)).over(w_gd))
+        .join(index_df.select("gh", "cnt"), "gh", "left")
+        .withColumn("cnt_old", F.coalesce(F.col("cnt"), F.lit(0)))
+        .filter(F.col("cnt_old") + F.col("n_all") > F.col("n_own"))
+        .drop("n_all", "n_own", "cnt", "cnt_old")
+    )
+    return _merge_span_islands(hits, id_col, n)
 
 
 def unit_vectors(

@@ -833,6 +833,85 @@ def dd18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd19_delta_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ), posed AS (
+        SELECT doc_id, tk, len(tk) AS n_tok,
+               unnest(range(1, len(tk) - 6)) AS pos
+        FROM toks WHERE len(tk) >= 8
+    ), grams AS (
+        SELECT doc_id, pos, n_tok,
+               array_to_string(list_slice(tk, pos, pos + 7), ' ') AS g
+        FROM posed
+    ),
+    -- duplication is judged on the FULL union (old corpus + new
+    -- batch), exactly what the delta criterion cnt_old + n_all > n_own
+    -- reconstructs from the persisted index
+    dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+    ), hits AS (
+        SELECT doc_id, pos, n_tok FROM grams
+        WHERE g IN (SELECT g FROM dup) AND doc_id % 3 = 0
+    ), marked AS (
+        SELECT doc_id, pos, n_tok,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), islands AS (
+        SELECT doc_id, pos, n_tok,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ), spans AS (
+        SELECT doc_id, any_value(n_tok) AS n_tok,
+               max(pos) + 8 - min(pos) AS span_toks
+        FROM islands GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)        AS n_dup_spans,
+           CAST(sum(span_toks) AS BIGINT)  AS dup_tokens,
+           (CASE WHEN (sum(span_toks)::BIGINT) < 0 THEN -(((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) // ((any_value(n_tok))::BIGINT)) + CASE WHEN 2 * ((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) % ((any_value(n_tok))::BIGINT)) >= ((any_value(n_tok))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) // ((any_value(n_tok))::BIGINT)) + CASE WHEN 2 * ((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) % ((any_value(n_tok))::BIGINT)) >= ((any_value(n_tok))::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) AS dup_frac
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="INCREMENTAL duplicated-span detection — the exact-substring "
+    "cell of the delta-dedup family (token LSH dd14, exact signature "
+    "dd15, embedding cosine dd16, clustered SemDeDup dd17, and now "
+    "the Lee et al. span signal dd19): the old corpus (doc_id % 3 != "
+    "0) persists ONLY as its 8-gram-hash occurrence counts "
+    "(operators/dedup.gram_count_index — mergeable across batches by "
+    "integer sum, merge_gram_index), and the daily batch's positions "
+    "are judged duplicated via cnt_old + n_all_new > n_own — the full "
+    "re-scan criterion on the union reconstructed without "
+    "re-tokenizing history. The oracle replays dd9 on the union "
+    "restricted to new docs, so a hash match proves the delta output "
+    "EQUALS the full re-scan's new-doc rows; the gram explode, both "
+    "window counts, and the index join all key on gh (one exchange).",
+    tags=("dedup", "spans", "text", "delta", "ext"),
+)
+def dd19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.dedup import (
+        delta_duplicate_spans,
+        gram_count_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx_path = _delta_scratch(spark, sf_dir, "dd19")
+    gram_count_index(
+        d.filter(F.col("doc_id") % 3 != 0), id_col="doc_id",
+        text_col="text", n=8,
+    ).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    return delta_duplicate_spans(
+        d.filter(F.col("doc_id") % 3 == 0), index,
+        id_col="doc_id", text_col="text", n=8,
+    ).orderBy("doc_id")
+
+
+@register(
     "dd15_delta_survivor_index",
     oracle=f"""
     WITH tok AS (
