@@ -87,6 +87,7 @@ def test_dedup_corpus_fuzz_seed(spark, seed):
     operator strict-compared against a parameterized DuckDB template
     (tw_etl_spark/testing/dedupgen.py). Seeds rotate through span
     rewrite / minhash-LSH / simhash / DSIR / BPE merges / Count-Min /
+    delta dedup (plain, pre-banded, and span) /
     BPE encode / image / audio / video fingerprints."""
     from tw_etl_spark.testing import dedupgen
 

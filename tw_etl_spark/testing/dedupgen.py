@@ -46,6 +46,7 @@ KINDS = (
     "vfp",  # dd13: video fingerprint near-dup over synth PPM streams
     "delta",  # dd14: incremental dedup vs a persisted signature index
     "deltap",  # dd18: the delta against the PERSISTED pre-banded index
+    "spand",  # dd19: delta duplicated spans vs a persisted gram index
 )
 
 
@@ -129,6 +130,56 @@ def span_sql(chunk_tokens: int) -> str:
            coalesce(a.n_dropped, 0)::BIGINT AS n_dropped
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id
+    """
+
+
+def delta_span_sql(n: int, delta_mod: int) -> str:
+    """dd19's oracle, parameterized: duplicated-span stats on the FULL
+    union, restricted to the 'new' batch (doc_id % delta_mod == 0) —
+    what the Spark side reconstructs from the persisted gram-count
+    index via cnt_old + n_all_new > n_own."""
+    from tw_etl_spark.functions.rounding import sql_round_ratio
+
+    frac = sql_round_ratio(
+        "sum(span_toks)::BIGINT", "any_value(n_tok)", 6
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), posed AS (
+        SELECT doc_id, tk, len(tk) AS n_tok,
+               unnest(range(1, len(tk) - {n - 2})) AS pos
+        FROM toks WHERE len(tk) >= {n}
+    ), grams AS (
+        SELECT doc_id, pos, n_tok,
+               array_to_string(list_slice(tk, pos, pos + {n - 1}), ' ') AS g
+        FROM posed
+    ), dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+    ), hits AS (
+        SELECT doc_id, pos, n_tok FROM grams
+        WHERE g IN (SELECT g FROM dup) AND doc_id % {delta_mod} = 0
+    ), marked AS (
+        SELECT doc_id, pos, n_tok,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + {n} THEN 1 ELSE 0 END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), islands AS (
+        SELECT doc_id, pos, n_tok,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ), spans AS (
+        SELECT doc_id, any_value(n_tok) AS n_tok,
+               max(pos) + {n} - min(pos) AS span_toks
+        FROM islands GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)        AS n_dup_spans,
+           CAST(sum(span_toks) AS BIGINT)  AS dup_tokens,
+           {frac} AS dup_frac
+    FROM spans GROUP BY doc_id ORDER BY doc_id
     """
 
 
@@ -347,6 +398,12 @@ def generate(seed: int) -> DedupCase:
 
         params = {"max_hamming": rng.choice((3, 7, 12))}
         sql = _dd13_oracle(params["max_hamming"])
+    elif kind == "spand":
+        params = {
+            "n": rng.choice((2, 3, 4, 5)),
+            "delta_mod": rng.choice((2, 3, 4)),
+        }
+        sql = delta_span_sql(**params)
     elif kind in ("delta", "deltap"):
         n = rng.choice(_MINHASH_N)
         divs = [b for b in (2, 4, 5) if n % b == 0]
@@ -462,6 +519,18 @@ def run_spark(spark: SparkSession, case: DedupCase) -> DataFrame:
             .select("id_a", "id_b", "hamming")
             .orderBy("id_a", "id_b")
         )
+    if case.kind == "spand":
+        from tw_etl_spark.operators.dedup import (
+            delta_duplicate_spans,
+            gram_count_index,
+        )
+
+        mod = p["delta_mod"]
+        old = df.filter(F.col("doc_id") % mod != 0)
+        new = df.filter(F.col("doc_id") % mod == 0)
+        return delta_duplicate_spans(
+            new, gram_count_index(old, n=p["n"]), n=p["n"]
+        ).orderBy("doc_id")
     if case.kind == "delta":
         from tw_etl_spark.operators.dedup import (
             lsh_delta_pairs_portable,
