@@ -734,3 +734,85 @@ def test_ivf_append_never_scans_existing_lists_and_pruning_survives(
     probed_ids = set(re.findall(r"\b(\d+)\b", pf))
     assert 0 < len(probed_ids) < 16, pf
     assert out.count() == 15
+
+
+def test_bucketed_gram_index_merge_and_delta_without_exchange(spark):
+    """The gh-bucketed gram-count index (dd19's layout tier, mirroring
+    the sig-bucketed survivor index): both daily consumers — the merge
+    fold and the delta-span join — must read the index branch straight
+    off the bucket files ('Bucketed: true', no Exchange between the
+    bucketed scan and the join), and both must produce values
+    identical to their plain-index forms. autoBucketedScan pinned OFF
+    for the assertion (tiny-fixture heuristic; see the survivor test)."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.dedup import (
+        delta_duplicate_spans,
+        gram_count_index,
+        merge_gram_index,
+        merge_gram_index_bucketed,
+        write_gram_index_bucketed,
+    )
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    write_gram_index_bucketed(gram_count_index(old, n=8), "test_gram_bucketed")
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_auto = spark.conf.get(auto_key)
+    old_bcast = spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(auto_key, "false")
+        # at fixture scale Spark rightly BROADCASTS the tiny index into
+        # the left join; the layout claim under test is the
+        # corpus-scale SMJ path, so pin broadcast off for the assert
+        spark.conf.set(bcast_key, "-1")
+        index = spark.table("test_gram_bucketed")
+
+        def assert_no_index_exchange(df):
+            plan = explain_str(df)
+            assert "Bucketed: true" in plan, plan
+            tree = plan.split("\n\n")[0]
+            lines = tree.splitlines()
+            join_idx = next(
+                i for i, ln in enumerate(lines) if "Join" in ln
+            )
+            scan_idx = next(
+                i for i, ln in enumerate(lines)
+                if "test_gram_bucketed" in ln
+            )
+            # only the INDEX branch must be Exchange-free; when the
+            # index is the join's right child, the left (batch-sized)
+            # branch's legitimate shuffle sits between the join line
+            # and the scan line in text order — left-branch lines carry
+            # the ':' continuation marker, so exclude them
+            between = [
+                ln
+                for ln in lines[join_idx + 1 : scan_idx]
+                if not ln.lstrip().startswith(":")
+            ]
+            assert not any("Exchange" in ln for ln in between), tree
+
+        delta_idx = gram_count_index(new, n=8)
+        merged = merge_gram_index_bucketed(index, delta_idx)
+        assert_no_index_exchange(merged)
+        a = {tuple(r) for r in merged.collect()}
+        b = {tuple(r) for r in merge_gram_index(index, delta_idx).collect()}
+        assert a == b
+
+        spans = delta_duplicate_spans(new, index, n=8)
+        assert_no_index_exchange(spans)
+        got = {tuple(r) for r in spans.collect()}
+        want = {
+            tuple(r)
+            for r in delta_duplicate_spans(
+                new, gram_count_index(old, n=8), n=8
+            ).collect()
+        }
+        assert got == want and got
+    finally:
+        spark.conf.set(auto_key, old_auto)
+        spark.conf.set(bcast_key, old_bcast)
+        spark.sql("DROP TABLE IF EXISTS test_gram_bucketed")

@@ -1530,6 +1530,53 @@ def merge_gram_index(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def write_gram_index_bucketed(
+    index_df: DataFrame, table: str, n_buckets: int | None = None
+) -> None:
+    """Persist a :func:`gram_count_index` table (gh, cnt) gh-BUCKETED
+    and gh-sorted — the dd15-bucketed treatment for the span family's
+    index, which is the LARGEST index in the delta family (one row per
+    distinct n-gram ≈ corpus token count): the write pays the gh
+    shuffle once, and every daily :func:`delta_duplicate_spans` join
+    and :func:`merge_gram_index_bucketed` fold thereafter reads the
+    index branch straight off the bucket files with no Exchange over
+    history (plan-asserted in tests/test_plans.py).
+
+    ``n_buckets`` defaults to the session's shuffle partitions — Spark
+    only elides the bucketed side's Exchange when the join's target
+    partition count equals the bucket count (the sizing rule measured
+    for the survivor index)."""
+    if n_buckets is None:
+        n_buckets = int(
+            index_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    (
+        index_df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "gh")
+        .sortBy("gh")
+        .saveAsTable(table)
+    )
+
+
+def merge_gram_index_bucketed(
+    index: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """:func:`merge_gram_index` shaped for a bucketed index: the
+    daily delta pre-aggregates per gh (one shuffle of batch-sized
+    data), then a full-outer join on gh folds it into the index —
+    whose bucketed layout joins WITHOUT an Exchange. Additive counts
+    match the union+groupBy fold exactly (coalesce(0) on both sides)."""
+    d = delta.groupBy("gh").agg(F.sum("cnt").cast("long").alias("cnt"))
+    i, dl = index.alias("i"), d.alias("d")
+    return i.join(dl, "gh", "full_outer").select(
+        "gh",
+        (
+            F.coalesce("i.cnt", F.lit(0)) + F.coalesce("d.cnt", F.lit(0))
+        ).cast("long").alias("cnt"),
+    )
+
+
 def delta_duplicate_spans(
     new_df: DataFrame,
     index_df: DataFrame,
