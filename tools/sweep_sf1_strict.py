@@ -47,7 +47,15 @@ def main() -> int:
     # ~1 h full sweep.
     only = os.environ.get("ONLY")
     names = only.split(",") if only else list(DRIVER_WINDOW)
-    if only and os.path.exists(OUT):
+    if only:
+        # refuse a subset run with no prior artifact: merging into
+        # nothing would write a subset-only file that masquerades as a
+        # full-sweep result (same guard as sweep_sf01_strict)
+        if not os.path.exists(OUT):
+            raise SystemExit(
+                f"ONLY={only} set but {OUT} is absent — run the full "
+                "sweep first; a subset rerun must merge, not replace"
+            )
         with open(OUT) as f:
             results = json.load(f)["results"]
     failures = []
