@@ -816,3 +816,39 @@ def test_bucketed_gram_index_merge_and_delta_without_exchange(spark):
         spark.conf.set(auto_key, old_auto)
         spark.conf.set(bcast_key, old_bcast)
         spark.sql("DROP TABLE IF EXISTS test_gram_bucketed")
+
+
+def test_ivf_index_stats_reads_only_list_id(spark, tmp_path):
+    """v9's cost claim: the audit scan must prune to the list_id
+    partition column — the vectors (cu, the wide column) never appear
+    in the lists scan's ReadSchema, so the audit is metadata-cheap
+    even over a 100 TB index."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.similarity import (
+        ivf_index_stats,
+        write_ivf_index,
+    )
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path / "ivf_audit")
+    write_ivf_index(v, root, n_lists=16)
+    out = ivf_index_stats(spark, root)
+    plan = explain_str(out)
+    blocks = [
+        b for b in plan.split("\n\n")
+        if "Location" in b and "/lists" in b
+    ]
+    assert blocks, plan
+    rs = re.search(r"ReadSchema: ([^\n]*)", blocks[0])
+    # list_id is a partition column; the data-column ReadSchema must be
+    # EMPTY (no cand_id, no cu vector bytes deserialized)
+    assert rs and "cu" not in rs.group(1) and "cand_id" not in rs.group(1), (
+        blocks[0]
+    )
+    row = out.collect()[0]
+    assert row.n_vectors == v.count()
+    assert row.n_lists <= 16

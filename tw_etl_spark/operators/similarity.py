@@ -1208,6 +1208,58 @@ def ann_ivf_persisted_topk(
     return ranked.filter(F.col("rank") <= k)
 
 
+def ivf_index_stats(
+    spark,
+    path: str,
+    stream_appends: bool = False,
+    imbalance_threshold: float = 3.0,
+) -> DataFrame:
+    """Audit a persisted IVF index's list balance — the operational
+    question a fixed-centroid append index (:func:`append_ivf_index`,
+    :func:`streaming.sinks.ivf_append_writer`) faces after months of
+    drift: appended batches are assigned to centroids trained on an
+    old distribution, so lists skew, and a skewed list degrades both
+    probe cost (one hot list dominates candidate volume) and recall
+    (nprobe lists cover less of the data). Returns ONE row:
+    ``(n_lists, n_vectors, min_list, max_list, imbalance, recluster)``
+    where imbalance = max_list / (n_vectors / n_lists) (a balanced
+    index sits at ~1.0) and ``recluster`` flags
+    imbalance > ``imbalance_threshold`` — the retrain trigger.
+
+    Cost: one columnar scan of the ``list_id`` partition column (the
+    vectors themselves are never read — column pruning keeps the scan
+    to partition metadata plus row counts), then a tiny
+    n_lists-row aggregate. Safe to run after every append."""
+    lists = spark.read.parquet(os.path.join(path, "lists")).select("list_id")
+    if stream_appends:
+        lists = lists.unionByName(
+            spark.read.parquet(os.path.join(path, "stream_lists")).select(
+                "list_id"
+            )
+        )
+    per_list = lists.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return per_list.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.min("n").cast("bigint").alias("min_list"),
+        F.max("n").cast("bigint").alias("max_list"),
+    ).select(
+        "n_lists",
+        "n_vectors",
+        "min_list",
+        "max_list",
+        F.round(
+            F.col("max_list") * F.col("n_lists") / F.col("n_vectors"), 6
+        ).alias("imbalance"),
+        (
+            F.col("max_list") * F.col("n_lists")
+            > F.lit(float(imbalance_threshold)) * F.col("n_vectors")
+        ).alias("recluster"),
+    )
+
+
 def cosine_topk_quantized_portable(
     queries: DataFrame,
     corpus: DataFrame,

@@ -476,6 +476,110 @@ def v8p(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v9_ivf_skew_audit",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
+        FROM unitv WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 16
+    ),
+    d1 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN seeds s
+            WHERE n.vec_id % 3 <> 0
+        )
+    ),
+    a1 AS (
+        SELECT vec_id, u, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT c1, g.range AS i,
+               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
+        FROM a1 CROSS JOIN range(64) g
+        GROUP BY c1, g.range
+    ),
+    cents2 AS (
+        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
+        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
+    ),
+    d2 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN cents2 s
+        )
+    ),
+    clist AS (
+        SELECT vec_id AS cand_id, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2
+        ) WHERE rn = 1
+    ),
+    per AS (
+        SELECT list_id, count(*)::BIGINT AS n FROM clist GROUP BY list_id
+    )
+    SELECT count(*)::BIGINT                          AS n_lists,
+           sum(n)::BIGINT                            AS n_vectors,
+           min(n)::BIGINT                            AS min_list,
+           max(n)::BIGINT                            AS max_list,
+           round(max(n) * count(*) / sum(n), 6)      AS imbalance,
+           max(n) * count(*) > 3.0 * sum(n)          AS recluster
+    FROM per
+    """,
+    doc="IVF index OBSERVABILITY — the operational close of the "
+    "persisted-index family: after v8p/st11 appends against FIXED "
+    "old-trained centroids, list sizes drift with the data "
+    "distribution, degrading probe cost (one hot list dominates "
+    "candidate volume) and recall (nprobe lists cover less mass). "
+    "operators/similarity.ivf_index_stats reads ONLY the list_id "
+    "partition column of the persisted lists (column pruning — the "
+    "vectors are never deserialized) and emits the one-row balance "
+    "audit: non-empty list count, vector count, min/max list sizes, "
+    "imbalance = max_list/(n_vectors/n_lists) (~1.0 when balanced), "
+    "and the recluster flag at threshold 3.0 — the retrain trigger a "
+    "production pipeline schedules on. Oracle replays the whole "
+    "lifecycle (old-only k-means, full-corpus assignment, per-list "
+    "counts, the aggregate) so the audit itself is cross-engine-"
+    "pinned.",
+    tags=("vector", "ann", "index", "ops", "ext"),
+)
+def v9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tw_etl_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_index_stats,
+        write_ivf_index,
+    )
+    from tw_etl_spark.queries.dedup import _delta_scratch
+
+    v = _t(spark, sf_dir, "embeddings")
+    root = _delta_scratch(spark, sf_dir, "v9")
+    shutil.rmtree(root, ignore_errors=True)
+    write_ivf_index(v.filter(F.col("vec_id") % 3 != 0), root, n_lists=16)
+    append_ivf_index(v.filter(F.col("vec_id") % 3 == 0), root)
+    return ivf_index_stats(spark, root, imbalance_threshold=3.0)
+
+
+@register(
     "v5p_knn_quantized_portable",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
