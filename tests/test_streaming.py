@@ -1475,3 +1475,65 @@ def test_ivf_append_writer_replay_safe_and_matches_batch_append(spark):
         assert n == new.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lsh_index_stream_writer_replay_safe(spark):
+    """st12's exactly-once contract, exercised on the writer directly:
+    (1) a full at-least-once REPLAY of a committed micro-batch leaves
+    pairs, stream_banded, and stream_sigs byte-equivalent (dynamic
+    overwrite of deterministic md5 content rewrites exactly its own
+    partitions); (2) the replay's state read excludes the batch's own
+    previously-committed rows (batch_id < bid) — if it didn't, the
+    union would carry duplicate signatures and the verify join would
+    emit duplicate pair rows, which the multiset equality below would
+    catch."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.dedup import (
+        minhash_signatures_portable,
+        write_banded_index,
+    )
+    from tw_etl_spark.streaming.sinks import lsh_index_stream_writer
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    seed = d.filter(F.col("doc_id") % 3 == 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    b2 = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+
+    root = tempfile.mkdtemp(prefix="lsh_stream_")
+    try:
+        idx = os.path.join(root, "index")
+        write_banded_index(
+            minhash_signatures_portable(seed, num_hashes=16),
+            idx, num_hashes=16, bands=4,
+        )
+        writer = lsh_index_stream_writer(
+            spark, idx, num_hashes=16, bands=4, threshold=0.9
+        )
+        writer(b1, 0)
+        writer(b2, 1)
+
+        def pairs_multiset():
+            rows = spark.read.parquet(os.path.join(idx, "pairs")).collect()
+            ms = sorted(
+                (r.id_a, r.id_b, r.est_jaccard, r.batch_id) for r in rows
+            )
+            return ms
+
+        before = pairs_multiset()
+        n_sigs = spark.read.parquet(os.path.join(idx, "stream_sigs")).count()
+        # at-least-once: the stream replays (batch_id=1, same data)
+        writer(b2, 1)
+        assert pairs_multiset() == before
+        assert (
+            spark.read.parquet(os.path.join(idx, "stream_sigs")).count()
+            == n_sigs == b1.count() + b2.count()
+        )
+        # pairs are unique (no duplicate emission across the chain)
+        flat = [(a, b) for a, b, _, _ in before]
+        assert len(flat) == len(set(flat))
+        assert before  # planted duplicate text guarantees pairs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1328,3 +1328,126 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.filter(F.col("vec_id") < 5), idx, nprobe=2, k=3,
         stream_appends=True,
     ).orderBy("query_id", "rank")
+
+
+_ST12_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@register(
+    "st12_stream_lsh_index_maintain",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct({_ST12_TOKS}) AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
+    sig AS (
+        SELECT doc, r.range AS i, min(md5(r.range::VARCHAR || ':' || tk)) AS h
+        FROM ex CROSS JOIN range(16) r
+        GROUP BY doc, r.range
+    ),
+    sigarr AS (SELECT doc, list(h ORDER BY i) AS sig FROM sig GROUP BY doc),
+    banded AS (
+        SELECT doc, g.range AS band,
+               md5(array_to_string(
+                   list_slice(sig, g.range * 4 + 1, g.range * 4 + 4), ',')) AS bucket
+        FROM sigarr CROSS JOIN range(4) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    )
+    SELECT c.id_a, c.id_b,
+           round(length(list_filter(range(16),
+                                    i -> sa.sig[i + 1] = sb.sig[i + 1])) / 16.0,
+                 6) AS est_jaccard
+    FROM cand c
+    JOIN sigarr sa ON sa.doc = c.id_a
+    JOIN sigarr sb ON sb.doc = c.id_b
+    WHERE length(list_filter(range(16),
+                             i -> sa.sig[i + 1] = sb.sig[i + 1])) / 16.0 >= 0.9
+      AND (c.id_a % 3 <> 0 OR c.id_b % 3 <> 0)
+    ORDER BY id_a, id_b
+    """,
+    doc="STREAMING maintenance of the pre-banded delta-dedup index — "
+    "dd18's chained daily lifecycle driven by Structured Streaming "
+    "(the LSH sibling of st11's IVF maintenance): the seed corpus "
+    "(doc_id % 3 == 0) persists via write_banded_index; day batches "
+    "1 and 2 arrive as a file stream (maxFilesPerTrigger=1, two "
+    "availableNow drains pin the day order) through "
+    "streaming/sinks.lsh_index_stream_writer — each micro-batch reads "
+    "the committed state EXCLUDING its own batch_id (crash-partial "
+    "appends invisible to the replay), computes its delta pairs "
+    "against seed ∪ earlier batches (only the batch is md5-banded; "
+    "history is a pruned columnar scan), lands pairs/batch_id=N and "
+    "appends its banded rows (batch_id, band) + signatures (batch_id) "
+    "— every write dynamic partition overwrite over deterministic "
+    "content: exactly-once without a ledger. The result unions both "
+    "days' pairs; the oracle is dd18's full-corpus replay filtered to "
+    "batch-1/2-touching pairs, so a hash match proves the STREAMED "
+    "chain lands on exactly the whole-corpus answer.",
+    tags=("streaming", "dedup", "minhash", "delta", "index", "ext"),
+)
+def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tw_etl_spark.operators.dedup import (
+        minhash_signatures_portable,
+        write_banded_index,
+    )
+    from tw_etl_spark.streaming.sinks import lsh_index_stream_writer
+
+    root, tag = _scratch(sf_dir, "st12")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    idx = os.path.join(root, "index")
+    stage = os.path.join(root, "stage")
+    os.makedirs(src)
+
+    d = _t(spark, sf_dir, "documents")
+    write_banded_index(
+        minhash_signatures_portable(
+            d.filter(F.col("doc_id") % 3 == 0), num_hashes=16
+        ),
+        idx, num_hashes=16, bands=4,
+    )
+
+    def land(batch_df: DataFrame, name: str) -> None:
+        dd = os.path.join(stage, name)
+        batch_df.coalesce(1).write.mode("overwrite").parquet(dd)
+        (part,) = [f for f in os.listdir(dd) if f.endswith(".parquet")]
+        shutil.copyfile(
+            os.path.join(dd, part), os.path.join(src, f"{name}.parquet")
+        )
+
+    writer = lsh_index_stream_writer(
+        spark, idx, num_hashes=16, bands=4, threshold=0.9
+    )
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .queryName(f"st12_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    day_cols = ["doc_id", "text"]
+    land(d.filter(F.col("doc_id") % 3 == 1).select(*day_cols), "day1")
+    drain()
+    land(d.filter(F.col("doc_id") % 3 == 2).select(*day_cols), "day2")
+    drain()
+
+    return (
+        spark.read.parquet(os.path.join(idx, "pairs"))
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )

@@ -101,6 +101,92 @@ def ivf_append_writer(
     return append
 
 
+def lsh_index_stream_writer(
+    spark,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+):
+    """foreachBatch maintaining a pre-banded delta-dedup index
+    (:func:`operators.dedup.write_banded_index` layout) from a stream
+    of new documents, exactly-once — dd18's chained daily lifecycle as
+    streaming (the LSH sibling of :func:`ivf_append_writer`).
+
+    Per micro-batch: (1) read the committed index state — the seed
+    ``banded/``+``sigs/`` tables plus the stream tables filtered to
+    ``batch_id < current`` (a replayed batch NEVER sees its own
+    crashed partial appends); (2) compute the batch's delta pairs via
+    ``lsh_delta_pairs_prebanded`` (only the batch is md5-banded;
+    history is a pruned columnar scan) and land them under
+    ``pairs/batch_id=N``; (3) append the batch's banded rows under
+    ``stream_banded/`` partitioned ``(batch_id, band)`` and its
+    signatures under ``stream_sigs/`` partitioned ``batch_id`` — all
+    three writes use dynamic partition OVERWRITE, and banding is a
+    deterministic md5 function of the batch, so a replay rewrites
+    exactly its own partitions: exactly-once without a ledger. Pairs
+    are materialized before the appends (their plan reads the index
+    parquet the appends extend)."""
+    from tw_etl_spark.operators.dedup import (
+        lsh_delta_pairs_prebanded,
+        read_banded_index,
+    )
+
+    sb_path = os.path.join(index_root, "stream_banded")
+    ss_path = os.path.join(index_root, "stream_sigs")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        banded, sigs = read_banded_index(spark, index_root)
+        banded = banded.select("doc", "band", "bucket")
+        if os.path.isdir(sb_path):
+            banded = banded.unionByName(
+                spark.read.parquet(sb_path)
+                .filter(F.col("batch_id") < bid)
+                .select("doc", "band", "bucket")
+            )
+            sigs = sigs.unionByName(
+                spark.read.parquet(ss_path)
+                .filter(F.col("batch_id") < bid)
+                .select(sigs.columns)
+            )
+        pairs, new_sigs, new_banded = lsh_delta_pairs_prebanded(
+            batch_df,
+            banded,
+            sigs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(index_root, "pairs"))
+        )
+        (
+            new_banded.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "band")
+            .parquet(sb_path)
+        )
+        (
+            new_sigs.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(ss_path)
+        )
+
+    return apply
+
+
 def scd2_apply_writer(
     spark,
     seed_path: str,
