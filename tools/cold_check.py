@@ -55,9 +55,14 @@ STREAMING_CEILING_S = float(os.environ.get("COLD_STREAMING_CEILING_S", "60"))
 # Same machinery class, batch shape: chained multi-batch pipelines that
 # stage artifacts to scratch between steps (dd18: index write + two
 # read->delta->append->write cycles = 8+ independent Spark jobs, each
-# paying first-execution codegen). Their cold time measures job-launch
-# machinery x chain length, not any one expression tree.
-MACHINERY = {"dd18_delta_dedup_persisted"}
+# paying first-execution codegen; v8p/v9: k-means train + index write +
+# append + read-back query, 5+ jobs). Their cold time measures
+# job-launch machinery x chain length, not any one expression tree.
+MACHINERY = {
+    "dd18_delta_dedup_persisted",
+    "v8p_ann_ivf_delta",
+    "v9_ivf_skew_audit",
+}
 
 
 def _load_factor(spark) -> tuple[float, float]:
