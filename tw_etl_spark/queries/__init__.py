@@ -239,6 +239,25 @@ def register(
 # maintenance + x13's load-bearing histogram driver slots; the KMV
 # min-set machinery stays hash-pinned by a9's portable twin and the
 # set-algebra composition stays strict-sweep green at three scales).
+# Round-12 late rotation (this session's second wave): in —
+# dd19_delta_duplicate_spans (the exact-substring cell completing the
+# delta family's five representations; oracle = dd9 on the union
+# restricted to new docs), st12_stream_lsh_index_maintain (dd18's
+# chained lifecycle as exactly-once streaming; oracle = dd18's
+# full-corpus replay), v9_ivf_skew_audit (index observability: the
+# recluster trigger, whole audited lifecycle replayed). Out — three
+# slots whose semantics stay pinned, each remaining pytest-oracle +
+# strict-sweep green: t12 (the quality family keeps t11's rule
+# battery, t15's classifier gate, and t8 driver slots; C4 line
+# cleaning keeps its crafted-line-semantics unit + sweep row), st5
+# (streaming near-dup SURVIVOR state stays machinery-covered by
+# st2/st4/st6's driver keyed-state machines and st12 now driver-pins
+# streaming dedup-index maintenance with a strictly stronger oracle;
+# st5 stays sweep-green with its update-mode drain guard unit), a10
+# (ROLLUP/CUBE/GROUPING SETS + pivot are generated and
+# strict-compared by the 500-seed relational fuzz grammar with HAVING
+# — the s10 precedent from the first round-12 rotation; a10 stays
+# sweep-green).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
@@ -255,8 +274,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "v1_cosine_top_pairs",
     # -- graph [EXT] (1)
     "g2_pagerank_conserving",
-    # -- dedup / similarity [EXT] (12, incl. the delta + persisted-index families)
+    # -- dedup / similarity [EXT] (14, incl. the delta + persisted-index families)
     "dd3p_minhash_lsh_portable",
+    "dd19_delta_duplicate_spans",
+    "v9_ivf_skew_audit",
     "dd18_delta_dedup_persisted",
     "v7p_ann_ivf_persisted",
     "v8p_ann_ivf_delta",
@@ -275,7 +296,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x14_importance_resample",
     "x11_bloom_decontaminate",
     # -- streaming (8)
-    "st5_stream_neardup_dedup",
     "st4_event_time_watchdog",
     "st8_stream_cms_heavy_hitters",
     "st2_stream_stateful_gauntlet",
@@ -283,24 +303,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "st6_stream_funnel",
     "st10_stream_cdc_scd2_apply",
     "st11_stream_ann_index_append",
+    "st12_stream_lsh_index_maintain",
     # -- multimodal [EXT] (1)
     "m1_media_sidecar_probe",
-    # -- text [EXT] (6)
+    # -- text / skew [EXT] (5)
     "t8_tfidf_top_terms",
     "t15_quality_classifier",
     "t11_gopher_quality",
-    "t12_c4_clean",
     "j80_salted_skew_join",
     "t17_bpe_encode",
     # -- sources / connectors [EXT] (2)
     "io4_tarshard_datasource_roundtrip",
     "io5_schema_evolution_read",
-    # -- consolidated relational (8)
+    # -- consolidated relational (6)
     "j10_outer_join_family",
     "j20_semi_anti_join",
     "j50_range_asof_join",
     "j70_subquery_family",
-    "a10_grouping_pivot",
     "w20_window_gauntlet",
     "f20_datetime_case_math",
 )
