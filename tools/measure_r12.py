@@ -13,6 +13,8 @@ from tw_etl_spark.queries import all_queries
 from tw_etl_spark.session import get_spark
 
 NAMES = [
+    "st12_stream_lsh_index_maintain",
+    "v9_ivf_skew_audit",
     "dd19_delta_duplicate_spans",
     "st11_stream_ann_index_append",
     "v8p_ann_ivf_delta",
