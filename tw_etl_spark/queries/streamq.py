@@ -55,10 +55,19 @@ def _nullts():
 
 
 def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
-    """(scratch dir, sql-safe tag) — deterministic per sf_dir so reruns
-    overwrite instead of accumulating, and the memory-sink query name
-    never collides across scale factors within one session."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    """(scratch dir, sql-safe tag) — deterministic per (sf_dir,
+    applicationId): reruns within a session overwrite instead of
+    accumulating, the query name never collides across scale factors,
+    and two CONCURRENT sessions on the same sf_dir never clobber each
+    other's checkpoints mid-drain (the dedup `_delta_scratch` contract
+    applied to the streaming tier)."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    app = sess.sparkContext.applicationId if sess is not None else ""
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + app).encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"tw_etl_spark_{name}_{tag}"), tag
 
 
