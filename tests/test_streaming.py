@@ -1537,3 +1537,76 @@ def test_lsh_index_stream_writer_replay_safe(spark):
         assert before  # planted duplicate text guarantees pairs
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_lsh_index_stream_chain_matches_batch_chain(spark):
+    """st12's chain identity over FOUR batches: driving the streaming
+    writer batch-by-batch lands exactly the pairs the batch-side dd18
+    chain (write_banded_index seed + read -> lsh_delta_pairs_prebanded
+    -> append per day) produces — every batch sees seed ∪ all earlier
+    batches and nothing else, on both paths."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.dedup import (
+        lsh_delta_pairs_prebanded,
+        minhash_signatures_portable,
+        read_banded_index,
+        write_banded_index,
+    )
+    from tw_etl_spark.streaming.sinks import lsh_index_stream_writer
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    seed = d.filter(F.col("doc_id") % 5 == 0)
+    batches = [
+        d.filter(F.col("doc_id") % 5 == k).select("doc_id", "text")
+        for k in (1, 2, 3, 4)
+    ]
+
+    root = tempfile.mkdtemp(prefix="lsh_chain_")
+    try:
+        s_idx = os.path.join(root, "stream")
+        b_idx = os.path.join(root, "batch")
+        for idx in (s_idx, b_idx):
+            write_banded_index(
+                minhash_signatures_portable(seed, num_hashes=16),
+                idx, num_hashes=16, bands=4,
+            )
+
+        writer = lsh_index_stream_writer(
+            spark, s_idx, num_hashes=16, bands=4, threshold=0.9
+        )
+        for bid, b in enumerate(batches):
+            writer(b, bid)
+        streamed = {}
+        rows = spark.read.parquet(os.path.join(s_idx, "pairs")).collect()
+        for r in rows:
+            streamed.setdefault(r.batch_id, set()).add(
+                (r.id_a, r.id_b, r.est_jaccard)
+            )
+
+        batch_pairs = {}
+        for bid, b in enumerate(batches):
+            banded, sigs = read_banded_index(spark, b_idx)
+            pairs, new_sigs, new_banded = lsh_delta_pairs_prebanded(
+                b, banded, sigs, num_hashes=16, bands=4, threshold=0.9
+            )
+            batch_pairs[bid] = {
+                (r.id_a, r.id_b, r.est_jaccard) for r in pairs.collect()
+            }
+            new_banded.write.mode("append").partitionBy("band").parquet(
+                os.path.join(b_idx, "banded")
+            )
+            new_sigs.write.mode("append").parquet(
+                os.path.join(b_idx, "sigs")
+            )
+
+        # a zero-pair batch writes no pairs/batch_id=N partition, so
+        # streamed may lack that key — compare per-batch with default
+        assert set(streamed) <= set(batch_pairs)
+        for bid in batch_pairs:
+            assert streamed.get(bid, set()) == batch_pairs[bid], bid
+        assert any(batch_pairs.values())  # planted dups guarantee pairs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
