@@ -702,13 +702,9 @@ def test_ivf_append_never_scans_existing_lists_and_pruning_survives(
     # (1) replicate the append's assignment frame (the exact df
     # append_ivf_index writes) and assert its plan scans only the
     # embeddings table — no /lists location anywhere
-    import os
+    from tw_etl_spark.operators.similarity import read_ivf_centroids
 
-    cent_rows = sorted(
-        spark.read.parquet(os.path.join(root, "centroids")).collect(),
-        key=lambda r: r.j,
-    )
-    cents = [list(r.c) for r in cent_rows]
+    cents = read_ivf_centroids(spark, root)
     un = unit_vectors(new, "vec_id", "embedding")
     assign = un.select(
         F.col("id").alias("cand_id"),

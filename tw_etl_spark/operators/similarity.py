@@ -1066,6 +1066,19 @@ def write_ivf_index(
     )
 
 
+def read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """Load a :func:`write_ivf_index` root's centroid artifact in
+    j-order — THE single reader for the artifact contract (column
+    names, sort key); every consumer (query probe, batch append,
+    streaming append) goes through here so a layout change cannot
+    silently mis-order centroids in one copy."""
+    rows = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r.j,
+    )
+    return [list(r.c) for r in rows]
+
+
 def append_ivf_index(
     new_batch: DataFrame,
     path: str,
@@ -1094,11 +1107,7 @@ def append_ivf_index(
     from tw_etl_spark.operators.dedup import kmeans_assign_expr, unit_vectors
 
     spark = new_batch.sparkSession
-    cent_rows = sorted(
-        spark.read.parquet(os.path.join(path, "centroids")).collect(),
-        key=lambda r: r.j,
-    )
-    cents = [list(r.c) for r in cent_rows]
+    cents = read_ivf_centroids(spark, path)
     un = unit_vectors(new_batch, id_col, vec_col)
     (
         un.select(
@@ -1143,11 +1152,7 @@ def ann_ivf_persisted_topk(
     from tw_etl_spark.operators.text import let_expr
 
     spark = queries.sparkSession
-    cent_rows = sorted(
-        spark.read.parquet(os.path.join(path, "centroids")).collect(),
-        key=lambda r: r.j,
-    )
-    cents = [list(r.c) for r in cent_rows]
+    cents = read_ivf_centroids(spark, path)
     nprobe = min(nprobe, len(cents))
 
     probes = let_expr(
@@ -1182,9 +1187,13 @@ def ann_ivf_persisted_topk(
     lists = spark.read.parquet(os.path.join(path, "lists")).filter(
         F.col("list_id").isin(probed)
     )
-    if stream_appends:
+    # a stream-maintained index is query-able BEFORE any micro-batch
+    # has landed (the writer creates stream_lists on first batch), so
+    # the union is conditional on the directory existing
+    sl = os.path.join(path, "stream_lists")
+    if stream_appends and os.path.isdir(sl):
         streamed = (
-            spark.read.parquet(os.path.join(path, "stream_lists"))
+            spark.read.parquet(sl)
             .drop("batch_id")
             .filter(F.col("list_id").isin(probed))
         )
@@ -1231,11 +1240,10 @@ def ivf_index_stats(
     to partition metadata plus row counts), then a tiny
     n_lists-row aggregate. Safe to run after every append."""
     lists = spark.read.parquet(os.path.join(path, "lists")).select("list_id")
-    if stream_appends:
+    sl = os.path.join(path, "stream_lists")
+    if stream_appends and os.path.isdir(sl):
         lists = lists.unionByName(
-            spark.read.parquet(os.path.join(path, "stream_lists")).select(
-                "list_id"
-            )
+            spark.read.parquet(sl).select("list_id")
         )
     per_list = lists.groupBy("list_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

@@ -11,6 +11,108 @@ from tw_etl_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine
 from tw_etl_spark.queries import register
 
 
+_LLOYD_MEAN = """(CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9"""
+
+
+def _ivf_lifecycle_ctes(n_lists: int, train_pred: str = "") -> str:
+    """The shared DuckDB replay of the IVF index LIFECYCLE — one
+    source of truth for the intricate scaled-integer k-means chain
+    (dd8p's recipe: smallest-id seeds, one exact Lloyd step) used by
+    v4p, v7p, v8p, v9, and st11's oracles: quantizer trained on the
+    ``train_pred`` rows (empty = whole corpus), then the FULL corpus
+    assigned against the trained centroids (``clist``). Callers append
+    a tail over ``d2``/``clist`` (``_ivf_rank_tail`` for the
+    probe-and-rank queries, the per-list aggregate for v9's audit) —
+    so a fix to the replay can never drift between the copies."""
+    seeds_where = f"WHERE {train_pred} " if train_pred else ""
+    d1_where = f"\n            WHERE n.{train_pred}" if train_pred else ""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+               ) AS u
+        FROM v
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
+        FROM unitv {seeds_where}ORDER BY vec_id LIMIT {n_lists}
+    ),
+    d1 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN seeds s{d1_where}
+        )
+    ),
+    a1 AS (
+        SELECT vec_id, u, j AS c1
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT c1, g.range AS i,
+               {_LLOYD_MEAN} AS mv
+        FROM a1 CROSS JOIN range(64) g
+        GROUP BY c1, g.range
+    ),
+    cents2 AS (
+        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
+        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
+    ),
+    d2 AS (
+        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
+        FROM (
+            SELECT n.vec_id, n.u, s.j,
+                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
+            FROM unitv n CROSS JOIN cents2 s
+        )
+    ),
+    clist AS (
+        SELECT vec_id AS cand_id, u AS cu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2
+        ) WHERE rn = 1
+    ),"""
+
+
+def _ivf_rank_tail(query_pred: str, nprobe: int, k: int) -> str:
+    """The probe-and-rank tail shared by v4p/v7p/v8p/st11: nprobe
+    nearest lists per query, candidate join, round-6/id-tiebroken
+    exact top-k re-rank."""
+    return f"""
+    qprobe AS (
+        SELECT vec_id AS query_id, u AS qu, j AS list_id
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, j
+            ) AS rn FROM d2 WHERE {query_pred}
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT query_id, cand_id,
+               round(list_dot_product(qu, cu), 6) + 0.0 AS sim
+        FROM qprobe q JOIN clist c
+          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id
+        ) AS rank
+        FROM cand
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+
 @register(
     "v2_knn_exact",
     oracle="""
@@ -121,84 +223,8 @@ def v3p(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v4p_ann_ivf_portable",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    unitv AS (
-        SELECT vec_id,
-               list_transform(
-                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
-               ) AS u
-        FROM v
-    ),
-    seeds AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
-        FROM unitv ORDER BY vec_id LIMIT 8
-    ),
-    d1 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN seeds s
-        )
-    ),
-    a1 AS (
-        SELECT vec_id, u, j AS c1
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d1
-        ) WHERE rn = 1
-    ),
-    m AS (
-        -- scaled-integer Lloyd mean, identical to dd8p's oracle
-        SELECT c1, g.range AS i,
-               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
-        FROM a1 CROSS JOIN range(64) g
-        GROUP BY c1, g.range
-    ),
-    cents2 AS (
-        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
-        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
-    ),
-    d2 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN cents2 s
-        )
-    ),
-    clist AS (
-        SELECT vec_id AS cand_id, u AS cu, j AS list_id
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d2
-        ) WHERE rn = 1
-    ),
-    qprobe AS (
-        SELECT vec_id AS query_id, u AS qu, j AS list_id
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d2 WHERE vec_id < 20
-        ) WHERE rn <= 2
-    ),
-    cand AS (
-        SELECT query_id, cand_id,
-               round(list_dot_product(qu, cu), 6) + 0.0 AS sim
-        FROM qprobe q JOIN clist c
-          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
-    )
-    SELECT query_id, cand_id, sim, rank FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY sim DESC, cand_id
-        ) AS rank
-        FROM cand
-    ) WHERE rank <= 3
-    ORDER BY query_id, rank
-    """,
+    oracle=_ivf_lifecycle_ctes(8)
+    + _ivf_rank_tail("vec_id < 20", nprobe=2, k=3),
     doc="IVF ANN under the FULL hash oracle — the portable twin of v4, "
     "closing the last recall-only-gated ANN family: dd8p's relational "
     "k-means (smallest-id seeds + one Lloyd step with exact "
@@ -238,83 +264,8 @@ def v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v7p_ann_ivf_persisted",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    unitv AS (
-        SELECT vec_id,
-               list_transform(
-                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
-               ) AS u
-        FROM v
-    ),
-    seeds AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
-        FROM unitv ORDER BY vec_id LIMIT 16
-    ),
-    d1 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN seeds s
-        )
-    ),
-    a1 AS (
-        SELECT vec_id, u, j AS c1
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d1
-        ) WHERE rn = 1
-    ),
-    m AS (
-        SELECT c1, g.range AS i,
-               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
-        FROM a1 CROSS JOIN range(64) g
-        GROUP BY c1, g.range
-    ),
-    cents2 AS (
-        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
-        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
-    ),
-    d2 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN cents2 s
-        )
-    ),
-    clist AS (
-        SELECT vec_id AS cand_id, u AS cu, j AS list_id
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d2
-        ) WHERE rn = 1
-    ),
-    qprobe AS (
-        SELECT vec_id AS query_id, u AS qu, j AS list_id
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d2 WHERE vec_id < 5
-        ) WHERE rn <= 2
-    ),
-    cand AS (
-        SELECT query_id, cand_id,
-               round(list_dot_product(qu, cu), 6) + 0.0 AS sim
-        FROM qprobe q JOIN clist c
-          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
-    )
-    SELECT query_id, cand_id, sim, rank FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY sim DESC, cand_id
-        ) AS rank
-        FROM cand
-    ) WHERE rank <= 3
-    ORDER BY query_id, rank
-    """,
+    oracle=_ivf_lifecycle_ctes(16)
+    + _ivf_rank_tail("vec_id < 5", nprobe=2, k=3),
     doc="IVF ANN against a PERSISTED index artifact (the similarity "
     "family's round-12 sibling of dd18's banded layout): "
     "operators/similarity.write_ivf_index stores the relational-kmeans "
@@ -352,91 +303,8 @@ def v7p(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v8p_ann_ivf_delta",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    unitv AS (
-        SELECT vec_id,
-               list_transform(
-                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
-               ) AS u
-        FROM v
-    ),
-    -- the quantizer trains on the OLD corpus only (vec_id % 3 <> 0):
-    -- dd8p's recipe verbatim — seed on the 16 smallest OLD ids, assign
-    -- OLD, one exact scaled-integer Lloyd update. The new batch never
-    -- influences the centroids (that is the append contract).
-    seeds AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
-        FROM unitv WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 16
-    ),
-    d1 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN seeds s
-            WHERE n.vec_id % 3 <> 0
-        )
-    ),
-    a1 AS (
-        SELECT vec_id, u, j AS c1
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d1
-        ) WHERE rn = 1
-    ),
-    m AS (
-        SELECT c1, g.range AS i,
-               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
-        FROM a1 CROSS JOIN range(64) g
-        GROUP BY c1, g.range
-    ),
-    cents2 AS (
-        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
-        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
-    ),
-    -- assignment runs over the FULL corpus against the old-trained
-    -- centroids: old rows at write time, new rows at append time —
-    -- same expression, so one CTE replays both
-    d2 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN cents2 s
-        )
-    ),
-    clist AS (
-        SELECT vec_id AS cand_id, u AS cu, j AS list_id
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d2
-        ) WHERE rn = 1
-    ),
-    qprobe AS (
-        SELECT vec_id AS query_id, u AS qu, j AS list_id
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d2 WHERE vec_id < 5
-        ) WHERE rn <= 2
-    ),
-    cand AS (
-        SELECT query_id, cand_id,
-               round(list_dot_product(qu, cu), 6) + 0.0 AS sim
-        FROM qprobe q JOIN clist c
-          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
-    )
-    SELECT query_id, cand_id, sim, rank FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY sim DESC, cand_id
-        ) AS rank
-        FROM cand
-    ) WHERE rank <= 3
-    ORDER BY query_id, rank
-    """,
+    oracle=_ivf_lifecycle_ctes(16, "vec_id % 3 <> 0")
+    + _ivf_rank_tail("vec_id < 5", nprobe=2, k=3),
     doc="INCREMENTAL IVF index maintenance — the delta-dedup pattern "
     "(fixed durable index, O(|new|) daily cost) applied to ANN, closing "
     "the similarity family's last batch-rebuild dependency: "
@@ -477,62 +345,8 @@ def v8p(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v9_ivf_skew_audit",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    unitv AS (
-        SELECT vec_id,
-               list_transform(
-                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
-               ) AS u
-        FROM v
-    ),
-    seeds AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
-        FROM unitv WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 16
-    ),
-    d1 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN seeds s
-            WHERE n.vec_id % 3 <> 0
-        )
-    ),
-    a1 AS (
-        SELECT vec_id, u, j AS c1
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d1
-        ) WHERE rn = 1
-    ),
-    m AS (
-        SELECT c1, g.range AS i,
-               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
-        FROM a1 CROSS JOIN range(64) g
-        GROUP BY c1, g.range
-    ),
-    cents2 AS (
-        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
-        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
-    ),
-    d2 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN cents2 s
-        )
-    ),
-    clist AS (
-        SELECT vec_id AS cand_id, j AS list_id
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d2
-        ) WHERE rn = 1
-    ),
+    oracle=_ivf_lifecycle_ctes(16, "vec_id % 3 <> 0")
+    + """
     per AS (
         SELECT list_id, count(*)::BIGINT AS n FROM clist GROUP BY list_id
     )

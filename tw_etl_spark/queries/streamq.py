@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 
 from tw_etl_spark.catalog import read_table as _t
 from tw_etl_spark.queries import REGISTRY, register
+from tw_etl_spark.queries.similarity import (
+    _ivf_lifecycle_ctes,  # shared oracle builders: st11's replay must
+    _ivf_rank_tail,  # be identical to v8p's (the stream == batch claim)
+)
 from tw_etl_spark.streaming.sessions import sessionize_closed
 from tw_etl_spark.streaming.sinks import (
     idempotent_parquet_writer,
@@ -69,6 +73,21 @@ def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
         (os.path.abspath(sf_dir) + "|" + app).encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"tw_etl_spark_{name}_{tag}"), tag
+
+
+
+
+def _land(batch_df: DataFrame, stage: str, src: str, name: str) -> None:
+    """Stage a batch as ONE parquet file and copy it into the stream's
+    source directory — the shared file-arrival simulator for every
+    file-source streaming query (one call == one arriving file == one
+    micro-batch under maxFilesPerTrigger=1)."""
+    import shutil
+
+    d = os.path.join(stage, name)
+    batch_df.coalesce(1).write.mode("overwrite").parquet(d)
+    (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    shutil.copyfile(os.path.join(d, part), os.path.join(src, f"{name}.parquet"))
 
 
 @register(
@@ -423,11 +442,7 @@ def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def land(batch_df: DataFrame, name: str) -> None:
-        """Write one batch as a single parquet file inside src/."""
-        d = os.path.join(stage, name)
-        batch_df.coalesce(1).write.mode("overwrite").parquet(d)
-        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        shutil.copyfile(os.path.join(d, part), os.path.join(src, f"{name}.parquet"))
+        _land(batch_df, stage, src, name)
 
     def drain() -> None:
         """One availableNow pass over src against the shared checkpoint,
@@ -1107,12 +1122,7 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def land(batch_df: DataFrame, name: str) -> None:
-        d = os.path.join(stage, name)
-        batch_df.coalesce(1).write.mode("overwrite").parquet(d)
-        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        shutil.copyfile(
-            os.path.join(d, part), os.path.join(src, f"{name}.parquet")
-        )
+        _land(batch_df, stage, src, name)
 
     apply_cdc = scd2_apply_writer(
         spark, seed, out, keys=["o_orderkey"], payload_cols=["o_totalprice"]
@@ -1189,86 +1199,8 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st11_stream_ann_index_append",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    unitv AS (
-        SELECT vec_id,
-               list_transform(
-                   e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
-               ) AS u
-        FROM v
-    ),
-    -- the quantizer trains on the OLD corpus only (vec_id % 3 <> 0):
-    -- identical to v8p's batch lifecycle — the stream never retrains
-    seeds AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS c
-        FROM unitv WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 16
-    ),
-    d1 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN seeds s
-            WHERE n.vec_id % 3 <> 0
-        )
-    ),
-    a1 AS (
-        SELECT vec_id, u, j AS c1
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d1
-        ) WHERE rn = 1
-    ),
-    m AS (
-        SELECT c1, g.range AS i,
-               (CASE WHEN (sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT) < 0 THEN -(((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) // ((count(*))::BIGINT)) + CASE WHEN 2 * ((abs(sum(round(u[g.range + 1] * 1e9)::BIGINT)::BIGINT)::BIGINT * 1) % ((count(*))::BIGINT)) >= ((count(*))::BIGINT) THEN 1 ELSE 0 END) END / 1.0) / 1e9 AS mv
-        FROM a1 CROSS JOIN range(64) g
-        GROUP BY c1, g.range
-    ),
-    cents2 AS (
-        SELECT row_number() OVER (ORDER BY c1) - 1 AS j, c
-        FROM (SELECT c1, list(mv ORDER BY i) AS c FROM m GROUP BY c1)
-    ),
-    d2 AS (
-        SELECT vec_id, u, j, list_dot_product(dv, dv) AS dist
-        FROM (
-            SELECT n.vec_id, n.u, s.j,
-                   list_transform(range(64), i -> n.u[i + 1] - s.c[i + 1]) AS dv
-            FROM unitv n CROSS JOIN cents2 s
-        )
-    ),
-    clist AS (
-        SELECT vec_id AS cand_id, u AS cu, j AS list_id
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d2
-        ) WHERE rn = 1
-    ),
-    qprobe AS (
-        SELECT vec_id AS query_id, u AS qu, j AS list_id
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, j
-            ) AS rn FROM d2 WHERE vec_id < 5
-        ) WHERE rn <= 2
-    ),
-    cand AS (
-        SELECT query_id, cand_id,
-               round(list_dot_product(qu, cu), 6) + 0.0 AS sim
-        FROM qprobe q JOIN clist c
-          ON q.list_id = c.list_id AND c.cand_id <> q.query_id
-    )
-    SELECT query_id, cand_id, sim, rank FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY sim DESC, cand_id
-        ) AS rank
-        FROM cand
-    ) WHERE rank <= 3
-    ORDER BY query_id, rank
-    """,
+    oracle=_ivf_lifecycle_ctes(16, "vec_id % 3 <> 0")
+    + _ivf_rank_tail("vec_id < 5", nprobe=2, k=3),
     doc="STREAMING ANN index maintenance — v8p's append lifecycle "
     "driven by Structured Streaming: the persisted IVF index (old "
     "corpus, vec_id % 3 != 0, 16 relational-kmeans lists) is "
@@ -1309,12 +1241,7 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = v.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
 
     def land(batch_df: DataFrame, name: str) -> None:
-        d = os.path.join(stage, name)
-        batch_df.coalesce(1).write.mode("overwrite").parquet(d)
-        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        shutil.copyfile(
-            os.path.join(d, part), os.path.join(src, f"{name}.parquet")
-        )
+        _land(batch_df, stage, src, name)
 
     land(new.filter(F.col("vec_id") % 2 == 0), "batch_a")
     land(new.filter(F.col("vec_id") % 2 != 0), "batch_b")
@@ -1423,12 +1350,7 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def land(batch_df: DataFrame, name: str) -> None:
-        dd = os.path.join(stage, name)
-        batch_df.coalesce(1).write.mode("overwrite").parquet(dd)
-        (part,) = [f for f in os.listdir(dd) if f.endswith(".parquet")]
-        shutil.copyfile(
-            os.path.join(dd, part), os.path.join(src, f"{name}.parquet")
-        )
+        _land(batch_df, stage, src, name)
 
     writer = lsh_index_stream_writer(
         spark, idx, num_hashes=16, bands=4, threshold=0.9

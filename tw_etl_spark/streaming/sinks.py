@@ -75,12 +75,9 @@ def ivf_append_writer(
     column at either nesting level).
     """
     from tw_etl_spark.operators.dedup import kmeans_assign_expr, unit_vectors
+    from tw_etl_spark.operators.similarity import read_ivf_centroids
 
-    cent_rows = sorted(
-        spark.read.parquet(os.path.join(index_root, "centroids")).collect(),
-        key=lambda r: r.j,
-    )
-    cents = [list(r.c) for r in cent_rows]
+    cents = read_ivf_centroids(spark, index_root)
     out = os.path.join(index_root, "stream_lists")
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
@@ -141,14 +138,39 @@ def lsh_index_stream_writer(
         bid = int(batch_id)
         banded, sigs = read_banded_index(spark, index_root)
         banded = banded.select("doc", "band", "bucket")
+        # each stream dir gets its OWN existence guard AND an explicit
+        # read schema: a crash between the stream_banded and
+        # stream_sigs writes leaves only one dir, and a crash MID-write
+        # leaves a dir holding only _temporary (zero data files) on
+        # which schema inference would raise — with the schema pinned
+        # from the seed tables, both states read as valid (possibly
+        # empty) input, and the batch_id < bid filter hides any
+        # crashed partials of this very batch
+        from pyspark.sql import types as T
+
         if os.path.isdir(sb_path):
+            sb_schema = T.StructType(
+                [
+                    banded.schema["doc"],
+                    banded.schema["bucket"],
+                    T.StructField("batch_id", T.IntegerType()),
+                    banded.schema["band"],
+                ]
+            )
             banded = banded.unionByName(
-                spark.read.parquet(sb_path)
+                spark.read.schema(sb_schema)
+                .parquet(sb_path)
                 .filter(F.col("batch_id") < bid)
                 .select("doc", "band", "bucket")
             )
+        if os.path.isdir(ss_path):
+            ss_schema = T.StructType(
+                list(sigs.schema)
+                + [T.StructField("batch_id", T.IntegerType())]
+            )
             sigs = sigs.unionByName(
-                spark.read.parquet(ss_path)
+                spark.read.schema(ss_schema)
+                .parquet(ss_path)
                 .filter(F.col("batch_id") < bid)
                 .select(sigs.columns)
             )
