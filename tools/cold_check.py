@@ -105,12 +105,13 @@ def main() -> int:
     results: dict[str, float] = {}
     ceilings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    base: dict[str, float] = {}
     for name, spec in all_queries().items():
-        ceilings[name] = (
+        base[name] = (
             STREAMING_CEILING_S
             if "streaming" in spec.tags or name in MACHINERY
             else CEILING_S
-        ) * load
+        )
         t0 = time.perf_counter()
         try:
             spec.spark(spark, SF_DIR).toPandas()
@@ -118,6 +119,16 @@ def main() -> int:
             errors[name] = str(exc)[:200]
             continue
         results[name] = round(time.perf_counter() - t0, 3)
+    # the probe was measured ONCE before a ~6 min loop; if box load
+    # rose mid-loop, ceilings computed from the stale factor flap on
+    # queries sitting a few % under their bar. Re-probe at the end and
+    # stretch by the WORST of the two measurements — a codegen blowup
+    # (the gate's actual target) is 5-30x over ceiling and unaffected.
+    probe2_ms, load2 = _load_factor(spark)
+    probe_ms = max(probe_ms, probe2_ms)
+    load = max(load, load2)
+    for name in base:
+        ceilings[name] = base[name] * load
 
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "cold_check_results.json"
