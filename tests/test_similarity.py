@@ -357,3 +357,67 @@ def test_append_ivf_index_matches_single_shot_and_is_append_only(
     }
     assert r1 == r2
     assert len(r1) == 15  # 5 queries x top-3
+
+
+def test_recluster_equals_fresh_build_and_leaves_live_index_untouched(
+    spark, tmp_path
+):
+    """v10's identity in-engine: reclustering write(old)+append(new)
+    yields an index whose query answers equal a FRESH
+    write_ivf_index(all) build — the stored unit vectors round-trip
+    bit-identically (assume_unit) and the k-means is a pure function
+    of (id, vector). And recluster never touches the live root: every
+    live file is byte-identical after the rebuild (publish-to-new-root
+    posture)."""
+    import os
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        append_ivf_index,
+        recluster_ivf_index,
+        write_ivf_index,
+    )
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    q = v.filter(F.col("vec_id") < 5)
+
+    live = str(tmp_path / "live")
+    rebuilt = str(tmp_path / "rebuilt")
+    fresh = str(tmp_path / "fresh")
+    write_ivf_index(v.filter(F.col("vec_id") % 3 != 0), live, n_lists=16)
+    append_ivf_index(v.filter(F.col("vec_id") % 3 == 0), live)
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = snapshot(live)
+    recluster_ivf_index(spark, live, rebuilt, n_lists=16)
+    assert snapshot(live) == before  # live root untouched
+
+    write_ivf_index(v, fresh, n_lists=16)
+    r_rebuilt = {
+        tuple(r)
+        for r in ann_ivf_persisted_topk(q, rebuilt, nprobe=2, k=3).collect()
+    }
+    r_fresh = {
+        tuple(r)
+        for r in ann_ivf_persisted_topk(q, fresh, nprobe=2, k=3).collect()
+    }
+    assert r_rebuilt == r_fresh
+    assert len(r_rebuilt) == 15
+    # the rebuilt centroids equal the fresh build's exactly
+    c1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(rebuilt, "centroids")).collect()
+    )
+    c2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(fresh, "centroids")).collect()
+    )
+    assert [(j, list(c)) for j, c in c1] == [(j, list(c)) for j, c in c2]

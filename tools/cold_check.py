@@ -62,6 +62,7 @@ MACHINERY = {
     "dd18_delta_dedup_persisted",
     "v8p_ann_ivf_delta",
     "v9_ivf_skew_audit",
+    "v10_ivf_recluster",
 }
 
 

@@ -13,6 +13,7 @@ from tw_etl_spark.queries import all_queries
 from tw_etl_spark.session import get_spark
 
 NAMES = [
+    "v10_ivf_recluster",
     "st12_stream_lsh_index_maintain",
     "v9_ivf_skew_audit",
     "dd19_delta_duplicate_spans",

@@ -1024,6 +1024,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_lists: int = 16,
+    assume_unit: bool = False,
 ) -> None:
     """Persist an IVF ANN index in its QUERY-SHAPED layout — the
     similarity-family sibling of the delta-dedup banded index (VERDICT
@@ -1038,14 +1039,25 @@ def write_ivf_index(
     The quantizer is dd8p's relational k-means (fixed smallest-id
     seeds + one exact scaled-integer Lloyd step) so every value in the
     index — centroids, assignments — is engine-reconstructible and the
-    persisted query result sits under the full hash oracle (v7p)."""
+    persisted query result sits under the full hash oracle (v7p).
+
+    ``assume_unit=True`` skips the L2 normalization — for inputs that
+    ARE stored unit vectors (the index's own ``cu`` column, the
+    recluster path): re-normalizing an already-unit vector divides by
+    a norm of 1 ± 1 ulp, which can flip low bits and silently decouple
+    a rebuilt index from one built off the source embeddings."""
     from tw_etl_spark.operators.dedup import (
         kmeans_assign_expr,
         relational_kmeans_centroids,
         unit_vectors,
     )
 
-    uc = unit_vectors(corpus, id_col, vec_col)
+    if assume_unit:
+        uc = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("u")
+        )
+    else:
+        uc = unit_vectors(corpus, id_col, vec_col)
     _, cents = relational_kmeans_centroids(uc, n_lists)
     spark = corpus.sparkSession
     (
@@ -1215,6 +1227,45 @@ def ann_ivf_persisted_topk(
         .cast("bigint"),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def recluster_ivf_index(
+    spark,
+    path: str,
+    out_path: str,
+    n_lists: int = 16,
+    stream_appends: bool = False,
+) -> None:
+    """REBUILD a persisted IVF index from its own lists — the ACTION
+    :func:`ivf_index_stats`' recluster flag triggers: after enough
+    appends against drifted centroids, retrain the quantizer on the
+    FULL indexed corpus and rewrite balanced lists. Reads the stored
+    unit vectors straight out of ``lists`` (∪ ``stream_lists``) — the
+    source embedding table is not needed, which matters when the index
+    outlives its ingest pipeline — and writes a fresh
+    :func:`write_ivf_index` artifact at ``out_path`` (never in place:
+    readers of the live index are unaffected until the caller swaps
+    roots, the same publish-by-rename posture as the shard writers).
+
+    Identity (hash-oracled as v10): reclustering an index that was
+    built as write(old) + append(new) [+ streamed batches] yields
+    EXACTLY the index write(old ∪ new) builds from the source table —
+    the stored vectors round-trip bit-identically (``assume_unit``
+    skips the re-normalization whose 1-ulp norm error would otherwise
+    decouple the two), and the relational k-means is a pure function
+    of (id, vector)."""
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    sl = os.path.join(path, "stream_lists")
+    if stream_appends and os.path.isdir(sl):
+        lists = lists.select("cand_id", "cu").unionByName(
+            spark.read.parquet(sl).select("cand_id", "cu")
+        )
+    corpus = lists.select(
+        F.col("cand_id").alias("vec_id"), F.col("cu").alias("embedding")
+    )
+    write_ivf_index(
+        corpus, out_path, n_lists=n_lists, assume_unit=True
+    )
 
 
 def ivf_index_stats(

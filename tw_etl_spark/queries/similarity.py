@@ -394,6 +394,51 @@ def v9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v10_ivf_recluster",
+    oracle=_ivf_lifecycle_ctes(16)
+    + _ivf_rank_tail("vec_id < 5", nprobe=2, k=3),
+    doc="IVF index RECLUSTER — the action v9's audit flag triggers, "
+    "closing the index lifecycle (write -> append -> audit -> "
+    "recluster): operators/similarity.recluster_ivf_index retrains the "
+    "quantizer on the FULL indexed corpus read straight out of the "
+    "persisted lists (the source table is not consulted — stored unit "
+    "vectors round-trip bit-identically via assume_unit, which skips "
+    "the re-normalization whose 1-ulp norm error would decouple the "
+    "rebuild) and writes a fresh balanced artifact at a NEW root "
+    "(never in place — live readers unaffected until the caller swaps)."
+    " The query builds write(old % 3 != 0) + append(new), reclusters, "
+    "and probes the rebuilt index; the oracle is v7p's train-on-ALL "
+    "lifecycle replay — a hash match proves "
+    "recluster(write(old) + append(new)) == write(old ∪ new) exactly.",
+    tags=("vector", "ann", "index", "ops", "ext"),
+)
+def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        append_ivf_index,
+        recluster_ivf_index,
+        write_ivf_index,
+    )
+    from tw_etl_spark.queries.dedup import _delta_scratch
+
+    v = _t(spark, sf_dir, "embeddings")
+    root = _delta_scratch(spark, sf_dir, "v10")
+    shutil.rmtree(root, ignore_errors=True)
+    import os
+
+    live = os.path.join(root, "live")
+    rebuilt = os.path.join(root, "rebuilt")
+    write_ivf_index(v.filter(F.col("vec_id") % 3 != 0), live, n_lists=16)
+    append_ivf_index(v.filter(F.col("vec_id") % 3 == 0), live)
+    recluster_ivf_index(spark, live, rebuilt, n_lists=16)
+    return ann_ivf_persisted_topk(
+        v.filter(F.col("vec_id") < 5), rebuilt, nprobe=2, k=3
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "v5p_knn_quantized_portable",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
