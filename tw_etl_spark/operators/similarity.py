@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tw_etl_spark.sources.fsutil import fs_exists
+
 
 def _spread(df: DataFrame, min_partitions: int = 8) -> DataFrame:
     """Ensure enough partitions that the per-batch matmuls parallelize.
@@ -1091,6 +1093,27 @@ def read_ivf_centroids(spark, path: str) -> list[list[float]]:
     return [list(r.c) for r in rows]
 
 
+def _stream_lists_schema(base_schema) -> "T.StructType":
+    """Explicit read schema for a ``stream_lists`` table, PINNED from
+    the base ``lists`` schema (same treatment as
+    ``lsh_index_stream_writer``'s sb/ss schemas): the stream dir can
+    legitimately hold zero data files (crash mid-first-micro-batch
+    leaves only ``_temporary``), where schema inference raises but a
+    pinned-schema scan reads as empty. ``batch_id`` is LONG — the
+    Structured Streaming batch-id type — matching the writers'
+    explicit cast."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            base_schema["cand_id"],
+            base_schema["cu"],
+            T.StructField("batch_id", T.LongType()),
+            base_schema["list_id"],
+        ]
+    )
+
+
 def append_ivf_index(
     new_batch: DataFrame,
     path: str,
@@ -1201,12 +1224,18 @@ def ann_ivf_persisted_topk(
     )
     # a stream-maintained index is query-able BEFORE any micro-batch
     # has landed (the writer creates stream_lists on first batch), so
-    # the union is conditional on the directory existing
+    # the union is conditional on the directory existing — probed
+    # scheme-aware (fs_exists, VERDICT r12 #1: an os.path probe on an
+    # s3a:// root silently returns False and a POPULATED stream index
+    # would be ignored) and read with the schema PINNED from the base
+    # lists table (a crash mid-first-micro-batch leaves only
+    # _temporary, on which schema inference would raise; pinned, it
+    # reads as empty)
     sl = os.path.join(path, "stream_lists")
-    if stream_appends and os.path.isdir(sl):
+    if stream_appends and fs_exists(spark, sl):
         streamed = (
-            spark.read.parquet(sl)
-            .drop("batch_id")
+            spark.read.schema(_stream_lists_schema(lists.schema))
+            .parquet(sl)
             .filter(F.col("list_id").isin(probed))
         )
         lists = lists.select("cand_id", "cu", "list_id").unionByName(
@@ -1256,9 +1285,11 @@ def recluster_ivf_index(
     of (id, vector)."""
     lists = spark.read.parquet(os.path.join(path, "lists"))
     sl = os.path.join(path, "stream_lists")
-    if stream_appends and os.path.isdir(sl):
+    if stream_appends and fs_exists(spark, sl):
         lists = lists.select("cand_id", "cu").unionByName(
-            spark.read.parquet(sl).select("cand_id", "cu")
+            spark.read.schema(_stream_lists_schema(lists.schema))
+            .parquet(sl)
+            .select("cand_id", "cu")
         )
     corpus = lists.select(
         F.col("cand_id").alias("vec_id"), F.col("cu").alias("embedding")
@@ -1290,11 +1321,14 @@ def ivf_index_stats(
     vectors themselves are never read — column pruning keeps the scan
     to partition metadata plus row counts), then a tiny
     n_lists-row aggregate. Safe to run after every append."""
-    lists = spark.read.parquet(os.path.join(path, "lists")).select("list_id")
+    base = spark.read.parquet(os.path.join(path, "lists"))
+    lists = base.select("list_id")
     sl = os.path.join(path, "stream_lists")
-    if stream_appends and os.path.isdir(sl):
+    if stream_appends and fs_exists(spark, sl):
         lists = lists.unionByName(
-            spark.read.parquet(sl).select("list_id")
+            spark.read.schema(_stream_lists_schema(base.schema))
+            .parquet(sl)
+            .select("list_id")
         )
     per_list = lists.groupBy("list_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

@@ -29,6 +29,7 @@ from tw_etl_spark.operators.dedup import (
 )
 from tw_etl_spark.operators.similarity import cosine_threshold_pairs
 from tw_etl_spark.queries import register
+from tw_etl_spark.testing.dedupgen import delta_span_sql
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -834,49 +835,11 @@ def dd18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd19_delta_duplicate_spans",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-        FROM documents
-    ), posed AS (
-        SELECT doc_id, tk, len(tk) AS n_tok,
-               unnest(range(1, len(tk) - 6)) AS pos
-        FROM toks WHERE len(tk) >= 8
-    ), grams AS (
-        SELECT doc_id, pos, n_tok,
-               array_to_string(list_slice(tk, pos, pos + 7), ' ') AS g
-        FROM posed
-    ),
-    -- duplication is judged on the FULL union (old corpus + new
-    -- batch), exactly what the delta criterion cnt_old + n_all > n_own
-    -- reconstructs from the persisted index
-    dup AS (
-        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
-    ), hits AS (
-        SELECT doc_id, pos, n_tok FROM grams
-        WHERE g IN (SELECT g FROM dup) AND doc_id % 3 = 0
-    ), marked AS (
-        SELECT doc_id, pos, n_tok,
-               CASE WHEN lag(pos) OVER w IS NULL
-                         OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
-        FROM hits
-        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ), islands AS (
-        SELECT doc_id, pos, n_tok,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                              ROWS UNBOUNDED PRECEDING) AS island
-        FROM marked
-    ), spans AS (
-        SELECT doc_id, any_value(n_tok) AS n_tok,
-               max(pos) + 8 - min(pos) AS span_toks
-        FROM islands GROUP BY doc_id, island
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT)        AS n_dup_spans,
-           CAST(sum(span_toks) AS BIGINT)  AS dup_tokens,
-           (CASE WHEN (sum(span_toks)::BIGINT) < 0 THEN -(((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) // ((any_value(n_tok))::BIGINT)) + CASE WHEN 2 * ((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) % ((any_value(n_tok))::BIGINT)) >= ((any_value(n_tok))::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) // ((any_value(n_tok))::BIGINT)) + CASE WHEN 2 * ((abs(sum(span_toks)::BIGINT)::BIGINT * 1000000) % ((any_value(n_tok))::BIGINT)) >= ((any_value(n_tok))::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) AS dup_frac
-    FROM spans GROUP BY doc_id ORDER BY doc_id
-    """,
+    # ONE parameterized source of truth for this replay (ADVICE r12):
+    # the dedup fuzz harness sweeps the same oracle via
+    # testing.dedupgen.delta_span_sql across 13 corpus kinds — an
+    # inlined copy here could silently drift from the swept form.
+    oracle=delta_span_sql(n=8, delta_mod=3),
     doc="INCREMENTAL duplicated-span detection — the exact-substring "
     "cell of the delta-dedup family (token LSH dd14, exact signature "
     "dd15, embedding cosine dd16, clustered SemDeDup dd17, and now "

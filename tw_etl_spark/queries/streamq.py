@@ -58,19 +58,19 @@ def _nullts():
     return F.lit(None).cast("timestamp")
 
 
-def _scratch(sf_dir: str, name: str) -> tuple[str, str]:
+def _scratch(spark: SparkSession, sf_dir: str, name: str) -> tuple[str, str]:
     """(scratch dir, sql-safe tag) — deterministic per (sf_dir,
     applicationId): reruns within a session overwrite instead of
     accumulating, the query name never collides across scale factors,
     and two CONCURRENT sessions on the same sf_dir never clobber each
     other's checkpoints mid-drain (the dedup `_delta_scratch` contract
-    applied to the streaming tier)."""
-    from pyspark.sql import SparkSession
-
-    sess = SparkSession.getActiveSession()
-    app = sess.sparkContext.applicationId if sess is not None else ""
+    applied to the streaming tier). The CALLER's session is threaded
+    in (ADVICE r12: getActiveSession() can be None in a worker thread,
+    and its silent app='' fallback reintroduced the cross-session
+    clobbering this tag exists to prevent)."""
     tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + "|" + app).encode()
+        (os.path.abspath(sf_dir) + "|" + spark.sparkContext.applicationId)
+        .encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"tw_etl_spark_{name}_{tag}"), tag
 
@@ -153,7 +153,7 @@ def _land(batch_df: DataFrame, stage: str, src: str, name: str) -> None:
     tags=("streaming", "window"),
 )
 def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src, tag = _scratch(sf_dir, "st1")
+    src, tag = _scratch(spark, sf_dir, "st1")
     (
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -208,7 +208,7 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet and the latest-per-window resolve is one keyed shuffle).
     from tw_etl_spark.streaming.sinks import drain_stream_latest
 
-    drain_root, _ = _scratch(sf_dir, "st1drain")
+    drain_root, _ = _scratch(spark, sf_dir, "st1drain")
     out_t = drain_stream_latest(
         tumble, ["win_start", "key"],
         os.path.join(drain_root, "t"), f"st1_t_{tag}",
@@ -279,7 +279,7 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "state", "join", "dedup"),
 )
 def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src, tag = _scratch(sf_dir, "st2")
+    src, tag = _scratch(spark, sf_dir, "st2")
     (
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -424,7 +424,7 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    root, tag = _scratch(sf_dir, "st3")
+    root, tag = _scratch(spark, sf_dir, "st3")
     # Deterministic reruns: the checkpoint remembers processed files and
     # the watermark, so a stale scratch tree would make a second call
     # emit nothing. Start from zero every time.
@@ -574,7 +574,7 @@ def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tw_etl_spark.streaming.state_machine import EVENT_SCHEMA, retry_machine_stream
     from tw_etl_spark.streaming.windows import run_stream_to_memory
 
-    src, tag = _scratch(sf_dir, "st4")
+    src, tag = _scratch(spark, sf_dir, "st4")
     u = F.col("user_id")
     spans = (
         _t(spark, sf_dir, "events")
@@ -678,8 +678,8 @@ def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tw_etl_spark.operators.dedup import simhash_portable_expr
     from tw_etl_spark.streaming.sinks import drain_stream_latest
 
-    src, tag = _scratch(sf_dir, "st5")
-    drain_root, _ = _scratch(sf_dir, "st5drain")
+    src, tag = _scratch(spark, sf_dir, "st5")
+    drain_root, _ = _scratch(spark, sf_dir, "st5drain")
     (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -737,7 +737,7 @@ def st6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tw_etl_spark.streaming.windows import run_stream_to_memory
 
-    src, tag = _scratch(sf_dir, "st6")
+    src, tag = _scratch(spark, sf_dir, "st6")
     (
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -800,7 +800,7 @@ def st7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tw_etl_spark.streaming.windows import run_stream_to_memory
 
-    src, tag = _scratch(sf_dir, "st7")
+    src, tag = _scratch(spark, sf_dir, "st7")
     (
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -868,7 +868,7 @@ def st8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tw_etl_spark.operators.sketch import cms_counts, cms_estimate
     from tw_etl_spark.streaming.windows import run_streams_to_memory
 
-    src, tag = _scratch(sf_dir, "st8")
+    src, tag = _scratch(spark, sf_dir, "st8")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     docs.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
@@ -960,8 +960,8 @@ REGISTRY["st8_stream_cms_heavy_hitters"].oracle = _st8_oracle()
 def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tw_etl_spark.streaming.sinks import drain_stream_latest
 
-    src, tag = _scratch(sf_dir, "st9")
-    drain_root, _ = _scratch(sf_dir, "st9drain")
+    src, tag = _scratch(spark, sf_dir, "st9")
+    drain_root, _ = _scratch(spark, sf_dir, "st9drain")
     (
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -1098,7 +1098,7 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tw_etl_spark.operators.merge import scd2_merge
 
-    root, tag = _scratch(sf_dir, "st10")
+    root, tag = _scratch(spark, sf_dir, "st10")
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")
@@ -1227,7 +1227,7 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tw_etl_spark.streaming.sinks import ivf_append_writer
 
-    root, tag = _scratch(sf_dir, "st11")
+    root, tag = _scratch(spark, sf_dir, "st11")
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")
@@ -1333,7 +1333,7 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tw_etl_spark.streaming.sinks import lsh_index_stream_writer
 
-    root, tag = _scratch(sf_dir, "st12")
+    root, tag = _scratch(spark, sf_dir, "st12")
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import tarfile
 
 from pyspark.sql.datasource import (
@@ -49,6 +50,29 @@ TARSHARD_SCHEMA_DDL = (
     "payload binary, n_bytes bigint"
 )
 
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://|^[A-Za-z][A-Za-z0-9+.-]*:/")
+
+
+def _require_posix_root(root: str, side: str) -> None:
+    """Loud scheme guard (VERDICT r12 #1): this connector's listing
+    (driver glob), extraction (executor open()) and two-phase commit
+    (os.link exclusive-create) all require a POSIX path visible from
+    driver AND executors — a mounted DFS is fine, an object store is
+    not (S3 has no hard links, so the none-or-all commit contract
+    cannot hold there). ``os.path`` on an ``s3a://`` root would not
+    error; it would silently see nothing — the wrong-branch hazard
+    this guard converts into an immediate, routable failure."""
+    if _URI_RE.match(root):
+        raise ValueError(
+            f"tarshard {side}: root {root!r} is a URI — this connector "
+            "requires a plain POSIX path visible on driver and "
+            "executors (shared/DFS mount ok). Object stores are "
+            "unsupported: the exclusive hard-link commit needs POSIX "
+            "link semantics. Stage shards locally, or read via "
+            "sources.shards.read_tar_shards over binaryFile for "
+            "Hadoop-filesystem roots."
+        )
+
 
 class _ShardPartition(InputPartition):
     def __init__(self, path: str):
@@ -60,6 +84,7 @@ class TarShardReader(DataSourceReader):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("tarshard: .load(<shard root or glob>) required")
+        _require_posix_root(self.root, "read")
         self.mode = options.get("mode", "failfast")
         if self.mode not in ("failfast", "permissive"):
             raise ValueError(
@@ -161,6 +186,7 @@ class TarShardWriter(DataSourceWriter):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("tarshard write: .save(<shard root>) required")
+        _require_posix_root(self.root, "write")
 
     def write(self, iterator):
         import os

@@ -23,8 +23,21 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, Window
+from tw_etl_spark.sources.fsutil import fs_exists
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _bid_lit(batch_id: int) -> Column:
+    """Structured Streaming batch ids are LONGS. ``F.lit(int(bid))``
+    types the literal from the VALUE (int for small ids, long past
+    2^31), so the written column type would silently diverge from the
+    pinned read schemas on a long-lived stream — and a partition value
+    that no longer casts to the pinned type reads as NULL and is
+    dropped by the ``batch_id < bid`` replay filter. One explicit long
+    everywhere (write side here, read schemas below)."""
+    return F.lit(int(batch_id)).cast("long")
 
 
 def idempotent_parquet_writer(out_dir: str):
@@ -39,7 +52,7 @@ def idempotent_parquet_writer(out_dir: str):
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            batch_df.withColumn("batch_id", _bid_lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -88,7 +101,7 @@ def ivf_append_writer(
                 F.col("u").alias("cu"),
                 kmeans_assign_expr(cents).alias("list_id"),
             )
-            .withColumn("batch_id", F.lit(int(batch_id)))
+            .withColumn("batch_id", _bid_lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "list_id")
@@ -138,22 +151,24 @@ def lsh_index_stream_writer(
         bid = int(batch_id)
         banded, sigs = read_banded_index(spark, index_root)
         banded = banded.select("doc", "band", "bucket")
-        # each stream dir gets its OWN existence guard AND an explicit
-        # read schema: a crash between the stream_banded and
-        # stream_sigs writes leaves only one dir, and a crash MID-write
-        # leaves a dir holding only _temporary (zero data files) on
-        # which schema inference would raise — with the schema pinned
-        # from the seed tables, both states read as valid (possibly
-        # empty) input, and the batch_id < bid filter hides any
-        # crashed partials of this very batch
+        # each stream dir gets its OWN existence guard (scheme-aware:
+        # fs_exists probes the path's own filesystem, so an s3a:// or
+        # hdfs:// index root takes the same branch a POSIX one does)
+        # AND an explicit read schema: a crash between the
+        # stream_banded and stream_sigs writes leaves only one dir,
+        # and a crash MID-write leaves a dir holding only _temporary
+        # (zero data files) on which schema inference would raise —
+        # with the schema pinned from the seed tables, both states
+        # read as valid (possibly empty) input, and the batch_id < bid
+        # filter hides any crashed partials of this very batch
         from pyspark.sql import types as T
 
-        if os.path.isdir(sb_path):
+        if fs_exists(spark, sb_path):
             sb_schema = T.StructType(
                 [
                     banded.schema["doc"],
                     banded.schema["bucket"],
-                    T.StructField("batch_id", T.IntegerType()),
+                    T.StructField("batch_id", T.LongType()),
                     banded.schema["band"],
                 ]
             )
@@ -163,10 +178,10 @@ def lsh_index_stream_writer(
                 .filter(F.col("batch_id") < bid)
                 .select("doc", "band", "bucket")
             )
-        if os.path.isdir(ss_path):
+        if fs_exists(spark, ss_path):
             ss_schema = T.StructType(
                 list(sigs.schema)
-                + [T.StructField("batch_id", T.IntegerType())]
+                + [T.StructField("batch_id", T.LongType())]
             )
             sigs = sigs.unionByName(
                 spark.read.schema(ss_schema)
@@ -185,21 +200,21 @@ def lsh_index_stream_writer(
             threshold=threshold,
         )
         (
-            pairs.withColumn("batch_id", F.lit(bid))
+            pairs.withColumn("batch_id", _bid_lit(bid))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(os.path.join(index_root, "pairs"))
         )
         (
-            new_banded.withColumn("batch_id", F.lit(bid))
+            new_banded.withColumn("batch_id", _bid_lit(bid))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "band")
             .parquet(sb_path)
         )
         (
-            new_sigs.withColumn("batch_id", F.lit(bid))
+            new_sigs.withColumn("batch_id", _bid_lit(bid))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -285,7 +300,8 @@ def drain_stream_latest(
     )
     q.awaitTermination()
     spark = agg_df.sparkSession
-    if not os.path.isdir(out):  # empty source: no batch ever committed
+    # scheme-aware probe: out may live on any Hadoop filesystem
+    if not fs_exists(spark, out):  # empty source: no batch committed
         return spark.createDataFrame([], agg_df.schema)
     drained = spark.read.parquet(out)
     w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
