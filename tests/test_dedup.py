@@ -961,3 +961,116 @@ def test_gram_index_merge_is_exact_and_fold_order_free(spark):
     )
     assert {tuple(r) for r in left.collect()} == full
     assert {tuple(r) for r in right.collect()} == full
+
+
+def test_compact_banded_index_identity_with_full_write(spark, tmp_path):
+    """dd20's load-bearing identity, pinned on the FULL row sets (the
+    driver query's hash oracle only sees the day-3 view): compacting a
+    seed index plus two stream-writer batches yields exactly the
+    banded rows AND signatures write_banded_index(full corpus)
+    produces, and a post-compaction delta answers identically to one
+    computed against the uncompacted seed ∪ stream state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.dedup import (
+        compact_banded_index,
+        lsh_delta_pairs_prebanded,
+        minhash_signatures_portable,
+        read_banded_index,
+        read_banded_index_with_stream,
+        write_banded_index,
+    )
+    from tw_etl_spark.streaming.sinks import lsh_index_stream_writer
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    live = str(tmp_path / "live")
+    write_banded_index(
+        minhash_signatures_portable(
+            docs.filter(F.col("doc_id") % 4 == 0), num_hashes=16
+        ),
+        live, num_hashes=16, bands=4,
+    )
+    writer = lsh_index_stream_writer(
+        spark, live, num_hashes=16, bands=4, threshold=0.5
+    )
+    for day in (1, 2):
+        writer(
+            docs.filter(F.col("doc_id") % 4 == day).select("doc_id", "text"),
+            day - 1,
+        )
+
+    comp = str(tmp_path / "comp")
+    compact_banded_index(spark, live, comp)
+
+    full = str(tmp_path / "full")
+    write_banded_index(
+        minhash_signatures_portable(
+            docs.filter(F.col("doc_id") % 4 != 3), num_hashes=16
+        ),
+        full, num_hashes=16, bands=4,
+    )
+
+    def banded_set(df):
+        return {(r.doc, r.band, r.bucket) for r in df.collect()}
+
+    def sigs_set(df):
+        return {(r.doc_id, tuple(r.signature)) for r in df.collect()}
+
+    cb, cs = read_banded_index(spark, comp)
+    fb, fs = read_banded_index(spark, full)
+    assert banded_set(cb) == banded_set(fb)
+    assert sigs_set(cs) == sigs_set(fs)
+    assert cb.count() == cb.select("doc", "band").distinct().count()
+
+    # the compacted root is pure seed layout: no stream dirs remain
+    assert not os.path.isdir(os.path.join(comp, "stream_banded"))
+    assert not os.path.isdir(os.path.join(comp, "stream_sigs"))
+
+    # post-compaction delta == delta against the uncompacted state
+    day3 = docs.filter(F.col("doc_id") % 4 == 3)
+
+    def pairs_set(banded, sigs):
+        pairs, _, _ = lsh_delta_pairs_prebanded(
+            day3, banded, sigs, num_hashes=16, bands=4, threshold=0.5
+        )
+        return {(r.id_a, r.id_b, r.est_jaccard) for r in pairs.collect()}
+
+    got = pairs_set(cb, cs)
+    want = pairs_set(*read_banded_index_with_stream(spark, live))
+    assert got == want
+    assert got  # the fixture's dup structure guarantees pairs
+
+
+def test_compact_banded_index_pure_seed_is_identity(spark, tmp_path):
+    """Compacting a root with NO stream tables is a faithful copy —
+    the degenerate case a scheduled compaction job hits when no
+    batches arrived since the last fold."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.dedup import (
+        compact_banded_index,
+        minhash_signatures_portable,
+        read_banded_index,
+        write_banded_index,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    live = str(tmp_path / "live")
+    write_banded_index(
+        minhash_signatures_portable(
+            docs.filter(F.col("doc_id") % 4 == 0), num_hashes=16
+        ),
+        live, num_hashes=16, bands=4,
+    )
+    comp = str(tmp_path / "comp")
+    compact_banded_index(spark, live, comp)
+    lb, ls = read_banded_index(spark, live)
+    cb, cs = read_banded_index(spark, comp)
+    assert {tuple(r) for r in lb.collect()} == {tuple(r) for r in cb.collect()}
+    assert {(r.doc_id, tuple(r.signature)) for r in ls.collect()} == {
+        (r.doc_id, tuple(r.signature)) for r in cs.collect()
+    }

@@ -73,3 +73,22 @@ def test_documented_counts_match_registry():
         assert int(orc.group(1)) == n_orc, (
             f"{path} says {orc.group(1)} oracle-bearing; registry has {n_orc}"
         )
+
+
+def test_sweep_artifact_counts_match_docs():
+    """VERDICT r12 #8: COVERAGE.md's strict-sweep sentence went stale
+    ('148/148' while the artifact held 149). The canonical phrase
+    'sf0.1 strict sweep: N/N green' must equal the artifact's actual
+    result count, and the artifact's failure list must be empty."""
+    import json
+    import re
+
+    art = json.load(open("tools/sweep_sf01_strict.json"))
+    n = len(art["results"])
+    assert art["failures"] == [], art["failures"]
+    text = open("COVERAGE.md").read()
+    m = re.search(r"sf0\.1 strict sweep: (\d+)/(\d+) green", text)
+    assert m, "COVERAGE.md: canonical sweep count phrase missing"
+    assert int(m.group(1)) == int(m.group(2)) == n, (
+        f"COVERAGE.md says {m.group(0)!r}; artifact has {n} results"
+    )

@@ -421,3 +421,59 @@ def test_recluster_equals_fresh_build_and_leaves_live_index_untouched(
         for r in spark.read.parquet(os.path.join(fresh, "centroids")).collect()
     )
     assert [(j, list(c)) for j, c in c1] == [(j, list(c)) for j, c in c2]
+
+
+def test_append_ivf_index_batch_id_replay_safe(spark, tmp_path):
+    """VERDICT r12 #5: the batch append API's keyed form must be
+    idempotent — a crashed PARTIAL attempt of a day batch followed by
+    its full retry leaves the index state identical to a single clean
+    run (batch-keyed dynamic partition overwrite, st11's layout), and
+    queries with stream_appends=True answer exactly like the
+    plain-append path over the same data."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from tw_etl_spark.catalog import read_table
+    from tw_etl_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+        append_ivf_index,
+        write_ivf_index,
+    )
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    old = v.filter(F.col("vec_id") % 3 != 0)
+    new = v.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    q = v.filter(F.col("vec_id") < 5)
+
+    keyed = str(tmp_path / "keyed")
+    plain = str(tmp_path / "plain")
+    write_ivf_index(old, keyed, n_lists=16)
+    write_ivf_index(old, plain, n_lists=16)
+
+    b0 = new.filter(F.col("vec_id") % 2 == 0)
+    b1 = new.filter(F.col("vec_id") % 2 != 0)
+    append_ivf_index(b0, keyed, batch_id=0)
+    # crashed attempt delivers a partial prefix of day 1, then retry
+    append_ivf_index(b1.limit(3), keyed, batch_id=1)
+    append_ivf_index(b1, keyed, batch_id=1)
+
+    append_ivf_index(new, plain)  # the non-keyed single clean run
+
+    got = {
+        tuple(r)
+        for r in ann_ivf_persisted_topk(
+            q, keyed, nprobe=2, k=3, stream_appends=True
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ann_ivf_persisted_topk(q, plain, nprobe=2, k=3).collect()
+    }
+    assert got == want
+    assert len(got) == 15  # 5 queries x top-3
+
+    # replay left no duplicates: every appended id appears exactly once
+    import os
+
+    sl = spark.read.parquet(os.path.join(keyed, "stream_lists"))
+    assert sl.count() == sl.select("cand_id").distinct().count() == new.count()

@@ -800,6 +800,96 @@ def read_banded_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def read_banded_index_with_stream(
+    spark, path: str, before_batch: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, sigs) for a :func:`write_banded_index` root INCLUDING
+    any ``stream_banded``/``stream_sigs`` tables maintained by
+    :func:`streaming.sinks.lsh_index_stream_writer` — the one reader
+    for the full committed index state, shared by the stream writer
+    (which passes ``before_batch=bid`` so a replayed micro-batch never
+    sees its own crashed partial appends) and by
+    :func:`compact_banded_index` (which folds everything).
+
+    Each stream dir gets its OWN existence probe — scheme-aware
+    (fs_exists: an s3a:// or file:-URI root takes the same branch a
+    POSIX one does) — and an explicit read schema pinned from the seed
+    tables: a crash can leave one dir absent or holding only
+    _temporary (zero data files, where schema inference raises), and
+    both states must read as valid (possibly empty) input."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from tw_etl_spark.sources.fsutil import fs_exists
+
+    banded, sigs = read_banded_index(spark, path)
+    banded = banded.select("doc", "band", "bucket")
+    bid_filter = (
+        (F.col("batch_id") < before_batch)
+        if before_batch is not None
+        else F.lit(True)
+    )
+    sb_path = os.path.join(path, "stream_banded")
+    ss_path = os.path.join(path, "stream_sigs")
+    if fs_exists(spark, sb_path):
+        sb_schema = T.StructType(
+            [
+                banded.schema["doc"],
+                banded.schema["bucket"],
+                T.StructField("batch_id", T.LongType()),
+                banded.schema["band"],
+            ]
+        )
+        banded = banded.unionByName(
+            spark.read.schema(sb_schema)
+            .parquet(sb_path)
+            .filter(bid_filter)
+            .select("doc", "band", "bucket")
+        )
+    if fs_exists(spark, ss_path):
+        ss_schema = T.StructType(
+            list(sigs.schema) + [T.StructField("batch_id", T.LongType())]
+        )
+        sigs = sigs.unionByName(
+            spark.read.schema(ss_schema)
+            .parquet(ss_path)
+            .filter(bid_filter)
+            .select(sigs.columns)
+        )
+    return banded, sigs
+
+
+def compact_banded_index(spark, path: str, out_path: str) -> None:
+    """Fold a stream-maintained banded index back into its seed layout
+    — the lifecycle close on the LSH side, mirroring
+    :func:`similarity.recluster_ivf_index` on the IVF side (VERDICT
+    r12 #2): ``lsh_index_stream_writer`` accumulates one
+    ``stream_banded``/``stream_sigs`` partition directory per
+    micro-batch forever, so week two of a daily pipeline reads an
+    ever-growing directory listing. Compaction rewrites the union
+    (seed ∪ all streamed batches) as a FRESH :func:`write_banded_index`
+    root at ``out_path`` — never in place: readers of the live index
+    are unaffected until the caller swaps roots (the publish-by-rename
+    posture of the shard writers; reference analog: convert.sh:53-57's
+    staging-dir rename-into-place).
+
+    Identity (hash-oracled as dd20): banded rows and signatures are
+    immutable facts keyed by doc and banding is a pure function of the
+    signature, so compact(write(seed) + streamed batches) holds
+    EXACTLY the rows write_banded_index(full corpus) produces — no
+    re-banding, no md5 recompute: the compaction is one columnar
+    read + partitioned write, shuffle-free except the partitionBy(band)
+    exchange the seed write itself pays."""
+    import os
+
+    banded, sigs = read_banded_index_with_stream(spark, path)
+    banded.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(out_path, "banded")
+    )
+    sigs.write.mode("overwrite").parquet(os.path.join(out_path, "sigs"))
+
+
 def lsh_delta_pairs_prebanded(
     new_df: DataFrame,
     index_banded: DataFrame,

@@ -1119,6 +1119,7 @@ def append_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """Append a new embedding batch to a :func:`write_ivf_index`
     artifact WITHOUT retraining the quantizer or rewriting a single
@@ -1136,24 +1137,47 @@ def append_ivf_index(
     Ids in ``new_batch`` must be disjoint from ids already in the
     index (and unique within the batch) by contract — the ranking join
     does not deduplicate candidates, so a replayed id would surface
-    twice. Callers replaying a failed append should clear the batch's
-    files first (parquet append is not idempotent).
+    twice.
+
+    **Replay safety** (VERDICT r12 #5): with ``batch_id=None`` the
+    batch lands as a plain parquet append into ``lists`` — NOT
+    idempotent (a retried job duplicates the batch; callers must clear
+    the batch's files first). Pass a stable ``batch_id`` (the
+    pipeline's day/run key) and the batch instead lands under
+    ``stream_lists/batch_id=N`` with dynamic partition OVERWRITE —
+    exactly the layout + exactly-once contract of
+    :func:`streaming.sinks.ivf_append_writer`, so a crashed attempt's
+    partial files are overwritten (never duplicated) by the retry.
+    Query the index with ``stream_appends=True``; fold the batches
+    back into ``lists`` with :func:`recluster_ivf_index` when the
+    audit (:func:`ivf_index_stats`) calls for it.
     """
     from tw_etl_spark.operators.dedup import kmeans_assign_expr, unit_vectors
 
     spark = new_batch.sparkSession
     cents = read_ivf_centroids(spark, path)
     un = unit_vectors(new_batch, id_col, vec_col)
-    (
-        un.select(
-            F.col("id").alias("cand_id"),
-            F.col("u").alias("cu"),
-            kmeans_assign_expr(cents).alias("list_id"),
-        )
-        .write.mode("append")
-        .partitionBy("list_id")
-        .parquet(os.path.join(path, "lists"))
+    assigned = un.select(
+        F.col("id").alias("cand_id"),
+        F.col("u").alias("cu"),
+        kmeans_assign_expr(cents).alias("list_id"),
     )
+    if batch_id is None:
+        (
+            assigned.write.mode("append")
+            .partitionBy("list_id")
+            .parquet(os.path.join(path, "lists"))
+        )
+    else:
+        (
+            assigned.withColumn(
+                "batch_id", F.lit(int(batch_id)).cast("long")
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "list_id")
+            .parquet(os.path.join(path, "stream_lists"))
+        )
 
 
 def ann_ivf_persisted_topk(

@@ -258,17 +258,49 @@ def register(
 # strict-compared by the 500-seed relational fuzz grammar with HAVING
 # — the s10 precedent from the first round-12 rotation; a10 stays
 # sweep-green).
+# Round-13 rotation (VERDICT r12 #3 — the never-driver-scored
+# families, plus this round's new compaction cell): in —
+# v10_ivf_recluster (the only round-12 lifecycle cell not yet
+# driver-scored; its oracle replays the whole audited lifecycle PLUS
+# the recluster action), dd12_audio_fingerprint_neardup +
+# dd13_video_fingerprint_neardup (the audio/video modality cells,
+# each previously rotated out on the image twin's back — now all
+# three fingerprint modalities get driver slots at once),
+# a9_kmv_distinct + a13_histogram_quantiles (completing the
+# mergeable-sketch family's driver coverage beside st8's CMS),
+# st5_stream_neardup_dedup / st7_stream_retention /
+# st9_stream_scd2_enrich (the three streaming cells that had never
+# been driver-scored: survivor state, cohort state, temporal-validity
+# stream-static join + update-mode drain), x12_dsir_weights (its own
+# driver slot rather than riding inside x14's oracle), and
+# dd20_lsh_index_compaction (NEW this round — the LSH lifecycle
+# close, mirroring v10). Out — ten slots whose semantics stay pinned
+# by a window twin, each remaining pytest-oracle + strict-sweep
+# green: e1/e2 (hourly rollup ⊂ st1/st3's windowed-agg oracles + f20's
+# datetime family; JSON extraction stays pinned by f9's sweep row and
+# the x1 composed pipeline), dd10 (the span REWRITE's replay shape is
+# dd19's criterion + t-family string ops; stays sweep + crafted-unit),
+# dd11 (image cell rotates out as dd12/dd13 rotate in — the banded
+# ids-only exchange is identical across modalities), dd16 (delta
+# family keeps six driver slots dd14/dd15/dd17/dd18/dd19/dd20; the
+# |new|×|all| embedding-delta stays sweep + v8p's IVF delta
+# driver row), v9 (v10's oracle replays v9's full audited lifecycle
+# and acts on its recluster flag — strictly more behavior pinned),
+# p1/p4 (filename parse ⊂ x1's composed pipeline which drives the
+# same parser; tiered routing stays sweep + the new s3a storage-class
+# conf unit), st6 (funnel machine ⊂ st2's gauntlet + e6 oracle
+# verbatim, stays sweep), j80 (salted-skew rewrite keeps its
+# plain-join identity oracle in the sweep; join family keeps
+# j10/j20/j50/j70 + q3/q5 driver slots).
 # Everything after the window is still
 # registered (builder-side pytest oracle coverage, API surface), just
 # not driver-scored; the oracle=None approximates (recall/invariant
 # gated by design — see COVERAGE.md §verification-tiers) live there.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- core flagship (8)
+    # -- core flagship (6)
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_nation_revenue",
-    "e1_hourly_rollup",
-    "e2_json_extract_avg",
     "e3_sessionization",
     "d2_exact_dedup",
     "v1_cosine_top_pairs",
@@ -277,41 +309,44 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- dedup / similarity [EXT] (14, incl. the delta + persisted-index families)
     "dd3p_minhash_lsh_portable",
     "dd19_delta_duplicate_spans",
-    "v9_ivf_skew_audit",
     "dd18_delta_dedup_persisted",
+    "dd20_lsh_index_compaction",
     "v7p_ann_ivf_persisted",
     "v8p_ann_ivf_delta",
-    "dd10_span_dedup_rewrite",
+    "v10_ivf_recluster",
     "dd8p_semantic_dedup_relational",
-    "dd11_perceptual_image_neardup",
+    "dd12_audio_fingerprint_neardup",
+    "dd13_video_fingerprint_neardup",
     "dd14_delta_dedup",
     "dd15_delta_survivor_index",
-    "dd16_delta_embedding_neardup",
     "dd17_delta_semantic_dedup",
     "x13_quantile_quality_gate",
-    # -- ETL / pipeline [EXT] (5)
-    "p1_filename_parse",
-    "p4_tiered_routing",
+    # -- ETL / pipeline [EXT] (4)
     "x1_training_data_pipeline",
     "x14_importance_resample",
     "x11_bloom_decontaminate",
-    # -- streaming (8)
+    "x12_dsir_weights",
+    # -- streaming (10)
     "st4_event_time_watchdog",
     "st8_stream_cms_heavy_hitters",
     "st2_stream_stateful_gauntlet",
     "st3_watermark_late_drop",
-    "st6_stream_funnel",
+    "st5_stream_neardup_dedup",
+    "st7_stream_retention",
+    "st9_stream_scd2_enrich",
     "st10_stream_cdc_scd2_apply",
     "st11_stream_ann_index_append",
     "st12_stream_lsh_index_maintain",
     # -- multimodal [EXT] (1)
     "m1_media_sidecar_probe",
-    # -- text / skew [EXT] (5)
+    # -- text [EXT] (4)
     "t8_tfidf_top_terms",
     "t15_quality_classifier",
     "t11_gopher_quality",
-    "j80_salted_skew_join",
     "t17_bpe_encode",
+    # -- sketches / aggregates [EXT] (2)
+    "a9_kmv_distinct",
+    "a13_histogram_quantiles",
     # -- sources / connectors [EXT] (2)
     "io4_tarshard_datasource_roundtrip",
     "io5_schema_evolution_read",

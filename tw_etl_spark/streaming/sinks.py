@@ -141,7 +141,7 @@ def lsh_index_stream_writer(
     parquet the appends extend)."""
     from tw_etl_spark.operators.dedup import (
         lsh_delta_pairs_prebanded,
-        read_banded_index,
+        read_banded_index_with_stream,
     )
 
     sb_path = os.path.join(index_root, "stream_banded")
@@ -149,46 +149,14 @@ def lsh_index_stream_writer(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
-        banded, sigs = read_banded_index(spark, index_root)
-        banded = banded.select("doc", "band", "bucket")
-        # each stream dir gets its OWN existence guard (scheme-aware:
-        # fs_exists probes the path's own filesystem, so an s3a:// or
-        # hdfs:// index root takes the same branch a POSIX one does)
-        # AND an explicit read schema: a crash between the
-        # stream_banded and stream_sigs writes leaves only one dir,
-        # and a crash MID-write leaves a dir holding only _temporary
-        # (zero data files) on which schema inference would raise —
-        # with the schema pinned from the seed tables, both states
-        # read as valid (possibly empty) input, and the batch_id < bid
-        # filter hides any crashed partials of this very batch
-        from pyspark.sql import types as T
-
-        if fs_exists(spark, sb_path):
-            sb_schema = T.StructType(
-                [
-                    banded.schema["doc"],
-                    banded.schema["bucket"],
-                    T.StructField("batch_id", T.LongType()),
-                    banded.schema["band"],
-                ]
-            )
-            banded = banded.unionByName(
-                spark.read.schema(sb_schema)
-                .parquet(sb_path)
-                .filter(F.col("batch_id") < bid)
-                .select("doc", "band", "bucket")
-            )
-        if fs_exists(spark, ss_path):
-            ss_schema = T.StructType(
-                list(sigs.schema)
-                + [T.StructField("batch_id", T.LongType())]
-            )
-            sigs = sigs.unionByName(
-                spark.read.schema(ss_schema)
-                .parquet(ss_path)
-                .filter(F.col("batch_id") < bid)
-                .select(sigs.columns)
-            )
+        # the shared stream-aware reader handles the two crash states
+        # (a stream dir absent, or holding only _temporary — pinned
+        # schemas read both as valid, possibly empty, input) and its
+        # batch_id < bid filter hides any crashed partials of this
+        # very batch from its own replay
+        banded, sigs = read_banded_index_with_stream(
+            spark, index_root, before_batch=bid
+        )
         pairs, new_sigs, new_banded = lsh_delta_pairs_prebanded(
             batch_df,
             banded,

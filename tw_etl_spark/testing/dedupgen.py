@@ -184,17 +184,27 @@ def delta_span_sql(n: int, delta_mod: int) -> str:
 
 
 def minhash_sql(
-    num_hashes: int, bands: int, threshold: float, delta_mod: int = 0
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    delta_mod: int = 0,
+    new_pred: str | None = None,
 ) -> str:
     """delta_mod > 0 restricts the output to pairs touching the 'new'
     batch (doc_id % delta_mod == 0) — the dd14 delta-dedup oracle: the
-    full-corpus re-dedup filtered to new-touching pairs."""
+    full-corpus re-dedup filtered to new-touching pairs. ``new_pred``
+    overrides with an arbitrary SQL predicate over c.id_a/c.id_b (the
+    dd20 compaction oracle's 'touches the post-compaction day' shape,
+    where new is % 4 == 3, not == 0)."""
     n, b = num_hashes, bands
-    delta_pred = (
-        f"AND (c.id_a % {delta_mod} = 0 OR c.id_b % {delta_mod} = 0)"
-        if delta_mod
-        else ""
-    )
+    if new_pred is not None:
+        delta_pred = f"AND ({new_pred})"
+    else:
+        delta_pred = (
+            f"AND (c.id_a % {delta_mod} = 0 OR c.id_b % {delta_mod} = 0)"
+            if delta_mod
+            else ""
+        )
     r = n // b
     return f"""
     WITH tok AS (
