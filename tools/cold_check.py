@@ -63,6 +63,9 @@ MACHINERY = {
     "v8p_ann_ivf_delta",
     "v9_ivf_skew_audit",
     "v10_ivf_recluster",
+    # dd20: seed index write + two stream-writer batches (3 writes
+    # each) + compaction rewrite + day-3 delta = 10+ independent jobs
+    "dd20_lsh_index_compaction",
 }
 
 
