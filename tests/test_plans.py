@@ -848,3 +848,38 @@ def test_ivf_index_stats_reads_only_list_id(spark, tmp_path):
     row = out.collect()[0]
     assert row.n_vectors == v.count()
     assert row.n_lists <= 16
+
+
+def test_ann_lsh_candidate_exchange_is_pinned_and_ids_only(spark):
+    """ann_lsh_topk's round-13 scale fixes, plan-asserted:
+    (1) the bucket-join exchanges are EXPLICIT-width repartitions
+    (REPARTITION_BY_NUM) — a user-specified width is exempt from AQE
+    coalescing, which only sees the tiny map-side bytes of a join
+    whose output fans out quadratically per bucket (observed at sf1:
+    2 tasks serializing a ~10 GB fan-out through one TimSort spill);
+    (2) those exchanges and the pair-dedup exchange carry ids/buckets
+    ONLY — vectors re-attach by id after dropDuplicates (the dd3p
+    signature-reattach discipline)."""
+    from tw_etl_spark.operators.similarity import ann_lsh_topk
+
+    v = read_table(spark, SF_SMOKE, "embeddings")
+    plan = explain_str(ann_lsh_topk(v, v, k=3, num_planes=4, num_tables=3))
+
+    bucket_exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if ") Exchange" in b and "hashpartitioning(table" in b
+    ]
+    assert bucket_exchanges, "expected hashpartitioning(table, bucket)"
+    for block in bucket_exchanges:
+        assert "REPARTITION_BY_NUM" in block, block  # AQE-coalesce-exempt
+        assert "vec" not in block, block  # ids only ride the fan-out
+
+    dedup_exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if ") Exchange" in b and "hashpartitioning(q_id" in b
+    ]
+    assert dedup_exchanges, "expected the (q_id, c_id) pair-dedup exchange"
+    for block in dedup_exchanges:
+        assert "vec" not in block, block

@@ -199,17 +199,33 @@ def ann_lsh_topk(
         return pd.Series(out)
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
+        # ids ONLY ride the bucket exchange — the dd3p discipline
+        # (SCALE.md: re-attaching payloads after the pair distinct
+        # measured 373 s -> 80 s on the LSH dedup): a 64-dim float
+        # vector is ~0.5 KB; the candidate join fans out quadratically
+        # per bucket, so carrying vectors through it multiplies the
+        # biggest exchange in the plan by ~30x.
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
             F.posexplode(buckets_udf(F.col(vec_col))).alias("table", "bucket"),
         )
 
-    q = banded(query_df, "q")
-    c = banded(corpus_df, "c")
+    # Explicit-width repartition on the join key: the banded inputs are
+    # tiny relative to the join's OUTPUT (collisions are quadratic per
+    # bucket), so AQE's size-based coalescing — which only sees the
+    # map-side bytes — would shrink the join to 1-2 tasks and serialize
+    # a fan-out of hundreds of millions of rows through one core
+    # (measured: the sf1 recall sweep's 4-plane point sat in a
+    # single-task TimSort spill). An explicit numPartitions pins the
+    # exchange width; co-partitioning both sides keeps it one shuffle.
+    spark = corpus_df.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions") or "32")
+    q = banded(query_df, "q").repartition(n_shuffle, "table", "bucket")
+    c = banded(corpus_df, "c").repartition(n_shuffle, "table", "bucket")
     cand = (
         q.join(c, ["table", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
 
@@ -217,7 +233,13 @@ def ann_lsh_topk(
 
     from pyspark.sql.window import Window
 
-    scored = cand.select(
+    qv = query_df.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = corpus_df.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = cand.join(qv, "q_id").join(cv, "c_id").select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("neighbor_id"),
         F.round(cosine_similarity_expr(F.col("q_vec"), F.col("c_vec")), 6).alias(
