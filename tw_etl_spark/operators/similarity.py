@@ -331,16 +331,43 @@ def ann_ivf_topk(
 
     c = corpus_df.select(
         F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
         list_udf(F.col(vec_col)).alias("list_id"),
     )
     q = query_df.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
         F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
     )
 
     # --- 3. candidate join on list_id + exact re-rank ---
+    # Ids ONLY ride the list join (16 B/row; the fan-out is
+    # |corpus| x nprobe / n_lists PER QUERY — carrying two ~0.5 KB
+    # vectors through it multiplies the biggest exchange ~60x), and
+    # the candidate set is re-spread by q_id at an EXPLICIT width
+    # before scoring: the list join's parallelism is capped at
+    # n_lists keys (and AQE's size-based coalescing, seeing only the
+    # tiny map-side bytes, shrinks it further — the ann_lsh_topk
+    # trap), so scoring/windowing at join width would serialize the
+    # fan-out. q_id is high-cardinality, the explicit numPartitions
+    # is AQE-coalesce-exempt, and the window's partitionBy(query_id)
+    # reuses the same partitioning. Vectors re-attach by id — both
+    # side tables are plain projections of the inputs, so Catalyst
+    # broadcasts them when small and falls back to a well-distributed
+    # high-cardinality-key shuffle join at corpus scale.
+    spark = corpus_df.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions") or "32")
+    cand = (
+        q.join(c, "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .repartition(n_shuffle, "q_id")
+    )
+    qv = query_df.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = corpus_df.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+
     @pandas_udf(T.DoubleType())
     def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
         A = np.stack(a.to_numpy()).astype(np.float64)
@@ -349,14 +376,10 @@ def ann_ivf_topk(
         den[den == 0] = 1.0
         return pd.Series((A * B).sum(axis=1) / den)
 
-    scored = (
-        q.join(c, "list_id")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            F.round(pair_cos(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
+    scored = cand.join(qv, "q_id").join(cv, "c_id").select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        F.round(pair_cos(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -824,15 +847,22 @@ def ann_ivfpq_topk(
 
     q = query_df.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
         F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
     )
 
     # --- 3. candidate join on list_id; ADC scoring by table lookup ---
+    # The list join moves (q_id, c_id, 8-byte code) ONLY — the PQ
+    # shuffle-volume win would be forfeited by carrying the ~0.5 KB
+    # query vector through the quadratic fan-out, so q_vec re-attaches
+    # by id AFTER the join, once the candidate set is re-spread by
+    # q_id at an explicit width (the join's own parallelism is capped
+    # at n_lists keys and AQE coalescing — the ann_lsh_topk trap).
     # True ADC: ONE (m × n_codewords) table per distinct query in the
     # Arrow batch, then every candidate scores by lookups — computing
     # the table per candidate pair would redo the matmul |candidates|/
     # |queries| times over (measured 4× slower at 100q × 80k corpus).
+    # sortWithinPartitions restores the per-query contiguity the ADC
+    # batch-boundary amortization expects after the repartition.
     @pandas_udf(T.DoubleType())
     def adc_udf(qid: pd.Series, qv: pd.Series, code: pd.Series) -> pd.Series:
         bk = bbooks.value
@@ -854,11 +884,20 @@ def ann_ivfpq_topk(
                 out[s_:e_] += tab[block[:, i]]
         return pd.Series(out)
 
+    spark = corpus_df.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions") or "32")
+    qv = query_df.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
     n_cand = k * rerank_factor
     w_adc = Window.partitionBy("q_id").orderBy(F.desc("adc"), "c_id")
     survivors = (
         q.join(c, "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "code")
+        .repartition(n_shuffle, "q_id")
+        .join(qv, "q_id")
+        .sortWithinPartitions("q_id")
         .withColumn("adc", adc_udf(F.col("q_id"), F.col("q_vec"), F.col("code")))
         .withColumn("adc_rank", F.row_number().over(w_adc))
         .filter(F.col("adc_rank") <= n_cand)
