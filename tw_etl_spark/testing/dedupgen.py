@@ -47,6 +47,7 @@ KINDS = (
     "delta",  # dd14: incremental dedup vs a persisted signature index
     "deltap",  # dd18: the delta against the PERSISTED pre-banded index
     "spand",  # dd19: delta duplicated spans vs a persisted gram index
+    "compactb",  # dd20: stream-writer batches folded by compact_banded_index
 )
 
 
@@ -424,6 +425,31 @@ def generate(seed: int) -> DedupCase:
             "delta_mod": rng.choice((2, 3, 4)),
         }
         sql = minhash_sql(**params)
+    elif kind == "compactb":
+        # dd20's lifecycle: seed = %mod==0, stream batches 1..mod-2
+        # through lsh_index_stream_writer's foreachBatch function,
+        # compact, then the probe batch (%mod==mod-1) delta-dedups
+        # against the COMPACTED root — the oracle is the full-corpus
+        # re-dedup filtered to probe-touching pairs, so a hash match
+        # proves the fold lost/invented nothing that candidate
+        # generation or the verify join could see
+        n = rng.choice(_MINHASH_N)
+        divs = [b for b in (2, 4, 5) if n % b == 0]
+        mod = rng.choice((3, 4))
+        params = {
+            "num_hashes": n,
+            "bands": rng.choice(divs),
+            "threshold": rng.choice(_THRESHOLDS),
+            "mod": mod,
+        }
+        sql = minhash_sql(
+            params["num_hashes"],
+            params["bands"],
+            params["threshold"],
+            new_pred=(
+                f"c.id_a % {mod} = {mod - 1} OR c.id_b % {mod} = {mod - 1}"
+            ),
+        )
     else:
         params = {"buckets": rng.choice((16, 64, 256)), "target_mod": rng.choice((2, 3, 5))}
         sql = dsir_sql(**params)
@@ -593,6 +619,64 @@ def run_spark(spark: SparkSession, case: DedupCase) -> DataFrame:
         banded, sigs = read_banded_index(spark, root)
         delta, _, _ = lsh_delta_pairs_prebanded(
             df.filter(F.col("doc_id") % mod == 0),
+            banded,
+            sigs,
+            num_hashes=p["num_hashes"],
+            bands=p["bands"],
+            threshold=p["threshold"],
+        )
+        return delta.orderBy("id_a", "id_b")
+    if case.kind == "compactb":
+        # dd20's whole lifecycle on the generated corpus: seed write,
+        # stream-writer batches, compaction into a fresh root, probe
+        # delta off the compacted index
+        import os
+        import shutil
+        import tempfile
+
+        from tw_etl_spark.operators.dedup import (
+            compact_banded_index,
+            lsh_delta_pairs_prebanded,
+            minhash_signatures_portable,
+            read_banded_index,
+            write_banded_index,
+        )
+        from tw_etl_spark.streaming.sinks import lsh_index_stream_writer
+
+        mod = p["mod"]
+        root = os.path.join(
+            tempfile.gettempdir(), "tw_etl_fuzz_compactb", str(case.seed)
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        live = os.path.join(root, "live")
+        write_banded_index(
+            minhash_signatures_portable(
+                df.filter(F.col("doc_id") % mod == 0),
+                num_hashes=p["num_hashes"],
+            ),
+            live,
+            num_hashes=p["num_hashes"],
+            bands=p["bands"],
+        )
+        writer = lsh_index_stream_writer(
+            spark,
+            live,
+            num_hashes=p["num_hashes"],
+            bands=p["bands"],
+            threshold=p["threshold"],
+        )
+        for day in range(1, mod - 1):
+            writer(
+                df.filter(F.col("doc_id") % mod == day).select(
+                    "doc_id", "text"
+                ),
+                day - 1,
+            )
+        compacted = os.path.join(root, "compacted")
+        compact_banded_index(spark, live, compacted)
+        banded, sigs = read_banded_index(spark, compacted)
+        delta, _, _ = lsh_delta_pairs_prebanded(
+            df.filter(F.col("doc_id") % mod == mod - 1),
             banded,
             sigs,
             num_hashes=p["num_hashes"],
