@@ -477,3 +477,41 @@ def test_append_ivf_index_batch_id_replay_safe(spark, tmp_path):
 
     sl = spark.read.parquet(os.path.join(keyed, "stream_lists"))
     assert sl.count() == sl.select("cand_id").distinct().count() == new.count()
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two hand-built lists: contributions are round(1e6/(60+r)),
+    items in both lists beat items in one, missing-list semantics are
+    native (no imputation), and the (micro-sum, id) tie-break is
+    stable."""
+    from tw_etl_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    dense = spark.createDataFrame([(2, 1), (4, 2)], ["doc_id", "rank"])
+    out = rrf_fuse([lex, dense], id_col="doc_id", k0=60, k=10).toPandas()
+    by_id = out.set_index("doc_id")
+
+    c = lambda r: round(1e6 / (60.0 + r))
+    # doc 2 appears in both lists -> sum of both contributions, rank 1
+    assert int(by_id.loc[2, "rrf_micro"]) == c(2) + c(1)
+    assert int(by_id.loc[2, "rank"]) == 1
+    assert int(by_id.loc[2, "n_lists"]) == 2
+    # singles keep exactly their one contribution
+    assert int(by_id.loc[1, "rrf_micro"]) == c(1)
+    assert int(by_id.loc[4, "rrf_micro"]) == c(2)
+    assert int(by_id.loc[3, "rrf_micro"]) == c(3)
+    # doc 1 (lex rank 1) outranks doc 4 (dense rank 2)
+    assert int(by_id.loc[1, "rank"]) < int(by_id.loc[4, "rank"])
+    assert len(out) == 4
+    assert (out["rrf"] - out["rrf_micro"] / 1e6).abs().max() < 1e-12
+
+
+def test_rrf_fuse_tie_break_and_cut(spark):
+    """Equal micro scores order by ascending id, and k truly cuts."""
+    from tw_etl_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(i, 1) for i in (7, 3, 9, 5)], ["doc_id", "rank"])
+    out = rrf_fuse([a], id_col="doc_id", k0=60, k=3).toPandas()
+    # all four share rank 1 -> identical scores; ids 3,5,7 survive the cut
+    assert list(out["doc_id"]) == [3, 5, 7]
+    assert list(out["rank"]) == [1, 2, 3]

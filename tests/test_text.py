@@ -540,3 +540,64 @@ def test_bpe_encode_feeds_packing(spark):
     assert bad == 0
     assert packed.count() == d.count()
     assert packed.select("doc_id").distinct().count() == d.count()
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc corpus small enough to verify by hand: the doc
+    matching the RARE term outranks a doc stuffed with the common one
+    (idf dominates tf), absent terms contribute nothing, and the
+    output contract (rank order, n_terms, integer micro score) holds.
+    """
+    import math
+
+    from tw_etl_spark.operators.text import bm25_topk
+
+    docs = [
+        ("d1", "spark spark spark spark join"),   # common-term stuffing
+        ("d2", "quorum raft paxos"),               # the only 'raft' doc
+        ("d3", "join scan filter"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = bm25_topk(df, ["join", "raft", "zzz_absent"], k=3).toPandas()
+
+    assert list(out["rank"]) == [1, 2, 3]
+    by_id = out.set_index("doc_id")
+    # 'raft': df=1 -> idf=ln(1+2.5/1.5); 'join': df=2 -> idf=ln(1+1.5/2.5)
+    assert by_id.loc["d2", "rank"] == 1
+    # absent term never shows up as a matched term
+    assert (out["n_terms"] <= 2).all()
+    assert by_id.loc["d2", "n_terms"] == 1
+    # replay d2's single-term score: tf=1, dl=3, avgdl=11/3
+    n, dfq, tf, dl, avgdl, k1, b = 3.0, 1.0, 1.0, 3.0, 11.0 / 3.0, 1.2, 0.75
+    idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+    want = round(idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)) * 1e6)
+    assert int(by_id.loc["d2", "score_micro"]) == want
+    assert abs(by_id.loc["d2", "score"] - want / 1e6) < 1e-12
+
+
+def test_bm25_topk_cut_and_plan(spark):
+    """The k cut is a real cut (k rows out of a larger corpus) and the
+    physical plan takes the distributed TakeOrderedAndProject path —
+    per-partition heaps, never a global single-task sort."""
+    from tw_etl_spark.operators.text import bm25_topk
+    from tw_etl_spark.plans.inspect import explain_str
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    q = bm25_topk(d, ["join", "broadcast", "skew"], k=5)
+    assert "TakeOrderedAndProject" in explain_str(q)
+    out = q.toPandas()
+    assert len(out) == 5
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+    # scores non-increasing; ties (if any) broken by ascending doc id
+    sm = list(out["score_micro"])
+    assert sm == sorted(sm, reverse=True)
+
+
+def test_bm25_oracle_float_constants():
+    """The oracle SQL writes '2.2' where the Spark plan computes the
+    Python double 1.2 + 1.0; this is only hash-safe because those are
+    the SAME double. Pin it (and the 1-b complement) so a future k1/b
+    change that is NOT exactly representable fails here, not in the
+    driver."""
+    assert 1.2 + 1.0 == 2.2
+    assert 1.0 - 0.75 == 0.25

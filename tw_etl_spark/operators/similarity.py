@@ -1709,3 +1709,67 @@ def ann_ivfpq_portable_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N ranked candidate lists into one hybrid ranking — the standard
+    way a curation pipeline combines a lexical retriever (BM25, t18)
+    with a dense retriever (embedding cosine, v1/v2) without score
+    calibration: only RANKS cross the fusion boundary, so the two
+    retrievers' incomparable score scales never meet.
+
+    ``score(id) = sum over lists containing id of 1 / (k0 + rank)``.
+    Each list's contribution is rounded to integer MICRO units before
+    the per-id BIGINT sum (the dd8p scaled-integer discipline), and the
+    input ranks are integers pinned by their own oracles — so the fused
+    ranking is float-summation-order-free and hash-matches a relational
+    replay exactly. Items present in only some lists simply receive
+    fewer contributions (RRF's native missing-list semantics; no outer
+    join, no imputation).
+
+    Scale shape: the inputs are already top-k-bounded retriever outputs
+    (a few hundred rows regardless of corpus size), so fusion is a
+    union + one groupBy over sum-of-k rows and a TakeOrderedAndProject
+    cut — cost independent of the 100 TB corpus behind the retrievers.
+    Returns (id_col, rank, n_lists, rrf_micro, rrf) with the rank-stable
+    (rrf_micro desc, id asc) order.
+    """
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    tagged = [
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).cast("long").alias("rank"),
+        )
+        for df in ranked_lists
+    ]
+    u = reduce(DataFrame.unionByName, tagged)
+    contrib = F.round(
+        F.lit(1e6) / (F.lit(float(k0)) + F.col("rank")), 0
+    ).cast("long")
+    agg = u.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum(contrib).cast("long").alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.col("id"))
+    return (
+        agg.orderBy(F.desc("rrf_micro"), F.col("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("id").alias(id_col),
+            "rank",
+            "n_lists",
+            "rrf_micro",
+            (F.col("rrf_micro") / 1e6).alias("rrf"),
+        )
+    )

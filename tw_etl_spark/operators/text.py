@@ -212,6 +212,111 @@ def tf_idf(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009) of the
+    top-``k`` corpus documents for a fixed query-term set — the ranked
+    companion to the trigram membership tests the decontamination
+    family uses (x5/x11 answer "does a benchmark string occur"; this
+    answers "which documents are MOST about these terms", the soft
+    lookup a curation pipeline runs before manual review).
+
+    Per matched (doc, term):
+    ``idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with the
+    BM25+-style non-negative ``idf(t) = ln(1 + (N - df + 0.5) /
+    (df + 0.5))``. Each term's contribution is rounded to MICRO units
+    (round-6) and summed as a BIGINT, so the per-doc score is an
+    integer sum of identically-computed terms — immune to float
+    summation order on any engine (the dd8p scaled-integer
+    discipline), which is what puts the ranking itself under the
+    cross-engine hash oracle (t18).
+
+    Scale shape: per-term tf is a NARROW map (the query terms ride as
+    literals inside one filter-count expression per term — the corpus
+    scan never explodes its full token stream); only the
+    |docs| × |query_terms| matched rows exist as Spark rows; df and
+    the (N, Σdl) stats are term-count-sized / 1-row broadcasts; the
+    per-doc sum is the plan's one data-sized shuffle; top-k is
+    TakeOrderedAndProject. Returns (doc_id, n_terms, score_micro,
+    score) with rank-stable (score desc, id asc) ordering applied by
+    the top-k cut.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_expr(F.col(text_col))
+    per_term = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter(toks, lambda x: x == F.lit(t)))
+                .cast("long")
+                .alias("tf"),
+            )
+            for t in query_terms
+        ]
+    )
+    rows = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(per_term).alias("qt"),
+    ).select("doc", "dl", F.col("qt.term").alias("term"), F.col("qt.tf").alias("tf"))
+
+    stats = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size(tokens_expr(F.col(text_col)))).cast("double").alias("sum_dl"),
+    )
+    matched = rows.filter(F.col("tf") > 0)
+    dfreq = matched.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("dfq")
+    )
+
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5)
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    s_micro = F.round(
+        idf * F.col("tf") * F.lit(k1 + 1.0) / denom * 1e6, 0
+    ).cast("long")
+
+    per_doc = (
+        matched.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc", s_micro.alias("sm"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("sm").cast("bigint").alias("score_micro"),
+        )
+    )
+    # top-k FIRST (orderBy+limit compiles to TakeOrderedAndProject —
+    # distributed per-partition heaps, never a global single-task
+    # sort), THEN rank via an unpartitioned window over just k rows
+    w = Window.orderBy(F.desc("score_micro"), F.col("doc"))
+    return (
+        per_doc.orderBy(F.desc("score_micro"), F.col("doc"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            F.col("doc").alias(id_col),
+            "rank",
+            "n_terms",
+            "score_micro",
+            (F.col("score_micro") / 1e6).alias("score"),
+        )
+    )
+
+
 def ngrams_expr(toks: Column, n: int) -> Column:
     """Token n-grams as space-joined strings (empty array when <n
     tokens). Pure higher-order functions — never leaves the scan stage.

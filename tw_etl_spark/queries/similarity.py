@@ -728,3 +728,96 @@ def v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _t(spark, sf_dir, "embeddings")
     q = v.filter(F.col("vec_id") < 20)
     return ann_ivfpq_topk(q, v, k=3, n_lists=16, nprobe=4).orderBy("query_id", "rank")
+
+
+def _hybrid_rrf_oracle(k_lex: int, k_dense: int, k0: int, k: int) -> str:
+    """DuckDB replay of v11's hybrid retrieval. The lexical list is the
+    parameterized t18 BM25 replay verbatim (single source of truth —
+    the dd19 lesson); the dense list is v2's cosine replay for the one
+    query vector, re-ranked by the ROUND-6 similarity with id
+    tie-break (exactly what the Spark side does, making the deep-list
+    ranking ulp-robust); fusion sums per-list micro-rounded
+    ``1e6 / (k0 + rank)`` contributions as BIGINTs.
+    """
+    from tw_etl_spark.queries.text import _BM25_TERMS, _bm25_oracle
+
+    lex_sql = _bm25_oracle(_BM25_TERMS, k=k_lex)
+    return f"""
+    WITH lex AS (
+      SELECT doc_id AS id, rank FROM ({lex_sql})
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id = 0),
+    sims AS (
+      SELECT c.vec_id AS nid,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS s
+      FROM q JOIN v c ON c.vec_id <> q.vec_id
+    ),
+    dense AS (
+      SELECT id, rank FROM (
+        SELECT nid AS id,
+               row_number() OVER (ORDER BY s DESC, nid) AS rank
+        FROM sims
+      ) WHERE rank <= {k_dense}
+    ),
+    u AS (
+      SELECT id, rank FROM lex UNION ALL SELECT id, rank FROM dense
+    ),
+    agg AS (
+      SELECT id, count(*)::BIGINT AS n_lists,
+             sum(round(1e6 / ({k0}.0 + rank), 0)::BIGINT)::BIGINT
+               AS rrf_micro
+      FROM u GROUP BY id
+    ),
+    ranked AS (
+      SELECT id AS doc_id,
+             row_number() OVER (ORDER BY rrf_micro DESC, id) AS rank,
+             n_lists, rrf_micro, rrf_micro / 1e6 AS rrf
+      FROM agg
+    )
+    SELECT doc_id, rank, n_lists, rrf_micro, rrf
+    FROM ranked WHERE rank <= {k} ORDER BY rank
+    """
+
+
+@register(
+    "v11_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle(k_lex=50, k_dense=50, k0=60, k=10),
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke & "
+    "Buettcher, SIGIR 2009): the BM25 lexical top-50 (t18's retriever) "
+    "fused with the embedding-cosine dense top-50 for one query vector "
+    "(v2's exact tier) into a single top-10 — the standard two-tower "
+    "retrieval pattern of a curation/RAG pipeline, fused on RANKS so "
+    "the incomparable score scales never meet. Per-list contributions "
+    "1e6/(60+rank) are micro-rounded integers before the per-id sum, "
+    "and the dense list is re-ranked by ROUND-6 similarity with id "
+    "tie-break, so the fused ranking is both summation-order-free and "
+    "ulp-robust — fully hash-oracled. Scale shape: the retrievers "
+    "bound everything — fusion itself touches sum-of-k rows (~100) "
+    "regardless of corpus size; items present in only one list get "
+    "RRF's native missing-list semantics (no outer join).",
+    tags=("vector", "text", "retrieval", "ext"),
+)
+def v11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.operators.similarity import rrf_fuse
+    from tw_etl_spark.operators.text import bm25_topk
+    from tw_etl_spark.queries.text import _BM25_TERMS
+
+    d = _t(spark, sf_dir, "documents")
+    v = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, list(_BM25_TERMS), k=50).select("doc_id", "rank")
+    q = v.filter(F.col("vec_id") == 0)
+    # all candidates for the one query (cos_sim > -1.5 drops the
+    # -inf-marked self row), then the ulp-robust round-6 re-rank
+    cand = cosine_topk(q, v, k=1 << 20).filter(F.col("cos_sim") > -1.5)
+    w = Window.orderBy(F.desc(F.round("cos_sim", 6)), F.col("neighbor_id"))
+    dense = (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, dense], id_col="doc_id", k0=60, k=10).orderBy("rank")

@@ -992,3 +992,89 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "s.n_tokens", "s.n_merged", "s.tokens_fp")
         .orderBy("doc_id")
     )
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int = 10) -> str:
+    """DuckDB replay of ``operators.text.bm25_topk`` (k1=1.2, b=0.75).
+
+    Single source of truth for the BM25 arithmetic on the oracle side
+    (the dd19 lesson: never hand-inline a second copy of a scoring
+    expression — parameterize it). Every float constant is written
+    exactly as the Spark plan computes it (``2.2`` == the Python double
+    ``1.2 + 1.0``, asserted in tests), the operation ORDER matches the
+    Spark expression left-to-right, and each (doc, term) contribution
+    is rounded to integer micro units before the per-doc sum — so the
+    per-doc score is an integer and the ranking hashes identically
+    cross-engine.
+    """
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS ts FROM documents
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, sum(len(ts))::DOUBLE AS sum_dl
+      FROM toks
+    ),
+    matched AS (
+      SELECT doc_id AS doc, len(ts)::BIGINT AS dl, q.term,
+             len(list_filter(ts, t -> t = q.term))::BIGINT AS tf
+      FROM toks CROSS JOIN (VALUES {values}) q(term)
+      WHERE len(list_filter(ts, t -> t = q.term)) > 0
+    ),
+    dfreq AS (
+      SELECT term, count(*)::DOUBLE AS dfq FROM matched GROUP BY term
+    ),
+    scored AS (
+      SELECT m.doc,
+             round(ln(1.0 + (s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5))
+                   * m.tf * 2.2
+                   / (m.tf + 1.2 * (0.25 + 0.75 * m.dl
+                                    / (s.sum_dl / s.n_docs)))
+                   * 1e6, 0)::BIGINT AS sm
+      FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    per_doc AS (
+      SELECT doc, count(*)::BIGINT AS n_terms, sum(sm)::BIGINT AS score_micro
+      FROM scored GROUP BY doc
+    ),
+    ranked AS (
+      SELECT doc AS doc_id,
+             row_number() OVER (ORDER BY score_micro DESC, doc) AS rank,
+             n_terms, score_micro, score_micro / 1e6 AS score
+      FROM per_doc
+    )
+    SELECT doc_id, rank, n_terms, score_micro, score
+    FROM ranked WHERE rank <= {k} ORDER BY rank
+    """
+
+
+# t18's fixed query — terms drawn from the synthetic corpus vocabulary
+# at three frequency bands so idf actually discriminates.
+_BM25_TERMS = ("join", "broadcast", "skew")
+
+
+@register(
+    "t18_bm25_topk",
+    oracle=_bm25_oracle(_BM25_TERMS),
+    doc="Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009): "
+    "top-10 corpus documents for a fixed query-term set, the ranked "
+    "companion to the x5/x11 membership decontamination tests (those "
+    "answer 'does this benchmark string occur'; this answers 'which "
+    "documents are MOST about these terms' — the soft lookup run "
+    "before manual curation review). Per-(doc,term) contributions are "
+    "rounded to integer micro units BEFORE the per-doc sum (the dd8p "
+    "scaled-integer discipline), so the score — and therefore the "
+    "RANKING — is float-summation-order-free and hash-matches DuckDB "
+    "exactly. Scale shape: query terms ride as literals in one narrow "
+    "map (no token-stream explode of the corpus), matched rows are "
+    "|docs|x|terms| at most, df/stats are term-count-sized "
+    "broadcasts, the per-doc sum is the one data-sized shuffle, and "
+    "the cut is TakeOrderedAndProject (per-partition heaps).",
+    tags=("text", "retrieval", "bm25", "ext"),
+)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, list(_BM25_TERMS), k=10).orderBy("rank")
