@@ -601,3 +601,85 @@ def test_bm25_oracle_float_constants():
     driver."""
     assert 1.2 + 1.0 == 2.2
     assert 1.0 - 0.75 == 0.25
+
+
+def test_bm25_pure_python_parity_generated_corpora(spark):
+    """Generated-corpus parity (the dd3p/t15 pattern): an independent
+    pure-python BM25 replays the identical arithmetic over corpora with
+    empty docs, multi-space runs, stuffed docs, and absent query terms;
+    Spark must land on the same integer micro scores and the same
+    ranking. Fixed seeds — deterministic forever."""
+    import math
+    import random
+
+    from tw_etl_spark.operators.text import bm25_topk
+
+    k1, b = 1.2, 0.75
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = []
+        for i in range(60):
+            n = rng.choice([0, 1, 3, 8, 20, 30])
+            words = [rng.choice(vocab) for _ in range(n)]
+            if i % 13 == 0 and words:
+                words = [words[0]] * len(words)  # stuffed doc
+            # multi-space runs exercise the empty-token filter
+            sep = lambda: " " * rng.choice([1, 1, 2])
+            docs.append((i, sep().join(words) if words else ""))
+        terms = rng.sample(vocab, 3) + ["zz_absent"]
+
+        # pure-python reference (same op order as the Spark expression)
+        toks = {i: [t for t in txt.split(" ") if t] for i, txt in docs}
+        n_docs = float(len(docs))
+        sum_dl = float(sum(len(v) for v in toks.values()))
+        scores: dict[int, list[int]] = {}
+        for term in terms:
+            matched = {i: ts.count(term) for i, ts in toks.items() if term in ts}
+            if not matched:
+                continue
+            dfq = float(len(matched))
+            idf = math.log(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5))
+            for i, tf in matched.items():
+                dl = len(toks[i])
+                sm = round(
+                    idf * tf * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl / (sum_dl / n_docs)))
+                    * 1e6
+                )
+                scores.setdefault(i, []).append(sm)
+        want = sorted(
+            ((sum(v), -i) for i, v in scores.items()), reverse=True
+        )[:10]
+        want = [(-ni, sm) for sm, ni in want]
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = bm25_topk(df, terms, k=10).orderBy("rank").collect()
+        assert [(r.doc_id, r.score_micro) for r in got] == want, seed
+        assert [r.rank for r in got] == list(range(1, len(want) + 1))
+
+
+def test_rrf_fuse_pure_python_parity_generated_lists(spark):
+    """Same parity discipline for the fusion: random overlapping ranked
+    lists, python reference sums round(1e6/(60+r)) per id."""
+    import random
+
+    from tw_etl_spark.operators.similarity import rrf_fuse
+
+    for seed in (3, 77):
+        rng = random.Random(seed)
+        ids = list(range(30))
+        lists = []
+        for _ in range(3):
+            chosen = rng.sample(ids, rng.randint(5, 15))
+            lists.append([(d, r + 1) for r, d in enumerate(chosen)])
+        ref: dict[int, list[int]] = {}
+        for lst in lists:
+            for d, r in lst:
+                ref.setdefault(d, []).append(round(1e6 / (60.0 + r)))
+        want = sorted(((sum(v), -d) for d, v in ref.items()), reverse=True)[:8]
+        want = [(-nd, sm) for sm, nd in want]
+
+        dfs = [spark.createDataFrame(lst, ["doc_id", "rank"]) for lst in lists]
+        got = rrf_fuse(dfs, id_col="doc_id", k0=60, k=8).orderBy("rank").collect()
+        assert [(r.doc_id, r.rrf_micro) for r in got] == want, seed
