@@ -238,67 +238,95 @@ def bm25_topk(
     discipline), which is what puts the ranking itself under the
     cross-engine hash oracle (t18).
 
-    Scale shape: per-term tf is a NARROW map (the query terms ride as
-    literals inside one filter-count expression per term — the corpus
-    scan never explodes its full token stream); only the
-    |docs| × |query_terms| matched rows exist as Spark rows; df and
-    the (N, Σdl) stats are term-count-sized / 1-row broadcasts; the
-    per-doc sum is the plan's one data-sized shuffle; top-k is
-    TakeOrderedAndProject. Returns (doc_id, n_terms, score_micro,
-    score) with rank-stable (score desc, id asc) ordering applied by
-    the top-k cut.
+    Scale shape — TWO corpus passes, the information floor for exact
+    BM25 (scores depend on corpus-global stats), and NOTHING else:
+    pass 1 is one map-side-combinable global aggregate collecting a
+    single 1-row stats vector (n_docs, Σdl, and df per query term —
+    T+2 numbers, a bounded driver collect); pass 2 re-scans with the
+    stats riding as LITERALS (the dd8p centroids-as-literals pattern),
+    so scoring is a pure narrow map — zero joins, zero explode, zero
+    data-sized shuffle — ending in TakeOrderedAndProject
+    (per-partition heaps). The ``ln`` stays JVM-side (``F.log`` over a
+    literal ratio, constant-folded by Catalyst with the same
+    ``Math.log`` the runtime would use), so the arithmetic is
+    bit-identical to an all-relational formulation and to the DuckDB
+    replay. Query terms ride as literals inside one filter-count
+    expression per term — the corpus scan never explodes its token
+    stream. Returns (doc_id, rank, n_terms, score_micro, score) with
+    rank-stable (score desc, id asc) ordering applied by the top-k
+    cut.
     """
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
-    toks = tokens_expr(F.col(text_col))
-    per_term = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("term"),
-                F.size(F.filter(toks, lambda x: x == F.lit(t)))
-                .cast("long")
-                .alias("tf"),
-            )
-            for t in query_terms
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("rank", T.LongType()),
+            T.StructField("n_terms", T.LongType()),
+            T.StructField("score_micro", T.LongType()),
+            T.StructField("score", T.DoubleType()),
         ]
     )
-    rows = df.select(
+
+    def _tf(term: str) -> Column:
+        # NB: a bound-default lambda would have arity 2, which F.filter
+        # interprets as (element, INDEX) — close over the term instead
+        return F.size(
+            F.filter(F.col("__bm_toks"), lambda x: x == F.lit(term))
+        ).cast("long")
+
+    base = df.withColumn("__bm_toks", tokens_expr(F.col(text_col))).select(
         F.col(id_col).alias("doc"),
-        F.size(toks).cast("long").alias("dl"),
-        F.explode(per_term).alias("qt"),
-    ).select("doc", "dl", F.col("qt.term").alias("term"), F.col("qt.tf").alias("tf"))
+        F.size("__bm_toks").cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
 
-    stats = df.select(
+    # pass 1: the whole corpus reduces to T+2 doubles (bounded collect)
+    stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum(F.size(tokens_expr(F.col(text_col)))).cast("double").alias("sum_dl"),
-    )
-    matched = rows.filter(F.col("tf") > 0)
-    dfreq = matched.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("dfq")
-    )
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"dfq_{i}")
+            for i in range(len(query_terms))
+        ],
+    ).first()
+    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+    if not n_docs or not sum_dl:
+        # empty corpus / no tokens anywhere -> no matches by definition
+        return df.sparkSession.createDataFrame([], out_schema)
+    avgdl = sum_dl / n_docs
 
-    idf = F.log(
-        1.0
-        + (F.col("n_docs") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5)
-    )
-    avgdl = F.col("sum_dl") / F.col("n_docs")
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
-    )
-    s_micro = F.round(
-        idf * F.col("tf") * F.lit(k1 + 1.0) / denom * 1e6, 0
-    ).cast("long")
-
-    per_doc = (
-        matched.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("doc", s_micro.alias("sm"))
-        .groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum("sm").cast("bigint").alias("score_micro"),
+    # pass 2: stats ride as literals; per-term contribution
+    # idf * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), micro-rounded.
+    # tf = 0 contributes exactly round(0.0) = 0, so the per-doc score is
+    # a plain sum; docs matching no term are dropped by n_terms > 0.
+    sm_terms, nt_terms = [], []
+    for i in range(len(query_terms)):
+        dfq = stats[f"dfq_{i}"]
+        if not dfq:
+            continue  # term absent from the corpus: no contributions
+        idf = F.log(F.lit(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5)))
+        tf = F.col(f"tf_{i}")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
         )
-    )
+        sm_terms.append(
+            F.round(idf * tf * F.lit(k1 + 1.0) / denom * 1e6, 0).cast("long")
+        )
+        nt_terms.append(F.when(tf > 0, 1).otherwise(0))
+    if not sm_terms:
+        return df.sparkSession.createDataFrame([], out_schema)
+
+    add = lambda xs: xs[0] if len(xs) == 1 else xs[0] + add(xs[1:])
+    per_doc = base.select(
+        "doc",
+        add(nt_terms).cast("bigint").alias("n_terms"),
+        add(sm_terms).cast("bigint").alias("score_micro"),
+    ).filter(F.col("n_terms") > 0)
+
     # top-k FIRST (orderBy+limit compiles to TakeOrderedAndProject —
     # distributed per-partition heaps, never a global single-task
     # sort), THEN rank via an unpartitioned window over just k rows
