@@ -883,3 +883,26 @@ def test_ann_lsh_candidate_exchange_is_pinned_and_ids_only(spark):
     assert dedup_exchanges, "expected the (q_id, c_id) pair-dedup exchange"
     for block in dedup_exchanges:
         assert "vec" not in block, block
+
+
+def test_bm25_scoring_pass_is_single_scan_zero_join(spark):
+    """The round-13 BM25 rewrite contract: exact BM25's information
+    floor is two corpus passes — the eager 1-row stats aggregate plus
+    the scoring pass this plan shows. The LAZY plan must therefore be
+    ONE FileScan feeding a pure narrow map (stats ride as literals —
+    the dd8p pattern) into a TakeOrderedAndProject cut: no joins, no
+    explode, no aggregate exchange. A regression back to the
+    all-relational form (3 scans: stats + dfreq + join branches each
+    re-scan parquet) triples the dominant IO at 100 TB."""
+    from tw_etl_spark.operators.text import bm25_topk
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    import re
+
+    plan = explain_str(bm25_topk(d, ["join", "broadcast", "skew"], k=10))
+    # formatted mode names each scan twice (tree line + detail header);
+    # count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan
+    for op in ("Join", "Explode", "HashAggregate"):
+        assert op not in plan, op
