@@ -515,3 +515,59 @@ def test_rrf_fuse_tie_break_and_cut(spark):
     # all four share rank 1 -> identical scores; ids 3,5,7 survive the cut
     assert list(out["doc_id"]) == [3, 5, 7]
     assert list(out["rank"]) == [1, 2, 3]
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """nDCG/recall on hand-checkable lists: perfect-prefix ranking,
+    scattered hits, zero-relevant queries, and a query with no
+    retrieved rows all score exactly their textbook values in integer
+    micro units."""
+    from tw_etl_spark.operators.similarity import ndcg_weights, retrieval_eval
+
+    w, cum = ndcg_weights(3)
+    retrieved = spark.createDataFrame(
+        # q1: rel at ranks 1,2 (perfect prefix); q2: rel at rank 3 only
+        [(1, 1, 1), (1, 2, 1), (1, 3, 0), (2, 1, 0), (2, 2, 0), (2, 3, 1)],
+        ["query_id", "rank", "rel"],
+    )
+    totals = spark.createDataFrame(
+        [(1, 2), (2, 5), (3, 0), (4, 4)], ["query_id", "n_rel"]
+    )
+    out = (
+        retrieval_eval(retrieved, totals, k=3)
+        .orderBy("query_id")
+        .toPandas()
+        .set_index("query_id")
+    )
+    # q1: dcg = w1+w2, idcg = cum[min(2,3)] = w1+w2 -> ndcg 1.0
+    assert int(out.loc[1, "dcg_micro"]) == w[0] + w[1]
+    assert int(out.loc[1, "idcg_micro"]) == cum[2]
+    assert out.loc[1, "ndcg"] == 1.0
+    assert abs(out.loc[1, "recall_at_k"] - 1.0) < 1e-12
+    # q2: dcg = w3, idcg = cum[3] (5 relevant, capped at k)
+    assert int(out.loc[2, "dcg_micro"]) == w[2]
+    assert int(out.loc[2, "idcg_micro"]) == cum[3]
+    assert abs(out.loc[2, "ndcg"] - w[2] / cum[3]) < 1e-15
+    assert abs(out.loc[2, "recall_at_k"] - 1 / 5) < 1e-15
+    # q3: zero relevant anywhere -> both metrics 0 by definition
+    assert out.loc[3, "ndcg"] == 0.0 and out.loc[3, "recall_at_k"] == 0.0
+    assert int(out.loc[3, "idcg_micro"]) == 0
+    # q4: in totals but retriever returned nothing -> scores 0, kept
+    assert int(out.loc[4, "n_rel_at_k"]) == 0 and out.loc[4, "ndcg"] == 0.0
+    assert int(out.loc[4, "idcg_micro"]) == cum[3]
+    assert len(out) == 4
+
+
+def test_ndcg_weights_table():
+    """The shared weight builder: w_r = round(1e6/log2(r+1)), cum is
+    its prefix sum with cum[0] = 0 — the single source both the Spark
+    literals and the DuckDB VALUES tables are generated from."""
+    import math
+
+    from tw_etl_spark.operators.similarity import ndcg_weights
+
+    w, cum = ndcg_weights(10)
+    assert w[0] == 1_000_000 and w[2] == 500_000
+    assert all(a > b for a, b in zip(w, w[1:]))  # strictly decreasing
+    assert cum[0] == 0 and cum[-1] == sum(w) and len(cum) == 11
+    assert all(w[r] == round(1e6 / math.log2(r + 2)) for r in range(10))

@@ -1773,3 +1773,89 @@ def rrf_fuse(
             (F.col("rrf_micro") / 1e6).alias("rrf"),
         )
     )
+
+
+def ndcg_weights(k: int) -> tuple[list[int], list[int]]:
+    """The nDCG rank-discount table ``round(1e6 / log2(r+1))`` for
+    ranks 1..k, plus its cumulative sums (cum[0] = 0). Single source
+    of truth for BOTH the Spark plan literals and the DuckDB oracle's
+    VALUES tables — integer micro units, so the metric arithmetic is
+    cross-engine exact (the dd19 lesson: one parameterized builder,
+    never two hand-inlined copies)."""
+    import math
+
+    w_micro = [round(1e6 / math.log2(r + 1)) for r in range(1, k + 1)]
+    cum = [0]
+    for w in w_micro:
+        cum.append(cum[-1] + w)
+    return w_micro, cum
+
+
+def retrieval_eval(
+    retrieved: DataFrame,
+    totals: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    total_col: str = "n_rel",
+) -> DataFrame:
+    """Per-query ranked-retrieval quality — nDCG@k and recall@k
+    (Järvelin & Kekäläinen 2002) — the evaluation half of the
+    retrieval family (v1/v2 exact, v3–v7 ANN, t18 lexical, v11
+    hybrid are the retrievers; this is the harness that scores any
+    of them against labeled relevance).
+
+    ``retrieved`` is a (query, rank, rel∈{0,1}) list (rank 1-based,
+    ≤ k rows per query); ``totals`` carries each query's corpus-wide
+    relevant count. The rank discounts ``1/log2(r+1)`` are
+    precomputed in MICRO units as plan literals (rank is bounded by
+    k, so the whole weight table ships in the plan), making
+    ``dcg_micro = Σ rel_r * w_r`` and ``idcg_micro = cum_w[min(k,
+    n_rel)]`` pure INTEGER arithmetic — cross-engine hash-exact; the
+    only doubles in the output are the two final single divisions
+    (ndcg, recall). Queries with zero relevant items score 0 by
+    definition.
+
+    Scale shape: inputs are retriever outputs (k rows per query), so
+    cost is one k·|queries| aggregation plus a broadcast-sized join
+    with ``totals`` — independent of corpus size. Returns (query_id,
+    n_rel, n_rel_at_k, dcg_micro, idcg_micro, ndcg, recall_at_k).
+    """
+    w_micro, cum = ndcg_weights(k)
+
+    # rank -> weight as a literal CASE chain (k entries, plan-side)
+    wexpr = F.lit(0).cast("long")
+    for r, w in enumerate(w_micro, start=1):
+        wexpr = F.when(F.col(rank_col) == r, F.lit(w).cast("long")).otherwise(
+            wexpr
+        )
+    per_q = retrieved.groupBy(F.col(query_col).alias("qid")).agg(
+        F.sum(F.col(rel_col).cast("long")).cast("long").alias("n_rel_at_k"),
+        F.sum(F.col(rel_col).cast("long") * wexpr).cast("long").alias("dcg_micro"),
+    )
+    cum_arr = F.array(*[F.lit(c).cast("long") for c in cum])
+    # totals is the preserved side (a query with zero retrieved rows
+    # still scores 0), so LEFT join with the k-rows-per-query aggregate
+    # broadcast as the build side
+    joined = totals.select(
+        F.col(query_col).alias("qid"),
+        F.col(total_col).cast("long").alias("n_rel"),
+    ).join(F.broadcast(per_q), "qid", "left").select(
+        "qid",
+        F.col("n_rel"),
+        F.coalesce(F.col("n_rel_at_k"), F.lit(0).cast("long")).alias("n_rel_at_k"),
+        F.coalesce(F.col("dcg_micro"), F.lit(0).cast("long")).alias("dcg_micro"),
+    )
+    idcg = F.element_at(cum_arr, (F.least(F.col("n_rel"), F.lit(k)) + 1).cast("int"))
+    return joined.select(
+        F.col("qid").alias(query_col),
+        "n_rel",
+        "n_rel_at_k",
+        "dcg_micro",
+        idcg.alias("idcg_micro"),
+        F.when(idcg > 0, F.col("dcg_micro") / idcg).otherwise(F.lit(0.0)).alias("ndcg"),
+        F.when(
+            F.col("n_rel") > 0, F.col("n_rel_at_k") / F.col("n_rel")
+        ).otherwise(F.lit(0.0)).alias("recall_at_k"),
+    )

@@ -821,3 +821,112 @@ def v11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("neighbor_id").alias("doc_id"), "rank")
     )
     return rrf_fuse([lex, dense], id_col="doc_id", k0=60, k=10).orderBy("rank")
+
+
+def _retrieval_eval_oracle(n_queries: int, k: int) -> str:
+    """DuckDB replay of v12: v2's cosine CTE (proven arithmetic) ->
+    round-6 re-rank -> label relevance -> integer nDCG/recall via the
+    SAME weight table the Spark plan embeds (one builder, two
+    engines)."""
+    from tw_etl_spark.operators.similarity import ndcg_weights
+
+    w_micro, cum = ndcg_weights(k)
+    w_values = ", ".join(f"({r}, {w})" for r, w in enumerate(w_micro, start=1))
+    cum_values = ", ".join(f"({j}, {c})" for j, c in enumerate(cum))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {n_queries}),
+    sims AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel,
+             c.vec_id AS nid, c.label AS nlabel,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS s
+      FROM q JOIN v c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT qid, (nlabel = qlabel)::BIGINT AS rel,
+             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid)
+               AS rank
+      FROM sims
+    ),
+    w(rank, wm) AS (VALUES {w_values}),
+    cum(j, c) AS (VALUES {cum_values}),
+    perq AS (
+      SELECT qid, sum(rel)::BIGINT AS n_rel_at_k,
+             sum(rel * wm)::BIGINT AS dcg_micro
+      FROM ranked JOIN w USING (rank)
+      WHERE rank <= {k}
+      GROUP BY qid
+    ),
+    totals AS (
+      SELECT q.vec_id AS qid, (lc.cnt - 1)::BIGINT AS n_rel
+      FROM q JOIN (SELECT label, count(*) AS cnt FROM v GROUP BY label) lc
+        ON q.label = lc.label
+    )
+    SELECT t.qid AS query_id, t.n_rel,
+           coalesce(p.n_rel_at_k, 0)::BIGINT AS n_rel_at_k,
+           coalesce(p.dcg_micro, 0)::BIGINT AS dcg_micro,
+           cum.c::BIGINT AS idcg_micro,
+           CASE WHEN cum.c > 0 THEN coalesce(p.dcg_micro, 0) / cum.c
+                ELSE 0.0 END AS ndcg,
+           CASE WHEN t.n_rel > 0 THEN coalesce(p.n_rel_at_k, 0) / t.n_rel
+                ELSE 0.0 END AS recall_at_k
+    FROM totals t
+    LEFT JOIN perq p USING (qid)
+    JOIN cum ON cum.j = least(t.n_rel, {k})
+    ORDER BY query_id
+    """
+
+
+@register(
+    "v12_retrieval_eval",
+    oracle=_retrieval_eval_oracle(n_queries=20, k=10),
+    doc="Retrieval evaluation — per-query nDCG@10 and recall@10 "
+    "(Järvelin & Kekäläinen 2002) of the exact dense retriever "
+    "against label ground truth: the evaluation half of the "
+    "retrieval family (v1-v7/t18/v11 are retrievers; this is the "
+    "harness that scores any of them). Rank discounts 1/log2(r+1) "
+    "ride as integer MICRO-unit plan literals from ONE builder "
+    "shared with the oracle's VALUES tables, so dcg/idcg are pure "
+    "BIGINT sums — cross-engine hash-exact; the only doubles are "
+    "the two final single divisions. The candidate ranking reuses "
+    "v11's ulp-robust round-6 re-rank. Scale shape: metric cost is "
+    "k rows per query plus a broadcast totals join — independent of "
+    "corpus size; the retriever under test bounds everything.",
+    tags=("vector", "retrieval", "eval", "ext"),
+)
+def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.operators.similarity import retrieval_eval
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 20)
+    labels = v.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    qlabels = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+
+    cand = cosine_topk(q, v, k=1 << 20).filter(F.col("cos_sim") > -1.5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_sim", 6)), F.col("neighbor_id")
+    )
+    retrieved = (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            (F.col("nlabel") == F.col("qlabel")).cast("long").alias("rel"),
+        )
+    )
+    label_counts = v.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = (
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(F.broadcast(label_counts), "label")
+        .select("query_id", (F.col("cnt") - 1).cast("long").alias("n_rel"))
+    )
+    return retrieval_eval(retrieved, totals, k=10).orderBy("query_id")
