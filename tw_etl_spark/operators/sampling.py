@@ -397,20 +397,7 @@ def importance_resample(
     resample is just a narrow filter. Returns every input row plus
     (u_micro, accept_micro, kept); callers filter on ``kept``.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % F.lit(1_000_000)
-    )
+    u = portable_uniform_micro(id_col, salt)
     from tw_etl_spark.functions.rounding import floor_div
 
     accept = F.least(
@@ -426,4 +413,90 @@ def importance_resample(
         u.alias("u_micro"),
         accept.alias("accept_micro"),
         (u < accept).alias("kept"),
+    )
+
+
+def portable_uniform_micro(id_col: str, salt: str) -> Column:
+    """The portable md5 uniform in micro units, u_micro ∈ [0, 1e6):
+    first 12 hex chars of md5("<salt>:" + id) mod 1e6 — the same
+    RNG-free family `deterministic_split` / `importance_resample` draw
+    from, and exactly replayable in DuckDB as
+    ``('0x' || substr(md5('<salt>:' || id::VARCHAR), 1, 12))::BIGINT
+    % 1000000``. Per-row, partitioning-independent, reproducible
+    forever."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1_000_000)
+    )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    w_col: str = "w",
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``n`` rows in
+    ONE pass — Efraimidis & Spirakis (2006): each row draws a uniform
+    u and is ranked by ``u^(1/w)``; the top-n by that key is a
+    weighted sample without replacement. The complement of x14's
+    Bernoulli form: x14 answers "keep each row with probability
+    accept(w)" (variable output size); this answers "give me exactly
+    n rows, heavier rows proportionally more likely" — the 'sample
+    10M documents from 10B, proportional to quality/length' selection
+    a curation pipeline runs.
+
+    Determinism + cross-engine exactness: u comes from the portable
+    md5 family (no RNG state, partitioning-independent); the key is
+    ranked in LOG space, ``ln(u)/w`` (same ordering as u^(1/w),
+    avoiding cross-engine pow), quantized to integer NANO units with
+    id tie-break — so the selected set and its order hash-match the
+    DuckDB replay exactly. u is shifted to (0, 1] as
+    ``(u_micro + 1) / 1000001`` so ln never sees 0.
+
+    Scale shape: ONE scan, a narrow map computing (u, key), and a
+    TakeOrderedAndProject cut (per-partition heaps) — no shuffle, no
+    RNG state, no second pass; at 100 TB this is scan speed plus an
+    n-row reduce. Weights must be strictly positive (loud plan-side
+    assert). Returns (id_col, rank, w_col, u_micro, key_nano).
+    """
+    from pyspark.sql.window import Window
+
+    u_micro = portable_uniform_micro(id_col, salt)
+    u = (F.col("u_micro") + 1).cast("double") / F.lit(1000001.0)
+    key = F.round(F.log(u) * F.lit(1e9) / F.col(w_col), 0).cast("long")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(w_col),
+        u_micro.alias("u_micro"),
+    ).select(
+        id_col,
+        w_col,
+        "u_micro",
+        # assert_true(NULL when ok) gates the key: zero/negative
+        # weights fail loudly instead of silently reordering the sample
+        F.when(
+            F.assert_true(
+                F.col(w_col) > 0, f"weighted_sample_topn: {w_col} must be > 0"
+            ).isNull(),
+            key,
+        ).alias("key_nano"),
+    )
+    w = Window.orderBy(F.desc("key_nano"), F.col(id_col))
+    return (
+        keyed.orderBy(F.desc("key_nano"), F.col(id_col))
+        .limit(n)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(id_col, "rank", w_col, "u_micro", "key_nano")
     )

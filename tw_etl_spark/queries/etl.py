@@ -1216,3 +1216,50 @@ def io5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "x15_weighted_sample",
+    oracle="""
+    WITH w AS (SELECT doc_id, n_chars::BIGINT AS w FROM documents),
+    keyed AS (
+      SELECT doc_id, w,
+             (('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 12))::BIGINT
+                 % 1000000)::BIGINT AS u_micro
+      FROM w
+    ), scored AS (
+      SELECT doc_id, w, u_micro,
+             round(ln((u_micro + 1)::DOUBLE / 1000001.0::DOUBLE)
+                   * 1e9 / w, 0)::BIGINT AS key_nano
+      FROM keyed
+    ), ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rank,
+             w, u_micro, key_nano
+      FROM scored
+    )
+    SELECT doc_id, rank, w, u_micro, key_nano
+    FROM ranked WHERE rank <= 50 ORDER BY rank
+    """,
+    doc="Weighted sampling WITHOUT replacement, exactly n rows in ONE "
+    "pass (Efraimidis & Spirakis 2006): rank by u^(1/w) — here in log "
+    "space, ln(u)/w, avoiding cross-engine pow — and take the top-n. "
+    "The complement of x14's Bernoulli resample: x14 keeps each row "
+    "with probability accept(w) (variable size); this answers 'give "
+    "me exactly n, heavier rows proportionally more likely' — the "
+    "sample-10M-of-10B-proportional-to-quality selection a curation "
+    "pipeline runs. u is the portable md5 uniform (RNG-free, "
+    "partitioning-independent), the key is quantized to integer NANO "
+    "units with id tie-break, so selection AND order hash-match "
+    "DuckDB. Scale shape: one scan -> narrow map -> "
+    "TakeOrderedAndProject (per-partition heaps); no shuffle, no RNG "
+    "state, no second pass. Fixture weights = document length.",
+    tags=("sampling", "weighted", "ext"),
+)
+def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.sampling import weighted_sample_topn
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    return weighted_sample_topn(d, 50).orderBy("rank")
