@@ -1074,3 +1074,30 @@ def test_compact_banded_index_pure_seed_is_identity(spark, tmp_path):
     assert {(r.doc_id, tuple(r.signature)) for r in ls.collect()} == {
         (r.doc_id, tuple(r.signature)) for r in cs.collect()
     }
+
+
+def test_compact_banded_index_in_place_raises(spark, tmp_path):
+    """'Never in place' is enforced, not advised: mode("overwrite") on
+    the live root would truncate banded/sigs while the compaction plan
+    lazily reads them. Equal paths — including relative/trailing-slash
+    spellings of the same root — must raise before any write starts."""
+    import pytest
+
+    from tw_etl_spark.operators.dedup import (
+        compact_banded_index,
+        minhash_signatures_portable,
+        write_banded_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], ["doc_id", "text"]
+    )
+    live = str(tmp_path / "live")
+    write_banded_index(
+        minhash_signatures_portable(docs, num_hashes=16), live,
+        num_hashes=16, bands=4,
+    )
+    with pytest.raises(ValueError, match="never writes in place"):
+        compact_banded_index(spark, live, live)
+    with pytest.raises(ValueError, match="never writes in place"):
+        compact_banded_index(spark, live, live + "/")

@@ -558,6 +558,47 @@ def test_retrieval_eval_hand_computed(spark):
     assert len(out) == 4
 
 
+def test_retrieval_eval_rank_beyond_k_dropped(spark):
+    """Contract-violating input (rows with rank > k) is dropped in-plan
+    rather than half-counted: previously a rank-4 relevant row under
+    k=3 added to recall while its dcg weight was 0 — silently diverging
+    from the DuckDB replay, which joins on rank <= k and drops it.
+    Both metrics must now ignore such rows entirely."""
+    from tw_etl_spark.operators.similarity import ndcg_weights, retrieval_eval
+
+    w, _cum = ndcg_weights(3)
+    retrieved = spark.createDataFrame(
+        [(1, 1, 1), (1, 4, 1), (1, 9, 1)], ["query_id", "rank", "rel"]
+    )
+    totals = spark.createDataFrame([(1, 3)], ["query_id", "n_rel"])
+    out = retrieval_eval(retrieved, totals, k=3).toPandas().set_index("query_id")
+    assert int(out.loc[1, "n_rel_at_k"]) == 1  # not 3
+    assert int(out.loc[1, "dcg_micro"]) == w[0]
+    assert abs(out.loc[1, "recall_at_k"] - 1 / 3) < 1e-15
+
+
+def test_shuffle_width_tolerates_non_numeric_conf():
+    """Platforms where spark.sql.shuffle.partitions holds 'auto'
+    (Databricks AQE) must not crash the ANN planners at plan time."""
+    from tw_etl_spark.operators.similarity import _shuffle_width
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key):
+            return self._v
+
+    class _S:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert _shuffle_width(_S("auto")) == 32
+    assert _shuffle_width(_S(None)) == 32
+    assert _shuffle_width(_S("64")) == 64
+    assert _shuffle_width(_S("-1")) == 32  # AQE sentinel, not a width
+
+
 def test_ndcg_weights_table():
     """The shared weight builder: w_r = round(1e6/log2(r+1)), cum is
     its prefix sum with cum[0] = 0 — the single source both the Spark

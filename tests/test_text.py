@@ -683,3 +683,21 @@ def test_rrf_fuse_pure_python_parity_generated_lists(spark):
         dfs = [spark.createDataFrame(lst, ["doc_id", "rank"]) for lst in lists]
         got = rrf_fuse(dfs, id_col="doc_id", k0=60, k=8).orderBy("rank").collect()
         assert [(r.doc_id, r.rrf_micro) for r in got] == want, seed
+
+
+def test_bm25_duplicate_terms_raise(spark):
+    """Duplicate query terms are a contract violation on BOTH sides:
+    the Spark plan scores each distinct tf column once while the
+    oracle's VALUES cross-join would match the duplicate twice
+    (inflating dfq and n_terms) — so both entry points fail loudly
+    instead of silently diverging."""
+    import pytest
+
+    from tw_etl_spark.operators.text import bm25_topk
+    from tw_etl_spark.queries.text import _bm25_oracle
+
+    df = spark.createDataFrame([("d1", "join scan")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="duplicate query terms"):
+        bm25_topk(df, ["join", "join"], k=3)
+    with pytest.raises(AssertionError, match="duplicate query terms"):
+        _bm25_oracle(("join", "join"))

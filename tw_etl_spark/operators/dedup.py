@@ -883,6 +883,20 @@ def compact_banded_index(spark, path: str, out_path: str) -> None:
     exchange the seed write itself pays."""
     import os
 
+    # "never in place" is a hard contract, not advice: mode("overwrite")
+    # on the live root would truncate banded/sigs while the plan lazily
+    # reads them — corrupting or losing the index. Guard the resolved
+    # paths (covers ".", trailing slashes, and relative spellings).
+    def _norm(p: str) -> str:
+        return os.path.abspath(p) if "://" not in p else p.rstrip("/")
+
+    if _norm(out_path) == _norm(path):
+        raise ValueError(
+            "compact_banded_index: out_path must differ from the live "
+            f"index root ({path!r}) — compaction never writes in place; "
+            "write to a fresh root and swap after."
+        )
+
     banded, sigs = read_banded_index_with_stream(spark, path)
     banded.write.mode("overwrite").partitionBy("band").parquet(
         os.path.join(out_path, "banded")

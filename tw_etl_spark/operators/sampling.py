@@ -465,6 +465,18 @@ def weighted_sample_topn(
     DuckDB replay exactly. u is shifted to (0, 1] as
     ``(u_micro + 1) / 1000001`` so ln never sees 0.
 
+    Caveat (the one non-integer link in the portable family): the
+    cross-engine hash match additionally assumes JVM ``Math.log`` and
+    DuckDB's libm ``ln`` agree to the last bit on the 1e6 possible u
+    values. Neither is correctly-rounded, so a 1-ulp disagreement
+    landing within ~1 ulp of a .5 nano boundary could flip
+    ``key_nano`` and, at a selection boundary, the sampled set — a
+    WEAKER guarantee than the md5/integer-only members (x2/x4/x12/x14),
+    though never observed across the sf0.001/0.01/0.1 sweeps. Callers
+    needing the hard guarantee should treat near-boundary flips as
+    acceptable sample noise (the sample stays a valid E-S draw under
+    the perturbed key) rather than relying on set identity.
+
     Scale shape: ONE scan, a narrow map computing (u, key), and a
     TakeOrderedAndProject cut (per-partition heaps) — no shuffle, no
     RNG state, no second pass; at 100 TB this is scan speed plus an

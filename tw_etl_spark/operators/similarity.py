@@ -35,6 +35,19 @@ from pyspark.sql import types as T
 from tw_etl_spark.sources.fsutil import fs_exists
 
 
+def _shuffle_width(spark, default: int = 32) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating platforms
+    where the conf holds a non-numeric value (Databricks AQE sets
+    "auto") — a bare ``int(conf)`` would crash the ANN planners at plan
+    time. Falls back to ``default`` whenever the value isn't a plain
+    positive integer."""
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions") or default)
+        return n if n > 0 else default
+    except (ValueError, TypeError):
+        return default
+
+
 def _spread(df: DataFrame, min_partitions: int = 8) -> DataFrame:
     """Ensure enough partitions that the per-batch matmuls parallelize.
     A small parquet input often arrives as 1 split; that serializes the
@@ -219,7 +232,7 @@ def ann_lsh_topk(
     # single-task TimSort spill). An explicit numPartitions pins the
     # exchange width; co-partitioning both sides keeps it one shuffle.
     spark = corpus_df.sparkSession
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions") or "32")
+    n_shuffle = _shuffle_width(spark)
     q = banded(query_df, "q").repartition(n_shuffle, "table", "bucket")
     c = banded(corpus_df, "c").repartition(n_shuffle, "table", "bucket")
     cand = (
@@ -354,7 +367,7 @@ def ann_ivf_topk(
     # broadcasts them when small and falls back to a well-distributed
     # high-cardinality-key shuffle join at corpus scale.
     spark = corpus_df.sparkSession
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions") or "32")
+    n_shuffle = _shuffle_width(spark)
     cand = (
         q.join(c, "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
@@ -885,7 +898,7 @@ def ann_ivfpq_topk(
         return pd.Series(out)
 
     spark = corpus_df.sparkSession
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions") or "32")
+    n_shuffle = _shuffle_width(spark)
     qv = query_df.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -1830,6 +1843,12 @@ def retrieval_eval(
         wexpr = F.when(F.col(rank_col) == r, F.lit(w).cast("long")).otherwise(
             wexpr
         )
+    # Enforce the ≤k-rows-per-query contract in-plan: a caller passing
+    # deeper lists would otherwise count rank>k rows into recall while
+    # their dcg weight is 0 — silently diverging from the relational
+    # replay (which drops them). Filtering makes both engines agree on
+    # ANY input: rank>k rows contribute to neither metric.
+    retrieved = retrieved.filter(F.col(rank_col) <= k)
     per_q = retrieved.groupBy(F.col(query_col).alias("qid")).agg(
         F.sum(F.col(rel_col).cast("long")).cast("long").alias("n_rel_at_k"),
         F.sum(F.col(rel_col).cast("long") * wexpr).cast("long").alias("dcg_micro"),

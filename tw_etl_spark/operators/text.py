@@ -259,6 +259,14 @@ def bm25_topk(
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
+    # Duplicate terms are a contract violation, not a soft case: this
+    # side scores each DISTINCT tf_i column once, but the relational
+    # replay's VALUES cross-join would match a duplicated term twice
+    # (inflating dfq and n_terms) — silent divergence. Fail loudly.
+    if len(set(query_terms)) != len(query_terms):
+        dupes = sorted({t for t in query_terms if query_terms.count(t) > 1})
+        raise ValueError(f"bm25_topk: duplicate query terms {dupes}")
+
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),

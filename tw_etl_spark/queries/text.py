@@ -1007,6 +1007,10 @@ def _bm25_oracle(terms: tuple[str, ...], k: int = 10) -> str:
     per-doc score is an integer and the ranking hashes identically
     cross-engine.
     """
+    assert len(set(terms)) == len(terms), (
+        f"_bm25_oracle: duplicate query terms {sorted(terms)} — the "
+        "VALUES cross-join would double-count df (bm25_topk raises too)"
+    )
     values = ", ".join(f"('{t}')" for t in terms)
     return f"""
     WITH toks AS (
