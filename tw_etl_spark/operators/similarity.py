@@ -1730,6 +1730,7 @@ def rrf_fuse(
     rank_col: str = "rank",
     k0: int = 60,
     k: int = 10,
+    query_col: str | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
     of N ranked candidate lists into one hybrid ranking — the standard
@@ -1753,13 +1754,21 @@ def rrf_fuse(
     cut — cost independent of the 100 TB corpus behind the retrievers.
     Returns (id_col, rank, n_lists, rrf_micro, rrf) with the rank-stable
     (rrf_micro desc, id asc) order.
+
+    ``query_col`` lifts the fusion to a BATCH of queries (the t19 /
+    v13 harness shape): inputs carry per-query ranked lists, fusion
+    groups by (query, id), and the cut becomes a per-query top-k
+    window — prepended ``query_col`` in the output. Still retriever-
+    output-sized: sum-of-k rows PER QUERY, corpus-independent.
     """
     from functools import reduce
 
     from pyspark.sql.window import Window
 
+    qcols = [query_col] if query_col else []
     tagged = [
         df.select(
+            *qcols,
             F.col(id_col).alias("id"),
             F.col(rank_col).cast("long").alias("rank"),
         )
@@ -1769,22 +1778,34 @@ def rrf_fuse(
     contrib = F.round(
         F.lit(1e6) / (F.lit(float(k0)) + F.col("rank")), 0
     ).cast("long")
-    agg = u.groupBy("id").agg(
+    agg = u.groupBy(*qcols, "id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lists"),
         F.sum(contrib).cast("long").alias("rrf_micro"),
     )
+    out_cols = [
+        F.col("id").alias(id_col),
+        "rank",
+        "n_lists",
+        "rrf_micro",
+        (F.col("rrf_micro") / 1e6).alias("rrf"),
+    ]
+    if query_col:
+        # per-query cut: rank window partitioned by query (the global
+        # orderBy+limit shortcut below is single-query-only)
+        w = Window.partitionBy(query_col).orderBy(
+            F.desc("rrf_micro"), F.col("id")
+        )
+        return (
+            agg.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(query_col, *out_cols)
+        )
     w = Window.orderBy(F.desc("rrf_micro"), F.col("id"))
     return (
         agg.orderBy(F.desc("rrf_micro"), F.col("id"))
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select(
-            F.col("id").alias(id_col),
-            "rank",
-            "n_lists",
-            "rrf_micro",
-            (F.col("rrf_micro") / 1e6).alias("rrf"),
-        )
+        .select(*out_cols)
     )
 
 

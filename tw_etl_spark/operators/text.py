@@ -353,6 +353,186 @@ def bm25_topk(
     )
 
 
+def bm25_topk_multiquery(
+    df: DataFrame,
+    queries: dict[int, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 over a QUERY TABLE — the batch-of-queries lexical
+    retriever :func:`bm25_topk` cannot express (VERDICT r13 missing
+    #1): t18's plan carries one literal tf column per term, which
+    degrades past a few dozen terms and can only ever serve ONE term
+    set; a RAG/eval harness scores hundreds of queries per corpus
+    pass. ``queries`` is a bounded driver-side mapping
+    ``query_id -> [terms]`` (the broadcast-small contract — query
+    tables are KBs while the corpus is TBs).
+
+    Same arithmetic as :func:`bm25_topk` (identical float op order,
+    per-(doc,term) micro-rounding before the per-(doc,query) BIGINT
+    sum — so the per-query rankings stay cross-engine hash-exact),
+    different plan shape:
+
+    - **pass 1 (stats)** — ONE corpus scan reducing to T+2 numbers
+      (n_docs, Σdl, df per DISTINCT term): the matched-term array
+      ``array_intersect(array_distinct(toks), terms)`` is a narrow
+      map, and df per term is a ``sum(array_contains(...))`` column
+      of the same single aggregate. Bounded 1-row collect.
+    - **pass 2 (scoring)** — the corpus re-scans ONCE; each doc
+      explodes its matched DISTINCT terms only (fan-out ≤ T per doc
+      and 0 for non-matching docs — never the token stream), computes
+      tf per matched term inside the same narrow map (nested HOF, no
+      second tokenization), then joins the BROADCAST (query_id, term,
+      idf) table — the only place queries meet the corpus, fanning
+      each matched (doc, term) to exactly the queries containing the
+      term, i.e. output-sized work. Per-(query, doc) integer sum, then
+      a per-query top-k window over score-bearing rows only.
+
+    idf is computed by the SAME JVM ``Math.log`` the single-query plan
+    constant-folds with (an ``F.log`` column over the broadcast table),
+    keeping t19's scores bit-identical to T separate t18 runs. Terms
+    must be unique per query (loud error — the df replay would
+    double-count duplicates). Returns (query_id, id_col, rank,
+    n_terms, score_micro, score).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    for qid, terms in queries.items():
+        if len(set(terms)) != len(terms):
+            dupes = sorted({t for t in terms if terms.count(t) > 1})
+            raise ValueError(
+                f"bm25_topk_multiquery: duplicate terms {dupes} in query {qid}"
+            )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("rank", T.LongType()),
+            T.StructField("n_terms", T.LongType()),
+            T.StructField("score_micro", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    if not all_terms:
+        return df.sparkSession.createDataFrame([], out_schema)
+
+    terms_lit = F.array(*[F.lit(t) for t in all_terms])
+    base = df.withColumn("__bm_toks", tokens_expr(F.col(text_col))).select(
+        F.col(id_col).alias("doc"),
+        F.size("__bm_toks").cast("long").alias("dl"),
+        F.col("__bm_toks"),
+        F.array_intersect(F.array_distinct("__bm_toks"), terms_lit).alias(
+            "__bm_matched"
+        ),
+    )
+
+    # pass 1: the whole corpus reduces to T+2 doubles (bounded collect)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[
+            F.sum(F.array_contains("__bm_matched", t).cast("long"))
+            .cast("double")
+            .alias(f"dfq_{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    ).first()
+    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+    if not n_docs or not sum_dl:
+        return df.sparkSession.createDataFrame([], out_schema)
+    avgdl = sum_dl / n_docs
+    dfq_by_term = {
+        t: stats[f"dfq_{i}"] for i, t in enumerate(all_terms) if stats[f"dfq_{i}"]
+    }
+
+    # the bounded (query_id, term, dfq) table; idf computed JVM-side so
+    # the log is the same Math.log t18's constant folding uses. Terms
+    # absent from the corpus contribute nothing in BOTH engines (the
+    # relational replay's dfreq join drops them) — exclude up front.
+    qt_rows = [
+        (int(qid), t, float(dfq_by_term[t]))
+        for qid, ts in sorted(queries.items())
+        for t in ts
+        if t in dfq_by_term
+    ]
+    if not qt_rows:
+        return df.sparkSession.createDataFrame([], out_schema)
+    qt = df.sparkSession.createDataFrame(
+        qt_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("term", T.StringType()),
+                T.StructField("dfq", T.DoubleType()),
+            ]
+        ),
+    ).select(
+        "query_id",
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("dfq") + F.lit(0.5))
+            / (F.col("dfq") + F.lit(0.5))
+        ).alias("idf"),
+    )
+
+    # pass 2: explode MATCHED DISTINCT terms only (never the token
+    # stream); tf per matched term inside the same narrow map
+    matched = base.select(
+        "doc",
+        "dl",
+        F.explode(
+            F.transform(
+                F.col("__bm_matched"),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(
+                        F.filter(F.col("__bm_toks"), lambda x: x == t)
+                    )
+                    .cast("long")
+                    .alias("tf"),
+                ),
+            )
+        ).alias("m"),
+    ).select("doc", "dl", "m.term", "m.tf")
+
+    tf = F.col("tf")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    sm = F.round(F.col("idf") * tf * F.lit(k1 + 1.0) / denom * 1e6, 0).cast(
+        "long"
+    )
+    per = (
+        matched.join(F.broadcast(qt), "term")
+        .select("query_id", "doc", sm.alias("sm"))
+        .groupBy("query_id", "doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("sm").cast("long").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.col("doc"))
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("doc").alias(id_col),
+            "rank",
+            "n_terms",
+            "score_micro",
+            (F.col("score_micro") / 1e6).alias("score"),
+        )
+    )
+
+
 def ngrams_expr(toks: Column, n: int) -> Column:
     """Token n-grams as space-joined strings (empty array when <n
     tokens). Pure higher-order functions — never leaves the scan stage.

@@ -930,3 +930,195 @@ def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", (F.col("cnt") - 1).cast("long").alias("n_rel"))
     )
     return retrieval_eval(retrieved, totals, k=10).orderBy("query_id")
+
+
+def _retrieval_tiers_oracle(k: int = 10, k0: int = 60) -> str:
+    """DuckDB replay of v13: the t19 BM25-multiquery replay verbatim as
+    the lexical lists (single source of truth — the dd19 lesson), v2's
+    cosine CTE re-ranked round-6 as the dense lists, their per-query
+    RRF fusion as the hybrid lists, then ONE shared eval block applied
+    to all three tiers (labels LEFT-joined so unlabeled docs — sf0.1
+    has 5000 documents vs 2000 embeddings — count as non-relevant on
+    both engines)."""
+    from tw_etl_spark.operators.similarity import ndcg_weights
+    from tw_etl_spark.queries.text import _T19_QUERIES, _bm25_multi_oracle
+
+    qids = sorted(_T19_QUERIES)
+    lex_sql = _bm25_multi_oracle(_T19_QUERIES, k=k)
+    w_micro, cum = ndcg_weights(k)
+    w_values = ", ".join(f"({r}, {w})" for r, w in enumerate(w_micro, start=1))
+    cum_values = ", ".join(f"({j}, {c})" for j, c in enumerate(cum))
+
+    def eval_cte(name: str, lists: str) -> str:
+        return f"""{name} AS (
+      SELECT t.query_id, t.n_rel,
+             coalesce(p.n_rel_at_k, 0)::BIGINT AS n_rel_at_k,
+             coalesce(p.dcg_micro, 0)::BIGINT AS dcg_micro,
+             cum.c::BIGINT AS idcg_micro,
+             CASE WHEN cum.c > 0 THEN coalesce(p.dcg_micro, 0) / cum.c
+                  ELSE 0.0 END AS ndcg,
+             CASE WHEN t.n_rel > 0 THEN coalesce(p.n_rel_at_k, 0) / t.n_rel
+                  ELSE 0.0 END AS recall_at_k
+      FROM totals t
+      LEFT JOIN (
+        SELECT r.query_id,
+               sum(r.rel)::BIGINT AS n_rel_at_k,
+               sum(r.rel * w.wm)::BIGINT AS dcg_micro
+        FROM (
+          SELECT l.query_id, l.rank,
+                 coalesce(((lb.label = ql.qlabel)
+                           AND (l.id <> l.query_id))::BIGINT, 0) AS rel
+          FROM {lists} l
+          LEFT JOIN labels lb USING (id)
+          JOIN qlabels ql USING (query_id)
+        ) r JOIN w ON w.rank = r.rank
+        WHERE r.rank <= {k}
+        GROUP BY r.query_id
+      ) p USING (query_id)
+      JOIN cum ON cum.j = least(t.n_rel, {k})
+    )"""
+
+    return f"""
+    WITH lex AS (
+      SELECT query_id, doc_id AS id, rank FROM ({lex_sql})
+    ),
+    v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id IN ({', '.join(map(str, qids))})),
+    sims AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS s
+      FROM q JOIN v c ON c.vec_id <> q.vec_id
+    ),
+    dense AS (
+      SELECT qid AS query_id, nid AS id, rank FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid)
+                 AS rank
+        FROM sims
+      ) WHERE rank <= {k}
+    ),
+    fused AS (
+      SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_micro DESC, id) AS rank
+      FROM (
+        SELECT query_id, id,
+               sum(round(1e6 / ({k0}.0 + rank), 0)::BIGINT)::BIGINT
+                 AS rrf_micro
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense) u
+        GROUP BY query_id, id
+      ) agg
+    ),
+    hyb AS (SELECT query_id, id, rank FROM fused WHERE rank <= {k}),
+    labels AS (SELECT vec_id AS id, label FROM v),
+    qlabels AS (SELECT vec_id AS query_id, label AS qlabel FROM q),
+    w(rank, wm) AS (VALUES {w_values}),
+    cum(j, c) AS (VALUES {cum_values}),
+    totals AS (
+      SELECT q.vec_id AS query_id, (lc.cnt - 1)::BIGINT AS n_rel
+      FROM q JOIN (SELECT label, count(*) AS cnt FROM v GROUP BY label) lc
+        ON q.label = lc.label
+    ),
+    {eval_cte('eval_dense', 'dense')},
+    {eval_cte('eval_lex', 'lex')},
+    {eval_cte('eval_hyb', 'hyb')}
+    SELECT * FROM (
+      SELECT 'dense' AS tier, * FROM eval_dense
+      UNION ALL SELECT 'lexical' AS tier, * FROM eval_lex
+      UNION ALL SELECT 'hybrid' AS tier, * FROM eval_hyb
+    ) ORDER BY tier, query_id
+    """
+
+
+@register(
+    "v13_retrieval_tiers_eval",
+    oracle=_retrieval_tiers_oracle(k=10, k0=60),
+    doc="The end-to-end retrieval harness (VERDICT r13 #7): ONE labeled "
+    "eval scoring all three retriever tiers — dense (exact cosine, "
+    "round-6 re-rank), lexical (t19's batch BM25 over the same query "
+    "ids' term sets), and hybrid (their per-query RRF fusion) — so a "
+    "regression in ANY retriever moves a measured nDCG@10/recall@10 "
+    "number, not just a hash. Relevance = embedding-label match "
+    "(self excluded); documents without an embedding row (sf0.1: 5000 "
+    "docs vs 2000 vectors) LEFT-join to rel=0 identically on both "
+    "engines. All metric arithmetic is the shared integer micro-unit "
+    "weight table (one builder, two engines). Scale shape: retriever "
+    "outputs bound everything downstream — fusion and eval touch "
+    "k rows per query per tier, corpus-independent; the retrievers "
+    "themselves are the proven t19/v2 plans.",
+    tags=("vector", "text", "retrieval", "eval", "ext"),
+)
+def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.operators.similarity import retrieval_eval, rrf_fuse
+    from tw_etl_spark.operators.text import bm25_topk_multiquery
+    from tw_etl_spark.queries.text import _T19_QUERIES
+
+    k = 10
+    qids = sorted(_T19_QUERIES)
+    d = _t(spark, sf_dir, "documents")
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id").isin(qids))
+
+    # lexical: t19's batch retriever, same query ids
+    lex = bm25_topk_multiquery(d, _T19_QUERIES, k=k).select(
+        "query_id", "doc_id", "rank"
+    )
+    # dense: exact cosine, ulp-robust round-6 re-rank (the v12 pattern)
+    cand = cosine_topk(q, v, k=1 << 20).filter(F.col("cos_sim") > -1.5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_sim", 6)), F.col("neighbor_id")
+    )
+    dense = (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    # hybrid: per-query reciprocal-rank fusion of the two lists
+    hyb = rrf_fuse(
+        [lex, dense], id_col="doc_id", k0=60, k=k, query_col="query_id"
+    ).select("query_id", "doc_id", "rank")
+
+    labels = v.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("nlabel"))
+    qlabels = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    label_counts = v.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = (
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(F.broadcast(label_counts), "label")
+        .select("query_id", (F.col("cnt") - 1).cast("long").alias("n_rel"))
+    )
+
+    def with_rel(lists: DataFrame) -> DataFrame:
+        # unlabeled docs (no embedding row) are non-relevant, self never
+        # counts — identical LEFT-join semantics to the oracle
+        return (
+            lists.join(F.broadcast(labels), "doc_id", "left")
+            .join(F.broadcast(qlabels), "query_id")
+            .select(
+                "query_id",
+                "rank",
+                F.coalesce(
+                    (
+                        (F.col("nlabel") == F.col("qlabel"))
+                        & (F.col("doc_id") != F.col("query_id"))
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ).alias("rel"),
+            )
+        )
+
+    parts = [
+        retrieval_eval(with_rel(lists), totals, k=k).select(
+            F.lit(tier).alias("tier"), "*"
+        )
+        for tier, lists in (("dense", dense), ("lexical", lex), ("hybrid", hyb))
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("tier", "query_id")

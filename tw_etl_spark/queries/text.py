@@ -1082,3 +1082,105 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bm25_topk(d, list(_BM25_TERMS), k=10).orderBy("rank")
+
+
+def _bm25_multi_oracle(queries: dict[int, list[str]], k: int = 10) -> str:
+    """DuckDB replay of ``operators.text.bm25_topk_multiquery`` —
+    the SAME per-(doc,term) arithmetic as :func:`_bm25_oracle` (one
+    parameterized scoring expression, the dd19 lesson), lifted to a
+    (query_id, term) VALUES table: df per DISTINCT term, contributions
+    fanned to the queries containing the term, per-(query, doc) BIGINT
+    sums, per-query rank windows."""
+    for qid, terms in queries.items():
+        assert len(set(terms)) == len(terms), (
+            f"_bm25_multi_oracle: duplicate terms in query {qid} — the "
+            "VALUES join would double-count (the operator raises too)"
+        )
+    qt_values = ", ".join(
+        f"({int(qid)}, '{t}')"
+        for qid, terms in sorted(queries.items())
+        for t in terms
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS ts FROM documents
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, sum(len(ts))::DOUBLE AS sum_dl
+      FROM toks
+    ),
+    qt(query_id, term) AS (VALUES {qt_values}),
+    terms AS (SELECT DISTINCT term FROM qt),
+    matched AS (
+      SELECT doc_id AS doc, len(ts)::BIGINT AS dl, q.term,
+             len(list_filter(ts, t -> t = q.term))::BIGINT AS tf
+      FROM toks CROSS JOIN terms q
+      WHERE len(list_filter(ts, t -> t = q.term)) > 0
+    ),
+    dfreq AS (
+      SELECT term, count(*)::DOUBLE AS dfq FROM matched GROUP BY term
+    ),
+    contrib AS (
+      SELECT qt.query_id::BIGINT AS query_id, m.doc,
+             round(ln(1.0 + (s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5))
+                   * m.tf * 2.2
+                   / (m.tf + 1.2 * (0.25 + 0.75 * m.dl
+                                    / (s.sum_dl / s.n_docs)))
+                   * 1e6, 0)::BIGINT AS sm
+      FROM matched m JOIN dfreq d USING (term) JOIN qt USING (term)
+      CROSS JOIN stats s
+    ),
+    per_doc AS (
+      SELECT query_id, doc, count(*)::BIGINT AS n_terms,
+             sum(sm)::BIGINT AS score_micro
+      FROM contrib GROUP BY query_id, doc
+    ),
+    ranked AS (
+      SELECT query_id, doc AS doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc) AS rank,
+             n_terms, score_micro, score_micro / 1e6 AS score
+      FROM per_doc
+    )
+    SELECT query_id, doc_id, rank, n_terms, score_micro, score
+    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+# t19's fixed query BATCH — query 0 is t18's exact term set (a parity
+# anchor: its rows must equal t18's with a query_id column); 1 mixes
+# the corpus-rare 'dup' (high idf) with common terms; 2/3 vary length;
+# 4 is all-absent (zero rows for that query by definition).
+_T19_QUERIES: dict[int, list[str]] = {
+    0: ["join", "broadcast", "skew"],
+    1: ["dup", "scan", "filter"],
+    2: ["sort", "merge", "spill"],
+    3: ["window", "agg", "stream", "key"],
+    4: ["zzz_absent"],
+}
+
+
+@register(
+    "t19_bm25_multiquery",
+    oracle=_bm25_multi_oracle(_T19_QUERIES, k=10),
+    doc="Batch-of-queries BM25 lexical retrieval (VERDICT r13 missing "
+    "#1): one bounded (query_id, term) table scored against the corpus "
+    "in TWO scans total — t18's information floor, now amortized over "
+    "ALL queries instead of paid per term set. Pass 1 reduces the "
+    "corpus to T+2 numbers (n_docs, sum_dl, df per distinct term) in "
+    "one aggregate; pass 2 explodes each doc's MATCHED DISTINCT terms "
+    "only (fan-out <= T, zero for non-matching docs — never the token "
+    "stream), joins the broadcast query table (output-sized work), and "
+    "cuts per-query top-10 windows. Same micro-rounded integer "
+    "arithmetic as t18, so every per-query ranking hash-matches the "
+    "relational replay; query 0 IS t18's term set (parity anchor), "
+    "query 4 is all-absent (zero rows).",
+    tags=("text", "retrieval", "bm25", "ext"),
+)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tw_etl_spark.operators.text import bm25_topk_multiquery
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk_multiquery(d, _T19_QUERIES, k=10).orderBy(
+        "query_id", "rank"
+    )
