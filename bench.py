@@ -167,6 +167,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    n_jobs: dict[str, int] = {}
+    sc = spark.sparkContext
     for name, spec in specs.items():
         # Prepared-statement style: build the plan once, then time full
         # re-executions (scan → compute → Arrow collect). Warm to
@@ -180,6 +182,16 @@ def main() -> None:
         df = spec.spark(spark, sf_dir)
         for _ in range(3):
             df.toPandas()
+        # job count per execution (VERDICT r13 #6): one extra warm run
+        # inside a dedicated job group; the count feeds the derived
+        # floor-independent metric work_ms = wall - n_jobs * floor_ms,
+        # which subtracts the scheduler launch floor a multi-job chain
+        # pays per link — the r13 headline "regression" was entirely a
+        # 39->49.5 ms floor shift, invisible in raw walls.
+        group = f"bench-{name}"
+        sc.setJobGroup(group, group)
+        df.toPandas()
+        n_jobs[name] = len(sc.statusTracker().getJobIdsForGroup(group))
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -259,6 +271,36 @@ def main() -> None:
                 # their baseline ratios compare fixed costs (see the
                 # sf1 artifact for the compute-dominated comparison).
                 "floor_ms": calibration["spark_probe_ms"],
+                # derived floor-independent metric (VERDICT r13 #6):
+                # wall minus the measured per-job floor times the
+                # query's actual job count — compare THIS across
+                # rounds; raw walls track the box's floor drift.
+                "queries_n_jobs": n_jobs,
+                "queries_work_ms": {
+                    n: round(
+                        max(
+                            0.0,
+                            t * 1000
+                            - n_jobs.get(n, 1)
+                            * calibration["spark_probe_ms"],
+                        ),
+                        1,
+                    )
+                    for n, t in timings.items()
+                },
+                "work_total_sec": round(
+                    sum(
+                        max(
+                            0.0,
+                            t * 1000
+                            - n_jobs.get(n, 1)
+                            * calibration["spark_probe_ms"],
+                        )
+                        for n, t in timings.items()
+                    )
+                    / 1000,
+                    4,
+                ),
                 "queries_at_floor": sorted(
                     n
                     for n, t in timings.items()

@@ -750,3 +750,64 @@ def test_tarshard_read_memory_bounded_by_member_not_shard():
     # one member is 2 MiB; the whole shard is 16 MiB. 8 MiB of headroom
     # still fails decisively on a whole-shard slurp.
     assert peak < 8 << 20, f"peak {peak >> 20} MiB — shard was slurped?"
+
+
+def test_shard_payloads_object_store_layout_crash_replay(spark, tmp_path):
+    """The object-store shard route (VERDICT r13 #4): write_shard_payloads
+    works on a URI-shaped root (file:/ exercises the Hadoop FileSystem
+    path the POSIX tar writer refuses), samples stay whole within a
+    shard, a REPLAYED batch rewrites exactly its own partitions to
+    identical state (torn first attempt included), other batches'
+    partitions are untouched, and the manifest audit is empty."""
+    from pyspark.sql import functions as F
+
+    from tw_etl_spark.sources.shards import (
+        audit_shard_manifest,
+        read_shard_payloads,
+        write_shard_payloads,
+    )
+
+    root = "file:" + str(tmp_path / "shards")
+
+    def batch(ids, tag):
+        rows = []
+        for i in ids:
+            for ext in ("txt", "json"):
+                rows.append(
+                    (f"{i:04d}.{ext}", f"{i:04d}", f"{tag}-{i}-{ext}".encode())
+                )
+        return spark.createDataFrame(rows, ["member", "key", "payload"])
+
+    write_shard_payloads(batch(range(10), "b0"), root, n_shards=4, batch_id=0)
+    write_shard_payloads(batch(range(10, 16), "b1"), root, n_shards=4, batch_id=1)
+    before = {
+        (r.batch_id, r.shard_id, r.member, bytes(r.payload))
+        for r in read_shard_payloads(spark, root).collect()
+    }
+    assert len(before) == 32
+
+    # crash state: a torn batch-1 attempt wrote garbage into one of
+    # batch 1's partitions; the replay must overwrite it exactly
+    write_shard_payloads(
+        batch(range(10, 12), "garbage"), root, n_shards=4, batch_id=1
+    )
+    write_shard_payloads(batch(range(10, 16), "b1"), root, n_shards=4, batch_id=1)
+    after = {
+        (r.batch_id, r.shard_id, r.member, bytes(r.payload))
+        for r in read_shard_payloads(spark, root).collect()
+    }
+    assert after == before
+
+    # samples whole: every member of a key sits in exactly one shard
+    spread = (
+        read_shard_payloads(spark, root)
+        .groupBy("key")
+        .agg(F.count_distinct("shard_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert spread == 0
+    # batch pruning reads one day only
+    assert read_shard_payloads(spark, root, batch_id=1).count() == 12
+    # manifest audit: derived == stored for every shard
+    assert audit_shard_manifest(spark, root).count() == 0

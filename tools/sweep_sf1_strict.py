@@ -37,6 +37,39 @@ OUT = os.path.join(
 # that needed maxResultSize=8g for dd3p (VERDICT r11 #2).
 ORACLE_INFEASIBLE_SF1: dict[str, str] = {}
 
+# Beyond-the-window sf1 rows (VERDICT r13 #5): the scale-sensitive
+# dedup/text families where a round-9-class divergence (rounding,
+# overflow, engine-format drift) would hide below sf1, plus every
+# round-14 rotated-OUT query — rotation must never shrink the sf1
+# evidence for a family that already had it.
+SF1_EXTRAS: tuple[str, ...] = (
+    # scale-sensitive families never sf1-swept before
+    "dd2_jaccard_neardup_pairs",
+    "dd4p_simhash_portable",
+    "dd5_embedding_neardup_pairs",
+    "dd6_neardup_components",
+    "dd7_neardup_survivors",
+    "t13_lm_perplexity",
+    "t14_top_bigram_fraction",
+    "x5_benchmark_decontaminate",
+    # round-14 rotated-out window members (keep their sf1 coverage)
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "e3_sessionization",
+    "d2_exact_dedup",
+    "v1_cosine_top_pairs",
+    "dd13_video_fingerprint_neardup",
+    "dd14_delta_dedup",
+    "dd15_delta_survivor_index",
+    "dd17_delta_semantic_dedup",
+    "v7p_ann_ivf_persisted",
+    "st3_watermark_late_drop",
+    "st12_stream_lsh_index_maintain",
+    "x11_bloom_decontaminate",
+    "x14_importance_resample",
+    "t8_tfidf_top_terms",
+)
+
 
 def main() -> int:
     spark = get_spark(app_name="sweep-sf1-strict")
@@ -46,7 +79,11 @@ def main() -> int:
     # artifact (e.g. after fixing one query) instead of repeating the
     # ~1 h full sweep.
     only = os.environ.get("ONLY")
-    names = only.split(",") if only else list(DRIVER_WINDOW)
+    names = (
+        only.split(",")
+        if only
+        else list(DRIVER_WINDOW) + [n for n in SF1_EXTRAS if n not in DRIVER_WINDOW]
+    )
     if only:
         # refuse a subset run with no prior artifact: merging into
         # nothing would write a subset-only file that masquerades as a

@@ -68,9 +68,11 @@ def _require_posix_root(root: str, side: str) -> None:
             "requires a plain POSIX path visible on driver and "
             "executors (shared/DFS mount ok). Object stores are "
             "unsupported: the exclusive hard-link commit needs POSIX "
-            "link semantics. Stage shards locally, or read via "
-            "sources.shards.read_tar_shards over binaryFile for "
-            "Hadoop-filesystem roots."
+            "link semantics. For object-store roots use "
+            "sources.shards.write_shard_payloads / read_shard_payloads "
+            "(parquet shard layout, batch-keyed exactly-once), or read "
+            "tar bytes via sources.shards.read_tar_shards over "
+            "binaryFile for Hadoop-filesystem roots."
         )
 
 

@@ -182,3 +182,143 @@ def write_tar_shard(rows: list[tuple[str, bytes]], out_path: str) -> None:
             info.size = len(payload)
             info.mtime = 0
             tf.addfile(info, io.BytesIO(payload))
+SHARD_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("members_fp", T.LongType()),
+    ]
+)
+
+
+def write_shard_payloads(
+    members: DataFrame,
+    out_root: str,
+    n_shards: int,
+    batch_id: int,
+    key_col: str = "key",
+    member_col: str = "member",
+    payload_col: str = "payload",
+) -> None:
+    """OBJECT-STORE-SAFE shard write (VERDICT r13 #4) — the 100 TB
+    route :func:`write_tar_shards` cannot take: that writer opens tar
+    files with plain POSIX ``tarfile`` on executors and the tarshard
+    connector's exactly-once commit needs hard links, so both are
+    loudly POSIX-only (``sources/pyds._require_posix_root``), while a
+    real multimodal corpus lives on S3/GCS. This writer keeps the
+    WebDataset CONTRACT — samples stay whole (members hash-assign to
+    shards by ``key_col``, so every member of a sample lands in the
+    same shard) — but stores shard contents as PARQUET through the
+    Hadoop FileSystem layer, which works on any URI-shaped root
+    (s3a://, gs://, file:/, hdfs://):
+
+        out_root/payloads/batch_id=N/shard_id=K/  one row per member
+        out_root/manifest/batch_id=N/             one row per shard
+
+    Exactly-once on an object store WITHOUT a rename-based or
+    hard-link commit: shard assignment is a deterministic pure
+    function of the key (pmod(xxhash64(key), n_shards)), the manifest
+    is a deterministic aggregate of the payload rows, and BOTH writes
+    are dynamic partition OVERWRITES keyed by ``batch_id`` — a crashed
+    or replayed batch rewrites exactly its own partitions to identical
+    bytes and can never touch another batch's (the st11/ivf_append
+    idempotency pattern; crash-replay unit-pinned). The manifest's
+    ``members_fp`` is an ORDER-INDEPENDENT integer fold (sum of md5
+    prefixes over member name + payload md5), so an audit re-derives
+    it from the payload rows and compares exactly
+    (:func:`audit_shard_manifest`), replacing the POSIX writer's
+    count-the-files verification.
+    """
+    fp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("member"), F.md5(F.col("payload")))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    rows = members.select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard_id"),
+        F.col(member_col).alias("member"),
+        F.col(key_col).alias("key"),
+        F.col(payload_col).alias("payload"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+    )
+    (
+        rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "shard_id")
+        .parquet(os.path.join(out_root, "payloads"))
+    )
+    manifest = rows.groupBy("batch_id", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.sum(fp).cast("long").alias("members_fp"),
+    )
+    (
+        manifest.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_root, "manifest"))
+    )
+
+
+def read_shard_payloads(
+    spark, out_root: str, batch_id: int | None = None
+) -> DataFrame:
+    """Read back an object-store shard root written by
+    :func:`write_shard_payloads`: (batch_id, shard_id, member, key,
+    payload, n_bytes) — partition pruning applies when ``batch_id``
+    is given (one day's shards read without listing history)."""
+    df = spark.read.parquet(os.path.join(out_root, "payloads"))
+    if batch_id is not None:
+        df = df.filter(F.col("batch_id") == int(batch_id))
+    return df.select(
+        "batch_id", "shard_id", "member", "key", "payload", "n_bytes"
+    )
+
+
+def audit_shard_manifest(spark, out_root: str) -> DataFrame:
+    """Write-audit for the object-store shard layout (the R13 audit
+    posture): re-derive every shard's (n_members, n_bytes, members_fp)
+    from the payload rows and anti-join against the stored manifest.
+    Returns the mismatching shards — empty means every shard's stored
+    manifest exactly matches its payload partition (a torn write, a
+    lost partition, or a non-deterministic replay all surface here)."""
+    fp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("member"), F.md5(F.col("payload")))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    derived = (
+        spark.read.parquet(os.path.join(out_root, "payloads"))
+        .groupBy("batch_id", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.length("payload")).cast("long").alias("n_bytes"),
+            F.sum(fp).cast("long").alias("members_fp"),
+        )
+    )
+    stored = spark.read.parquet(os.path.join(out_root, "manifest")).select(
+        "batch_id", "shard_id", "n_members", "n_bytes", "members_fp"
+    )
+    cols = ["batch_id", "shard_id", "n_members", "n_bytes", "members_fp"]
+    return derived.select(cols).exceptAll(stored.select(cols)).unionByName(
+        stored.select(cols).exceptAll(derived.select(cols))
+    )
