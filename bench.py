@@ -104,6 +104,20 @@ HEAVY_BASELINE_MS = {
     "dd20_lsh_index_compaction": 2899.0,
 }
 
+# DuckDB oracle medians at sf1 (BASELINE.md "Heavy tier sf1": median of
+# 3 strict-harness rounds, both engines per round, quiet box — measured
+# round 14 by tools/heavy_sf1_bench.py; full per-round samples in
+# tools/heavy_sf1.json). Lets bench.py report Spark/DuckDB ratios when
+# run with SPARK_GRAFT_SF_DIR=.scale/sf1.
+HEAVY_BASELINE_SF1_MS = {
+    "dd3p_minhash_lsh_portable": 71390.0,
+    "dd8p_semantic_dedup_relational": 12527.0,
+    "g1_pagerank_purchase_graph": 3531.0,
+    "dd10_span_dedup_rewrite": 1205.0,
+    "t17_bpe_encode": 6871.0,
+    "dd20_lsh_index_compaction": 43367.0,
+}
+
 
 def _calibrate(spark) -> dict[str, float]:
     """Fixed-work probes, best of 3 after one warm-up each. Machine-state
@@ -252,7 +266,15 @@ def main() -> None:
                         if n in HEAVY_BASELINE_MS
                     }
                     if abs(sf - 0.1) < 1e-9
-                    else {}
+                    else (
+                        {
+                            n: round(t * 1000 / HEAVY_BASELINE_SF1_MS[n], 2)
+                            for n, t in heavy.items()
+                            if n in HEAVY_BASELINE_SF1_MS
+                        }
+                        if abs(sf - 1.0) < 1e-9
+                        else {}
+                    )
                 ),
                 "calibration": calibration,
                 "calibration_ref": {
