@@ -907,9 +907,9 @@ def write_survivor_index_bucketed(
     side up to 32), so buckets must be sized to the consumer, the
     standard bucketing sizing rule at any scale."""
     if n_buckets is None:
-        n_buckets = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        from tw_etl_spark.operators.similarity import _shuffle_width
+
+        n_buckets = _shuffle_width(df.sparkSession)
     (
         df.write.mode("overwrite")
         .format("parquet")
@@ -1820,9 +1820,9 @@ def write_gram_index_bucketed(
     partition count equals the bucket count (the sizing rule measured
     for the survivor index)."""
     if n_buckets is None:
-        n_buckets = int(
-            index_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        from tw_etl_spark.operators.similarity import _shuffle_width
+
+        n_buckets = _shuffle_width(index_df.sparkSession)
     (
         index_df.write.mode("overwrite")
         .format("parquet")
