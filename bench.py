@@ -24,6 +24,15 @@ numpy_matmul_ms ~= 8, spark_probe_ms ~= 45; under a concurrent
 pytest run the numpy probe measured 175 — a >20x swing that would
 otherwise be indistinguishable from a plan regression.
 
+Floor-independent comparison (round 14, VERDICT r13 #6): the r13
+headline "regression" was entirely a 39->49.5 ms scheduler-floor
+shift. The artifact now measures each query's JOB COUNT (job-group
+attribution on a warm run) and emits the derived
+``work_ms = max(0, wall - n_jobs * floor_ms)`` per query plus
+``work_total_sec`` — compare THOSE across rounds; raw walls track the
+box. (`value_load_normalized` stays as the coarse whole-run
+normalizer.)
+
 Overhead-floor note (measured, round 2): the sub-50 ms headline queries
 are dominated by Spark's fixed per-job cost (scheduling + task launch +
 Arrow collect ≈ 20-30 ms per shuffle stage on local[32]), not by
