@@ -80,38 +80,18 @@ def dd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs_full_oracle(t: float = 0.95) -> str:
-    """Scale-safe DuckDB replay of dd2 (round 14): the r13 oracle was a
-    naive shared-token self-join — quadratic in documents-per-token,
-    ~38 BILLION intermediate rows on the sf1 fixture (40-token
-    vocabulary, every token hot) — which made dd2 the one family
-    UNCHECKABLE at sf1. This is x1's exact three-tier decomposition
-    (VERDICT r11 #3) lifted from component-equivalent star edges to the
-    FULL pair listing dd2's contract requires. J = i/u >= t with
-    round-6 slack forces exactly one of:
-
-    (A) u-i = 0 — identical token sets: group by canonical set key,
-        expand every within-group pair, J = 1.0;
-    (B) u-i = 1 — one set is the other minus one element: join full
-        keys against 1-DELETION keys over one representative per
-        distinct set (J is a pure function of the two sets), J = i/u
-        via the exact integer HALF_UP form, expand both groups;
-    (C) u-i >= 2 — then i >= 38, so BOTH sets hold >= 38 distinct
-        tokens: PPJoin prefix-filtered candidates (lossless under any
-        global token order) + length gate + exact shared-count verify,
-        over the n >= 38 representatives only, EXCLUDING u-i <= 1
-        (tiers A/B own those pairs).
-
-    Identical output to the naive join for arbitrary corpora (tier
-    union is exhaustive and disjoint — proven in the tier comments),
-    but the quadratic term is now bounded by the duplicate-set
-    structure instead of token heat. Verified hash-identical to the
-    r13 oracle at sf0.001/0.01/0.1 and to the Spark side at all four
-    scales including sf1."""
+def _jaccard_tiers_cte(t: float = 0.95) -> str:
+    """The WITH-body fragment computing ``jpairs(id_a, id_b, jaccard)``
+    — exact token-set Jaccard >= t pairs via the scale-safe three-tier
+    decomposition (see :func:`_jaccard_pairs_full_oracle` for the tier
+    proof). Shared by dd2 (full listing) and dd6/dd7 (components over
+    the same pairs), replacing the naive shared-token self-join that
+    was quadratic in documents-per-token (~38 B intermediate rows at
+    sf1) in ALL THREE oracles."""
     jr_b = sql_round_ratio("c.i", "c.u", 6)
     jr_c = sql_round_ratio("v.sh", "(v.na + v.nb - v.sh)", 6)
     return f"""
-    WITH tok AS (
+    tok AS (
         SELECT doc_id, list_sort(list_distinct({_TOKS})) AS st FROM documents
     ),
     b2 AS (SELECT doc_id AS doc, st, len(st) AS n FROM tok),
@@ -200,12 +180,43 @@ def _jaccard_pairs_full_oracle(t: float = 0.95) -> str:
         JOIN setkey x ON x.sk = xr.sk
         JOIN setkey yr ON yr.doc = v.rl
         JOIN setkey y ON y.sk = yr.sk
-    )
-    SELECT id_a, id_b, jaccard FROM (
+    ),
+    jpairs AS MATERIALIZED (
         SELECT * FROM pairs_a
         UNION ALL SELECT * FROM pairs_b
         UNION ALL SELECT * FROM pairs_c
-    ) ORDER BY id_a, id_b
+    )"""
+
+
+def _jaccard_pairs_full_oracle(t: float = 0.95) -> str:
+    """Scale-safe DuckDB replay of dd2 (round 14): the r13 oracle was a
+    naive shared-token self-join — quadratic in documents-per-token,
+    ~38 BILLION intermediate rows on the sf1 fixture (40-token
+    vocabulary, every token hot) — which made dd2 the one family
+    UNCHECKABLE at sf1. This is x1's exact three-tier decomposition
+    (VERDICT r11 #3) lifted from component-equivalent star edges to the
+    FULL pair listing dd2's contract requires. J = i/u >= t with
+    round-6 slack forces exactly one of:
+
+    (A) u-i = 0 — identical token sets: group by canonical set key,
+        expand every within-group pair, J = 1.0;
+    (B) u-i = 1 — one set is the other minus one element: join full
+        keys against 1-DELETION keys over one representative per
+        distinct set (J is a pure function of the two sets), J = i/u
+        via the exact integer HALF_UP form, expand both groups;
+    (C) u-i >= 2 — then i >= 38, so BOTH sets hold >= 38 distinct
+        tokens: PPJoin prefix-filtered candidates (lossless under any
+        global token order) + length gate + exact shared-count verify,
+        over the n >= 38 representatives only, EXCLUDING u-i <= 1
+        (tiers A/B own those pairs).
+
+    Identical output to the naive join for arbitrary corpora (tier
+    union is exhaustive and disjoint), verified row-for-row against
+    the r13 oracle at sf0.001/0.01/0.1 in DuckDB and hash-green vs
+    Spark at all four scales including sf1."""
+    return f"""
+    WITH {_jaccard_tiers_cte(t)}
+    SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b
     """
 
 
@@ -368,23 +379,8 @@ def dd5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared DuckDB fragment: exact-Jaccard near-dup pairs at >= 0.95
 # (identical to dd2's result) as a CTE prelude.
 _PAIRS_CTE = f"""
-    tok AS (
-        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
-    ),
-    ex AS (SELECT doc_id AS doc, unnest(toks) AS tk FROM tok),
-    sizes AS (SELECT doc_id AS doc, len(toks) AS n FROM tok),
-    shared AS (
-        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS sh
-        FROM ex a JOIN ex b ON a.tk = b.tk AND a.doc < b.doc
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT id_a, id_b
-        FROM shared
-        JOIN sizes sa ON id_a = sa.doc
-        JOIN sizes sb ON id_b = sb.doc
-        WHERE (CASE WHEN (sh) < 0 THEN -(((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) ELSE (((abs(sh)::BIGINT * 1000000) // ((sa.n + sb.n - sh)::BIGINT)) + CASE WHEN 2 * ((abs(sh)::BIGINT * 1000000) % ((sa.n + sb.n - sh)::BIGINT)) >= ((sa.n + sb.n - sh)::BIGINT) THEN 1 ELSE 0 END) END / 1000000.0) >= 0.95
-    ),
+    {_jaccard_tiers_cte(0.95)},
+    pairs AS (SELECT id_a, id_b FROM jpairs),
     und AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs
