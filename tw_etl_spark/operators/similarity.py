@@ -1816,6 +1816,114 @@ def rrf_fuse(
     )
 
 
+def mmr_diversify_topk(
+    cand: DataFrame,
+    sims: DataFrame,
+    k: int = 8,
+    lam: tuple[int, int] = (7, 10),
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel_micro",
+    sim_col: str = "sim_micro",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — diversified top-k selection over a bounded candidate
+    list: pick argmax over remaining candidates of
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)``,
+    k times. THE standard redundancy control a retrieval pipeline runs
+    after any retriever (v1/v2 dense, t18/t19 lexical, v11 hybrid) —
+    without it a near-dup-heavy corpus returns k copies of one page.
+
+    Exactness contract: inputs are INTEGER micro scores (``rel_micro``
+    per (query, candidate); ``sim_micro`` per ordered candidate pair),
+    lam is the RATIONAL p/q, and each step maximizes the integer
+    ``p * rel - (q - p) * penalty`` with ascending-id tie-break — so
+    the whole greedy trajectory is integer-exact and replayable
+    engine-for-engine (the v12/x15 discipline), pinned by the unrolled
+    k-step relational oracle (v14).
+
+    Scale shape: candidates are retriever outputs (n rows per query —
+    n <= a few dozen by contract), so the iterative argmax runs in a
+    cogrouped ``applyInPandas`` over per-query groups: one shuffle of
+    n + n^2 bounded rows per query, integer-only arithmetic inside,
+    cost independent of the corpus behind the retriever. The
+    iterative selection is the textbook case for per-group imperative
+    code — k chained argmax steps have no natural one-pass relational
+    form (the oracle unrolls them as k CTE blocks).
+
+    Returns (query_col, pick, id_col, rel_micro, penalty_micro,
+    mmr_score) with pick = 1..k in selection order; queries with fewer
+    than k candidates emit them all.
+    """
+    import pandas as pd
+
+    p_num, q_den = lam
+    pen_w = q_den - p_num
+    if not (0 < p_num <= q_den):
+        raise ValueError(f"mmr_diversify_topk: lam must be 0 < p/q <= 1, got {lam}")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_col, T.LongType()),
+            T.StructField("pick", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("rel_micro", T.LongType()),
+            T.StructField("penalty_micro", T.LongType()),
+            T.StructField("mmr_score", T.LongType()),
+        ]
+    )
+
+    def fn(cand_pdf: pd.DataFrame, sims_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        qid = int(cand_pdf[query_col].iloc[0])
+        rel = {
+            int(d): int(r)
+            for d, r in zip(cand_pdf[id_col], cand_pdf[rel_col])
+        }
+        sim = {
+            (int(a), int(b)): int(v)
+            for a, b, v in zip(
+                sims_pdf["ia"], sims_pdf["ib"], sims_pdf[sim_col]
+            )
+        }
+        selected: list[int] = []
+        remaining = sorted(rel)  # ascending id = deterministic tie order
+        rows = []
+        for pick in range(1, min(k, len(remaining) + len(selected)) + 1):
+            best = None  # (score, -id) max
+            for d in remaining:
+                pen = (
+                    max(sim[(d, s_)] for s_ in selected) if selected else 0
+                )
+                score = p_num * rel[d] - pen_w * pen
+                key = (score, -d)
+                if best is None or key > best[0]:
+                    best = (key, d, pen, score)
+            _, d, pen, score = best
+            rows.append(
+                {
+                    query_col: qid,
+                    "pick": pick,
+                    id_col: d,
+                    "rel_micro": rel[d],
+                    "penalty_micro": pen,
+                    "mmr_score": score,
+                }
+            )
+            selected.append(d)
+            remaining.remove(d)
+            if not remaining:
+                break
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return (
+        cand.groupby(query_col)
+        .cogroup(sims.groupby(query_col))
+        .applyInPandas(fn, out_schema)
+    )
+
+
 def ndcg_weights(k: int) -> tuple[list[int], list[int]]:
     """The nDCG rank-discount table ``round(1e6 / log2(r+1))`` for
     ranks 1..k, plus its cumulative sums (cum[0] = 0). Single source

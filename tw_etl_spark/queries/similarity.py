@@ -932,6 +932,170 @@ def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval(retrieved, totals, k=10).orderBy("query_id")
 
 
+def _mmr_oracle(
+    n_queries: int = 5, n_cand: int = 20, k: int = 8,
+    lam: tuple[int, int] = (7, 10),
+) -> str:
+    """DuckDB replay of v14: the greedy MMR trajectory unrolled as k
+    CTE blocks (select argmax -> recompute penalties -> select next),
+    all in INTEGER micro units with ascending-id tie-breaks — the same
+    no-recursion unrolling discipline as x3p's fold replay. Relevance
+    and pair similarities use the proven v11/v12 cosine bridge
+    (list_dot_product / norm product, micro-rounded)."""
+    p_num, q_den = lam
+    pen_w = q_den - p_num
+    steps = []
+    prev = "sel1"
+    for t in range(2, k + 1):
+        steps.append(f"""
+    r{t} AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} s WHERE s.qid = c.qid AND s.nid = c.nid
+      )
+    ),
+    p{t} AS (
+      SELECT r.qid, r.nid, r.rel_micro, max(cs.sim_micro) AS pen
+      FROM r{t} r
+      JOIN {prev} s ON s.qid = r.qid
+      JOIN cs ON cs.qid = r.qid AND cs.ia = r.nid AND cs.ib = s.nid
+      GROUP BY 1, 2, 3
+    ),
+    s{t} AS (
+      SELECT qid, nid, rel_micro, pen,
+             ({p_num} * rel_micro - {pen_w} * pen)::BIGINT AS score
+      FROM (
+        SELECT qid, nid, rel_micro, pen,
+               row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY ({p_num} * rel_micro - {pen_w} * pen) DESC, nid
+               ) AS rn
+        FROM p{t}
+      ) WHERE rn = 1
+    ),
+    sel{t} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT qid, nid, {t}::BIGINT AS pick, rel_micro, pen, score FROM s{t}
+    )""")
+        prev = f"sel{t}"
+    steps_sql = ",".join(steps)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {n_queries}),
+    simsq AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round((list_dot_product(q.e, c.e)
+                    / (sqrt(list_dot_product(q.e, q.e))
+                       * sqrt(list_dot_product(c.e, c.e)))) * 1e6,
+                   0)::BIGINT AS rel_micro
+      FROM q JOIN v c ON c.vec_id <> q.vec_id
+    ),
+    cand AS (
+      SELECT qid, nid, rel_micro FROM (
+        SELECT qid, nid, rel_micro,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY rel_micro DESC, nid
+               ) AS rn
+        FROM simsq
+      ) WHERE rn <= {n_cand}
+    ),
+    cs AS (
+      SELECT a.qid, a.nid AS ia, b.nid AS ib,
+             round((list_dot_product(va.e, vb.e)
+                    / (sqrt(list_dot_product(va.e, va.e))
+                       * sqrt(list_dot_product(vb.e, vb.e)))) * 1e6,
+                   0)::BIGINT AS sim_micro
+      FROM cand a
+      JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+      JOIN v va ON va.vec_id = a.nid
+      JOIN v vb ON vb.vec_id = b.nid
+    ),
+    sel1 AS (
+      SELECT qid, nid, 1::BIGINT AS pick, rel_micro, 0::BIGINT AS pen,
+             ({p_num} * rel_micro)::BIGINT AS score
+      FROM (
+        SELECT qid, nid, rel_micro,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY rel_micro DESC, nid
+               ) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),{steps_sql}
+    SELECT qid AS query_id, pick, nid AS doc_id, rel_micro,
+           pen AS penalty_micro, score AS mmr_score
+    FROM {prev} ORDER BY query_id, pick
+    """
+
+
+@register(
+    "v14_mmr_diversified_topk",
+    oracle=_mmr_oracle(n_queries=5, n_cand=20, k=8, lam=(7, 10)),
+    doc="Maximal Marginal Relevance diversified top-k (Carbonell & "
+    "Goldstein, SIGIR 1998): greedy re-ranking of each query's dense "
+    "top-20 into 8 picks maximizing 0.7*rel - 0.3*max-sim-to-selected "
+    "— the redundancy control a retrieval pipeline runs after any "
+    "retriever so a near-dup-heavy corpus doesn't return k copies of "
+    "one page. The whole greedy trajectory is INTEGER-exact: micro "
+    "relevance/pair-similarity inputs (the proven v11/v12 cosine "
+    "bridge), rational lambda as 7*rel - 3*pen, ascending-id "
+    "tie-breaks — so every pick, penalty, and score hash-matches the "
+    "oracle's unrolled 8-step relational replay. Scale shape: "
+    "candidates are retriever outputs (20 rows/query), so selection "
+    "is a cogrouped applyInPandas over n + n^2 bounded rows per "
+    "query — cost independent of corpus size; the one corpus-sized "
+    "stage is the dense candidate pass itself.",
+    tags=("vector", "retrieval", "mmr", "ext"),
+)
+def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tw_etl_spark.functions.vectors import cosine_similarity_expr
+    from tw_etl_spark.operators.similarity import mmr_diversify_topk
+
+    n_queries, n_cand = 5, 20
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < n_queries)
+    a = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    b = v.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("ce"))
+    rel = F.round(
+        cosine_similarity_expr(F.col("qe"), F.col("ce")) * 1e6, 0
+    ).cast("long")
+    simsq = (
+        a.join(b, F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", rel.alias("rel_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_micro"), "doc_id")
+    cand = (
+        simsq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cand)
+        .drop("rn")
+    )
+    ca = cand.select("query_id", F.col("doc_id").alias("ia")).alias("ca")
+    cb = cand.select("query_id", F.col("doc_id").alias("ib")).alias("cb")
+    ea = v.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    eb = v.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    ps = F.round(
+        cosine_similarity_expr(F.col("ea"), F.col("eb")) * 1e6, 0
+    ).cast("long")
+    sims = (
+        ca.join(
+            cb,
+            (F.col("ca.query_id") == F.col("cb.query_id"))
+            & (F.col("ca.ia") != F.col("cb.ib")),
+        )
+        .select(F.col("ca.query_id").alias("query_id"), "ia", "ib")
+        .join(F.broadcast(ea), "ia")
+        .join(F.broadcast(eb), "ib")
+        .select("query_id", "ia", "ib", ps.alias("sim_micro"))
+    )
+    return mmr_diversify_topk(cand, sims, k=8, lam=(7, 10)).orderBy(
+        "query_id", "pick"
+    )
+
+
 def _retrieval_tiers_oracle(k: int = 10, k0: int = 60) -> str:
     """DuckDB replay of v13: the t19 BM25-multiquery replay verbatim as
     the lexical lists (single source of truth — the dd19 lesson), v2's
