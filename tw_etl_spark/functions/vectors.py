@@ -29,3 +29,16 @@ def l2_norm_expr(a: Column) -> Column:
 
 def cosine_similarity_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
+
+
+def long_array_lit(values: list[int]) -> Column:
+    """A single ``array<bigint>`` literal from a Python int list.
+
+    Round 14: element-wise construction (``F.array(*[F.lit(v).cast(
+    "long") ...])``) costs two py4j round-trips per element — ~3 s of
+    plan-construction for a 1024-word Bloom bitmap — and leaves a
+     2N-node CreateArray tree for Catalyst to fold. One parsed SQL
+    array literal is one py4j call and arrives pre-typed (the ``L``
+    suffix pins BIGINT regardless of magnitude, where ``F.lit(list)``
+    would infer int from small values)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")

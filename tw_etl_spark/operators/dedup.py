@@ -1143,23 +1143,38 @@ def simhash_portable_expr(text: Column, bits: int = 32) -> Column:
     reconstructible in the DuckDB oracle as ('0x'||substr(md5(tk),1,8))
     ::BIGINT, which puts the signature itself under the hash oracle
     (dd4p). Same per-bit majority vote as :func:`simhash_expr`."""
+    from tw_etl_spark.operators.text import let_expr
+
     toks = F.array_distinct(tokens_expr(text))
     th = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
 
-    def vote(bit: int):
-        mask = F.lit(1 << bit)
-        return F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) > 0, 1).otherwise(-1),
-        )
+    # Round 14: bind the md5 token-hash array ONCE via let_expr. The 32
+    # per-bit votes each referenced ``th`` directly, and Catalyst never
+    # deduplicates lambda-bearing subtrees (EquivalentExpressions skips
+    # NamedLambdaVariable), so every row paid 32x the md5+conv transform
+    # — measured 3.75 s for 5000 docs at sf0.1. Bound, the hashes are
+    # computed once and the 32 votes fold a plain long array
+    # (optimization guide §1.2 step 2). Bit-identical votes.
+    def simhash_of(h: Column) -> Column:
+        def vote(bit: int):
+            mask = F.lit(1 << bit)
+            return F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(x.bitwiseAND(mask) > 0, 1).otherwise(-1),
+            )
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return out
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            out = out + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+                0
+            )
+        return out
+
+    return let_expr(th, simhash_of)
 
 
 def simhash_expr(text: Column, bits: int = 32) -> Column:
@@ -1168,22 +1183,31 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
     oracle path via identical md5-prefix arithmetic is NOT needed since
     crc32 exists only Spark-side; oracle checks use md5-prefix hashes,
     see queries/dedup.py)."""
+    from tw_etl_spark.operators.text import let_expr
+
     toks = F.array_distinct(tokens_expr(text))
     th = F.transform(toks, lambda t: F.crc32(t.cast("binary")))
 
-    def vote(bit: int):
-        mask = F.lit(1 << bit)
-        return F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) > 0, 1).otherwise(-1),
-        )
+    # Round 14: same let-binding as simhash_portable_expr — the 32
+    # votes previously re-evaluated the crc32 transform per bit.
+    def simhash_of(h: Column) -> Column:
+        def vote(bit: int):
+            mask = F.lit(1 << bit)
+            return F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(x.bitwiseAND(mask) > 0, 1).otherwise(-1),
+            )
 
-    bit_votes = [vote(b) for b in range(bits)]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return out
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            out = out + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+                0
+            )
+        return out
+
+    return let_expr(th, simhash_of)
 
 
 def connected_components(
@@ -1911,20 +1935,30 @@ def unit_vectors(
 
 def kmeans_dists_expr(cents: list[list[float]], u_col: str = "u") -> Column:
     """array of squared-L2 distances from ``u_col`` to each literal
-    centroid, each an index-order fold (engine-reconstructible)."""
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col(u_col),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-            for c in cents
-        ]
+    centroid, each an index-order fold (engine-reconstructible).
+
+    Round 14: one ``transform`` over a single nested array literal
+    instead of k sibling per-centroid trees.  The old form built k
+    copies of the zip_with/aggregate machinery with k*dim individual
+    ``F.lit`` calls (512 py4j round-trips at k=8, dim=64, ~2 s of plan
+    construction per call site) and an expression tree Catalyst walks
+    k times per consumer; the transform keeps ONE fold body and the
+    centroids ride in as one literal.  Per-centroid arithmetic —
+    zip_with in index order, 0.0-seeded left fold — is unchanged, so
+    every distance is bit-identical and the dd8p/v4p/v7p..v10/dd17/st11
+    oracles are untouched (optimization guide §1.2 step 2).
+
+    ``u_col`` may be a column name or an arbitrary array Column (the
+    v6p product-quantization subspaces pass vector slices directly)."""
+    u = F.col(u_col) if isinstance(u_col, str) else u_col
+    table = F.lit([[float(x) for x in c] for c in cents])
+    return F.transform(
+        table,
+        lambda c: F.aggregate(
+            F.zip_with(u, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
     )
 
 
@@ -2132,7 +2166,11 @@ def bloom_decontaminate(
         .collect()
     )
     words = {int(r.w): int(r.bits) for r in word_rows}
-    bloom_lit = F.array(*[F.lit(words.get(w, 0)).cast("long") for w in range(n_words)])
+    # Round 14: one parsed array literal instead of 2*n_words py4j
+    # calls (~3 s of plan construction at the 1024-word default).
+    from tw_etl_spark.functions.vectors import long_array_lit
+
+    bloom_lit = long_array_lit([words.get(w, 0) for w in range(n_words)])
 
     def bloom_hit(g: Column) -> Column:
         test = F.lit(True)
@@ -2151,18 +2189,29 @@ def bloom_decontaminate(
             )
         return test
 
-    scored = corpus.select(
-        F.col(id_col).alias("id"),
-        grams_arr.alias("__grams"),
-    ).select(
-        "id",
-        F.size("__grams").cast("bigint").alias("n_grams"),
-        let_expr(
-            F.filter(F.col("__grams"), bloom_hit), lambda fl: F.size(fl)
+    # Round 14: materialize the Bloom-passing gram array ONCE as an
+    # aliased projection and derive the hit count from it. The previous
+    # form evaluated ``F.filter(__grams, bloom_hit)`` twice in one
+    # projection (count + candidate list) — Catalyst never deduplicates
+    # lambda-bearing subtrees, so every gram paid the 3-md5 membership
+    # test twice. CollapseProject keeps the split: it refuses to inline
+    # a non-cheap alias referenced more than once.
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            grams_arr.alias("__grams"),
         )
-        .cast("bigint")
-        .alias("n_bloom_hits"),
-        F.filter(F.col("__grams"), bloom_hit).alias("__cand"),
+        .select(
+            "id",
+            F.size("__grams").cast("bigint").alias("n_grams"),
+            F.filter(F.col("__grams"), bloom_hit).alias("__cand"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            F.size("__cand").cast("bigint").alias("n_bloom_hits"),
+            "__cand",
+        )
     )
     dirty = (
         scored.filter(F.col("n_bloom_hits") > 0)

@@ -404,21 +404,45 @@ def top_bigram_stats(
     )
 
 
+def _weight_table_milli(n_buckets: int) -> list[int]:
+    """The fixed md5-derived weight table w(j), materialized: the
+    j-th entry equals int(md5(f"w:{j}")[:8], 16) % 2001 - 1000 —
+    byte-for-byte the value the DuckDB oracle computes inline.  The
+    table has only ``n_buckets`` (1024) possible inputs, so hashing it
+    per TOKEN (the pre-round-14 form) paid a second md5 + string
+    round-trip per token for a value from a 1024-entry domain; folding
+    the table into the expression as an 8 KiB literal array halves the
+    per-token hash cost (optimization guide §1.2 step 2 — per-task
+    work) with bit-identical results."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{j}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for j in range(n_buckets)
+    ]
+
+
 def token_weight_milli(tk: Column, n_buckets: int = 1024) -> Column:
     """Integer milli-weight of one token under the deterministic hashed
     weight table (h % 2001 - 1000 in [-1000, 1000]): hashing-trick
     bucket (md5 prefix mod ``n_buckets``) through a fixed md5-derived
     weight — every value reconstructible in any engine with md5.
     Exact BIGINTs end to end, so any sum over tokens is
-    partition-order-independent (no float accumulation anywhere)."""
+    partition-order-independent (no float accumulation anywhere).
+
+    Round 14: the weight lookup w(bucket) = md5("w:"+bucket)-derived
+    int is served from a literal ``n_buckets``-entry array instead of
+    re-hashing per token (see :func:`_weight_table_milli`); one md5 per
+    token remains (the hashing-trick bucket itself)."""
     bucket = (
         F.conv(F.substring(F.md5(tk), 1, 4), 16, 10).cast("long")
         % F.lit(n_buckets)
-    ).cast("string")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("w:"), bucket)), 1, 8), 16, 10
-    ).cast("long")
-    return h % 2001 - 1000
+    )
+    # One py4j call: F.lit(list) constant-folds to a single array
+    # Literal (measured: 1024 individual F.lit() calls cost ~2.5 s of
+    # plan construction per query build).
+    table = F.lit(_weight_table_milli(n_buckets))
+    return F.element_at(table, (bucket + 1).cast("int")).cast("long")
 
 
 def milli_weight_sum(ts: Column, n_buckets: int = 1024) -> Column:
@@ -534,4 +558,64 @@ def hashed_linear_score_cols(
         z6 + F.lit(0.0),
         F.round(score, 6) + F.lit(0.0),
         keep,
+    )
+
+
+def hashed_linear_scored(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    bias: float = 0.0,
+) -> "DataFrame":
+    """DataFrame form of :func:`hashed_linear_score_cols` that evaluates
+    the expensive md5 token fold ONCE per row (round 14, optimization
+    guide §1.2 step 2).  The column form returns four independent
+    expression trees; Catalyst never deduplicates lambda-bearing
+    subtrees (``EquivalentExpressions`` skips ``NamedLambdaVariable``),
+    so a projection of all four re-ran the tokenize+hash fold 3x per
+    row (z6 in both z and keep, plus z_raw in score).  Here the
+    (s=milli-weight sum, n=token count) pair is computed inside a
+    single one-element ``explode`` — a Generate node is a projection
+    barrier ``CollapseProject`` cannot inline through — and the four
+    outputs derive from (s, n) in cheap integer/double arithmetic,
+    value-identical to the column form (same fold, same exact-integer
+    rounding).  Still a shuffle-free narrow map: Generate adds no
+    Exchange."""
+    from tw_etl_spark.functions.rounding import exact_round_ratio
+
+    toks = tokens_expr(F.col(text_col))
+    sn = let_expr(
+        toks,
+        lambda ts: F.struct(
+            milli_weight_sum(ts, n_buckets).alias("s"),
+            F.size(ts).cast("long").alias("n"),
+        ),
+    )
+    bias_micro = round(bias * 10**6)
+    s = F.col("__sn").getField("s")
+    n = F.col("__sn").getField("n")
+    z6 = F.when(
+        n > 0,
+        exact_round_ratio(
+            s * F.lit(10**6).cast("long")
+            + F.lit(bias_micro).cast("long") * n * 1000,
+            n * 1000,
+            0,
+        )
+        / F.lit(1e6),
+    ).otherwise(F.lit(bias_micro / 1e6))
+    z_raw = (
+        F.when(n > 0, s.cast("double") / (F.lit(1000.0) * n.cast("double")))
+        .otherwise(F.lit(0.0))
+    ) + F.lit(bias)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_raw))
+    return df.select(
+        id_col, F.explode(F.array(sn)).alias("__sn")
+    ).select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        (z6 + F.lit(0.0)).alias("z"),
+        (F.round(score, 6) + F.lit(0.0)).alias("score"),
+        (z6 >= 0).alias("keep"),
     )

@@ -327,7 +327,17 @@ def quantile_gate(
     """
     from tw_etl_spark.functions.rounding import floor_div
 
+    # Round 14 (guide §1.2 step 1 — don't compute things 3x): the
+    # ``score`` expression is typically an expensive text fold (x13
+    # feeds the md5-per-token milli score), and this gate's plan reads
+    # the scored relation THREE times (min/max/total stats, histogram,
+    # final output) — each subtree re-tokenized and re-hashed the
+    # corpus. localCheckpoint materializes the (id, score) proxy rows
+    # once (16 bytes/row — the §2.3 "shuffle metadata, not payloads"
+    # shape, stored not shuffled) and all three passes read it back;
+    # the dd3p signature-reuse pattern. Values unchanged.
     scored = df.select(F.col(id_col), score.cast("long").alias("score"))
+    scored = scored.localCheckpoint()
     stats = scored.agg(
         F.min("score").alias("lo"),
         F.max("score").alias("hi"),

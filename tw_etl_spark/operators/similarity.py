@@ -1594,49 +1594,24 @@ def ann_ivfpq_portable_topk(
         _, cents_s = relational_kmeans_centroids(sub, k_codes)
         codebooks.append(cents_s)
 
+    # Round 14: each subspace's argmin is dedup.kmeans_assign_expr run
+    # directly on the vector slice (the helper now accepts a Column).
+    # The previous local fold RE-COMPUTED the full per-codeword distance
+    # array inside EVERY fold step (let_expr(_dists_arr(...)) nested in
+    # the step lambda) and built per-codeword literal trees — the shared
+    # helper binds the distance array once per row and takes the
+    # codebook as one nested literal. Same distances (zip_with index
+    # order, 0.0-seeded fold), same strictly-less/first-wins tie-break,
+    # so the assigned codes — and the v6p oracle hash — are unchanged.
     def codes_expr() -> Column:
         return F.array(
             *[
-                kmeans_assign_expr_on(
+                kmeans_assign_expr(
                     codebooks[s], F.slice(F.col("u"), s * sub_d + 1, sub_d)
                 )
                 for s in range(m_sub)
             ]
         )
-
-    def kmeans_assign_expr_on(cents, sub_col):
-        # kmeans_assign_expr reads F.col("u"); rebind via a let over the
-        # subvector so each subspace's argmin fold sees its own slice
-        return let_expr(
-            sub_col,
-            lambda sv: F.aggregate(
-                F.sequence(F.lit(1), F.lit(len(cents) - 1)),
-                F.struct(_sqd(sv, cents[0]).alias("d"), F.lit(0).alias("j")),
-                lambda acc, i: let_expr(
-                    _dists_arr(sv, cents),
-                    lambda ds: F.when(
-                        F.element_at(ds, i + 1) < acc["d"],
-                        F.struct(
-                            F.element_at(ds, i + 1).alias("d"), i.alias("j")
-                        ),
-                    ).otherwise(acc),
-                ),
-            )["j"],
-        )
-
-    def _sqd(sv, c):
-        return F.aggregate(
-            F.zip_with(
-                sv,
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
-    def _dists_arr(sv, cents):
-        return F.array(*[_sqd(sv, c) for c in cents])
 
     c = uc.select(
         F.col("id").alias("neighbor_id"),
@@ -1671,16 +1646,9 @@ def ann_ivfpq_portable_topk(
 
     # --- stage 3: ADC scoring + exact re-rank ---
     # nested literal: cents_lit[s][c] = codeword c of subspace s
-    cents_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cw])
-                    for cw in codebooks[s]
-                ]
-            )
-            for s in range(m_sub)
-        ]
+    # (one py4j literal instead of m_sub*k_codes*sub_d F.lit calls)
+    cents_lit = F.lit(
+        [[[float(x) for x in cw] for cw in codebooks[s]] for s in range(m_sub)]
     )
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m_sub - 1)),

@@ -809,17 +809,13 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "classifier", "ext"),
 )
 def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tw_etl_spark.operators.quality import hashed_linear_score_cols
+    # Round 14: the DataFrame form evaluates the md5 token fold once
+    # per row (the 4-column form re-ran it 3x — see
+    # operators/quality.py:hashed_linear_scored). Values identical.
+    from tw_etl_spark.operators.quality import hashed_linear_scored
 
     d = _t(spark, sf_dir, "documents")
-    n_tokens, z, score, keep = hashed_linear_score_cols(F.col("text"))
-    return d.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        z.alias("z"),
-        score.alias("score"),
-        keep.alias("keep"),
-    ).orderBy("doc_id")
+    return hashed_linear_scored(d).orderBy("doc_id")
 
 
 def _bpe_training_ctes(rounds: int = 6) -> str:

@@ -90,6 +90,12 @@ def u2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def u3(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    # Round 14 (guide §4.1): applyInPandas ships EVERY column of the
+    # grouped rows through Arrow to the Python worker — events carries
+    # ts/event_type/props (a JSON string) that zscore_per_group never
+    # reads. Project to the three used columns first: less parquet
+    # read, less shuffle, ~half the Python-boundary bytes. Same result.
+    e = e.select("user_id", "event_id", "value")
     out = e.groupBy("user_id").applyInPandas(zscore_per_group, schema=ZSCORE_SCHEMA)
     return out.select(
         "user_id", "event_id", F.round("zscore", 6).alias("zscore")
