@@ -78,10 +78,21 @@ def bpe_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+    # Round 14: eager localCheckpoint per round instead of the
+    # cache()/unpersist() dance. The old code unpersisted ``cur``
+    # BEFORE ``nxt`` had ever been materialized (cache() is lazy), so
+    # round r's pair-count job recomputed the whole replace chain from
+    # the corpus word-count shuffle — O(rounds^2) replays of the
+    # vocabulary build (guide §1.2 step 1). The checkpoint materializes
+    # each round's vocab rewrite exactly once (vocab-sized, not
+    # corpus-sized) and truncates the rounds-deep replace lineage;
+    # blocks are freed by the ContextCleaner when the previous round's
+    # frame drops out of scope. Identical merges: same counts, same
+    # (desc c, l, r) argmax.
     cur = words.select(
         "f",
         F.regexp_replace("w", "(.)", SYM_L + "$1" + SYM_R).alias("enc"),
-    ).cache()
+    ).localCheckpoint()
 
     out = []
     for r in range(1, rounds + 1):
@@ -98,17 +109,14 @@ def bpe_merges(
         if best is None:  # no adjacent pairs left — corpus fully merged
             break
         out.append((r, best.l, best.r, int(best.c)))
-        nxt = cur.select(
+        cur = cur.select(
             "f",
             F.replace(
                 F.col("enc"),
                 F.lit(SYM_L + best.l + SYM_R + SYM_L + best.r + SYM_R),
                 F.lit(SYM_L + best.l + best.r + SYM_R),
             ).alias("enc"),
-        ).cache()
-        cur.unpersist()
-        cur = nxt
-    cur.unpersist()
+        ).localCheckpoint()
     return spark.createDataFrame(
         out, "merge_round int, lhs string, rhs string, pair_count long"
     )

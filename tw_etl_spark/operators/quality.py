@@ -216,6 +216,14 @@ def dedup_sentence_spans(
             ).alias("span_idx", "span_hash"),
         )
     )
+    # Round 14 (guide §1.2 step 1): ``spans`` feeds both the winner
+    # aggregation and the loser join — two independent subtrees, so the
+    # sentence-split + md5-per-span explode ran TWICE over the corpus
+    # (dd10 measured 1.78x its DuckDB replay at sf1, whose CTE is
+    # materialized once). Checkpoint the narrow (id, span_idx,
+    # span_hash) rows — ~50 bytes/span, never the sentence text — and
+    # both consumers read them back; the dd3p signature-reuse pattern.
+    spans = spans.localCheckpoint()
     # winner of each duplicated span: smallest (id, span_idx)
     winners = spans.groupBy("span_hash").agg(
         F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("w"),
