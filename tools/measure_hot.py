@@ -25,8 +25,8 @@ DEFAULT = [
     "t11_gopher_quality", "t8_tfidf_top_terms", "a12_kmv_set_algebra",
     "a13_histogram_quantiles", "a40_agg_stats", "x10_scd2_merge",
     "f20_datetime_case_math", "x2_leakage_aware_split", "v13_retrieval_tiers_eval",
-    "t19_bm25_multiquery", "x12_dsir_weights", "x5_ngram_decontaminate",
-    "t13_unigram_lm_score", "t14_top_bigram", "dd16_delta_decontaminate",
+    "t19_bm25_multiquery", "x12_dsir_weights", "x5_benchmark_decontaminate",
+    "t13_lm_perplexity", "t14_top_bigram_fraction", "dd16_delta_embedding_neardup",
 ]
 
 names = sys.argv[1:] or DEFAULT

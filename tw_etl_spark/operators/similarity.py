@@ -985,7 +985,9 @@ def ann_lsh_portable_topk(
         df = df.select(F.col(id_col).alias(out_id), u.alias("__u"))
         bucket = F.lit(0).cast("long")
         for p in range(planes):
-            wp = F.array(*[F.lit(x) for x in w[p]])
+            # one py4j literal per plane (round 14) — the per-element
+            # F.lit form cost planes*dim round-trips per prep side
+            wp = F.lit([float(x) for x in w[p]])
             bucket = bucket + F.when(
                 dot_expr(F.col("__u"), wp) >= 0, F.lit(1 << p).cast("long")
             ).otherwise(F.lit(0).cast("long"))
