@@ -43,6 +43,12 @@ HEAVY = [
     "t17_bpe_encode",
     "dd20_lsh_index_compaction",
 ]
+# Optional subset (comma-separated names) for targeted re-measurement;
+# subset runs write to heavy_sf1_partial.json so the canonical
+# whole-list artifact is never clobbered with missing rows.
+if os.environ.get("HEAVY_SF1_QUERIES"):
+    HEAVY = [q for q in os.environ["HEAVY_SF1_QUERIES"].split(",") if q]
+    OUT = OUT.replace("heavy_sf1.json", "heavy_sf1_partial.json")
 
 
 def dd20_decomposition(spark) -> dict:
