@@ -11,9 +11,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.coldgate
 def test_no_query_exceeds_cold_ceiling():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "cold_check.py")],

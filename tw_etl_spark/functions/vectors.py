@@ -42,3 +42,36 @@ def long_array_lit(values: list[int]) -> Column:
     suffix pins BIGINT regardless of magnitude, where ``F.lit(list)``
     would infer int from small values)."""
     return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+def _fmt_double(v: float) -> str:
+    """SQL double literal with exact bit round-trip: ``repr(float)`` is
+    the shortest decimal that parses back to the same IEEE-754 double
+    (both CPython and the JVM parse correctly rounded), and the ``D``
+    suffix pins DoubleType in the SQL parser."""
+    return repr(float(v)) + "D"
+
+
+def double_array_lit(values) -> Column:
+    """A single ``array<double>`` literal from a Python float list.
+
+    The ``F.lit(list)`` form is NOT one py4j call in classic mode — it
+    expands to ``array(*[lit(x) for x in list])``, one round-trip per
+    element (ADVICE r14; verified in pyspark 4.1 builtin.py). One
+    parsed SQL literal is one round-trip regardless of length, with
+    bit-identical doubles (see :func:`_fmt_double`)."""
+    return F.expr("array(" + ",".join(_fmt_double(v) for v in values) + ")")
+
+
+def nested_double_array_lit(values) -> Column:
+    """One parsed literal for an arbitrarily nested list-of-lists of
+    floats (``array<array<...double>>``) — centroid tables, PQ
+    codebooks. Same one-round-trip / bit-identity rationale as
+    :func:`double_array_lit`."""
+
+    def fmt(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(fmt(x) for x in v) + ")"
+        return _fmt_double(v)
+
+    return F.expr(fmt(values))

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tw_etl_spark.operators.ckpt import free_local_checkpoint
+
 SYM_L = "\x02"  # symbol-start sentinel (never in the token stream)
 SYM_R = "\x03"  # symbol-end sentinel
 
@@ -86,9 +88,12 @@ def bpe_merges(
     # vocabulary build (guide §1.2 step 1). The checkpoint materializes
     # each round's vocab rewrite exactly once (vocab-sized, not
     # corpus-sized) and truncates the rounds-deep replace lineage;
-    # blocks are freed by the ContextCleaner when the previous round's
-    # frame drops out of scope. Identical merges: same counts, same
-    # (desc c, l, r) argmax.
+    # blocks are freed EXPLICITLY: once round r's checkpoint has
+    # materialized (localCheckpoint is eager), round r-1's blocks are
+    # dead weight, so we unpersist them rather than waiting for the
+    # ContextCleaner to GC the dropped frame — executor storage stays
+    # one vocab copy wide however many rounds run (ADVICE r14).
+    # Identical merges: same counts, same (desc c, l, r) argmax.
     cur = words.select(
         "f",
         F.regexp_replace("w", "(.)", SYM_L + "$1" + SYM_R).alias("enc"),
@@ -109,6 +114,7 @@ def bpe_merges(
         if best is None:  # no adjacent pairs left — corpus fully merged
             break
         out.append((r, best.l, best.r, int(best.c)))
+        prev = cur
         cur = cur.select(
             "f",
             F.replace(
@@ -117,6 +123,8 @@ def bpe_merges(
                 F.lit(SYM_L + best.l + best.r + SYM_R),
             ).alias("enc"),
         ).localCheckpoint()
+        free_local_checkpoint(prev)
+    free_local_checkpoint(cur)
     return spark.createDataFrame(
         out, "merge_round int, lhs string, rhs string, pair_count long"
     )

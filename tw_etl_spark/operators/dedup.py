@@ -1233,7 +1233,21 @@ def connected_components(
     ``localCheckpoint`` truncates plan lineage each round — without it
     the plan doubles per iteration and the driver, not the data, becomes
     the bottleneck.
+
+    Round 15 (guide §1.2 step 1 — one job per round, not two): the old
+    convergence check was a separate join-the-last-two-rounds +
+    limit(1).count() job per round. Min-aggregation makes the label
+    table monotone — new.component(id) <= old.component(id) — so the
+    round changed anything iff sum(component) strictly decreased. The
+    sum rides the checkpoint-materialization job itself as an observed
+    metric (``df.observe``; DECIMAL(38,0) so arbitrary long ids cannot
+    overflow the fold), and the driver compares two scalars. Same
+    labels, same exit round; jobs per round: 2 -> 1.
     """
+    from pyspark.sql import Observation
+
+    from tw_etl_spark.operators.ckpt import free_local_checkpoint
+
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -1245,26 +1259,30 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iter):
+    prev_total = None
+    prev_ck = None
+    for r in range(max_iter):
         msgs = edges.join(labels.withColumnRenamed("id", "a"), "a").select(
             F.col("b").alias("id"), "component"
         )
+        obs = Observation(f"cc_round_{r}")
         new_labels = (
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .observe(
+                obs,
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("t"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        total = obs.get["t"]
+        if prev_ck is not None:
+            free_local_checkpoint(prev_ck)
+        labels, prev_ck = new_labels, new_labels
+        if total == prev_total:
             break
+        prev_total = total
     return labels
 
 
@@ -1950,8 +1968,12 @@ def kmeans_dists_expr(cents: list[list[float]], u_col: str = "u") -> Column:
 
     ``u_col`` may be a column name or an arbitrary array Column (the
     v6p product-quantization subspaces pass vector slices directly)."""
+    from tw_etl_spark.functions.vectors import nested_double_array_lit
+
     u = F.col(u_col) if isinstance(u_col, str) else u_col
-    table = F.lit([[float(x) for x in c] for c in cents])
+    # one parsed py4j round-trip for the whole k*dim table; classic
+    # F.lit(list) would expand to one call per element (ADVICE r14)
+    table = nested_double_array_lit(cents)
     return F.transform(
         table,
         lambda c: F.aggregate(

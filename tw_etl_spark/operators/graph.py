@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tw_etl_spark.functions.rounding import floor_div
+from tw_etl_spark.operators.ckpt import free_local_checkpoint
 
 
 def pagerank_integer(
@@ -114,7 +115,11 @@ def pagerank_integer(
                 F.coalesce("deg", F.lit(1)).alias("deg"),
             )
         )
+        prev = ranks
         ranks = new_r.localCheckpoint()
+        # round r materialized => round r-1's blocks are dead; storage
+        # stays one rank-table wide however many iterations run
+        free_local_checkpoint(prev)
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
@@ -182,5 +187,7 @@ def _pagerank_conserving(
                 "deg",
             )
         )
+        prev = ranks
         ranks = new_r.localCheckpoint()
+        free_local_checkpoint(prev)
     return ranks.select("node", F.col("r").alias("rank_micro"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tw_etl_spark.functions.vectors import long_array_lit
 from tw_etl_spark.operators.text import let_expr, tokens_expr
 
 # A compact English stopword set for the "≥ N distinct stopwords" rule
@@ -194,6 +195,12 @@ def dedup_sentence_spans(
     per-doc regroup — both hash shuffles on narrow (hash, id, idx) rows;
     span text never shuffles (md5 only). Docs with fewer than ``span``
     sentences pass through untouched.
+
+    EAGER: calling this function launches a Spark job immediately (the
+    narrow span table is ``localCheckpoint``-materialized so the winner
+    aggregation and the loser join don't each re-run the sentence-split
+    + md5 explode); batch DataFrames only — a streaming input raises
+    AnalysisException at the checkpoint.
     """
     sents = F.col("__sents")
     with_sents = df.withColumn("__sents", sentences_expr(F.col(text_col)))
@@ -446,10 +453,12 @@ def token_weight_milli(tk: Column, n_buckets: int = 1024) -> Column:
         F.conv(F.substring(F.md5(tk), 1, 4), 16, 10).cast("long")
         % F.lit(n_buckets)
     )
-    # One py4j call: F.lit(list) constant-folds to a single array
-    # Literal (measured: 1024 individual F.lit() calls cost ~2.5 s of
-    # plan construction per query build).
-    table = F.lit(_weight_table_milli(n_buckets))
+    # One parsed SQL literal = one py4j round-trip. (Round 15 fix of a
+    # round-14 misconception: classic-mode F.lit(list) expands to
+    # array(*[lit(x)...]) — one py4j call PER ELEMENT, ~2.4 s for 1024
+    # entries; long_array_lit ships the whole table in one expr()
+    # string, measured ~5 ms. ADVICE r14.)
+    table = long_array_lit(_weight_table_milli(n_buckets))
     return F.element_at(table, (bucket + 1).cast("int")).cast("long")
 
 
@@ -484,6 +493,36 @@ def milli_score_col(text: Column, n_buckets: int = 1024) -> Column:
     )
 
 
+def _z6_zraw_from_sn(s: Column, n: Column, bias: float) -> tuple[Column, Column]:
+    """The (s = exact milli-weight sum, n = token count) -> (z6, z_raw)
+    arithmetic shared by :func:`hashed_linear_score_cols` and
+    :func:`hashed_linear_scored` (factored round 15, ADVICE r14: the
+    boundary-rounding logic is subtle and the two forms must not
+    drift). z6 is the EXACT 6-digit round-half-away of the true
+    rational s/(1000n) + bias decided in integer space (see the column
+    form's docstring for why); z_raw is the unrounded double that feeds
+    the sigmoid. ``n`` must be a BIGINT column; empty docs (n == 0)
+    yield z6 = round(bias, 6-exact) and z_raw = bias."""
+    from tw_etl_spark.functions.rounding import exact_round_ratio
+
+    bias_micro = round(bias * 10**6)
+    z6 = F.when(
+        n > 0,
+        exact_round_ratio(
+            s * F.lit(10**6).cast("long")
+            + F.lit(bias_micro).cast("long") * n * 1000,
+            n * 1000,
+            0,
+        )
+        / F.lit(1e6),
+    ).otherwise(F.lit(bias_micro / 1e6))
+    z_raw = (
+        F.when(n > 0, s.cast("double") / (F.lit(1000.0) * n.cast("double")))
+        .otherwise(F.lit(0.0))
+    ) + F.lit(bias)
+    return z6, z_raw
+
+
 def hashed_linear_score_cols(
     text: Column,
     n_buckets: int = 1024,
@@ -514,11 +553,6 @@ def hashed_linear_score_cols(
     Python, whole-stage codegen end to end (plan-asserted); at 100 TB
     this runs at scan speed like the Gopher/C4 batteries.
     """
-    from tw_etl_spark.functions.rounding import exact_round_ratio
-
-    def weight_milli(tk: Column) -> Column:
-        return token_weight_milli(tk, n_buckets)
-
     toks = tokens_expr(text)
 
     def milli_sum(ts: Column) -> Column:
@@ -529,33 +563,26 @@ def hashed_linear_score_cols(
     # B = round(bias*1e6) micro-units — numerator and denominator stay
     # exact BIGINTs, so the half-boundary is decided in integer space
     # with the bias included (rounding z then adding bias would return
-    # a non-6-digit value and flip keep near the boundary).
-    bias_micro = round(bias * 10**6)
+    # a non-6-digit value and flip keep near the boundary). The
+    # arithmetic itself lives in _z6_zraw_from_sn, shared with the
+    # single-fold DataFrame form. Each output binds its own let_expr
+    # over toks — this COLUMN form intentionally returns independent
+    # trees (callers project subsets); use hashed_linear_scored when
+    # you need all four without re-running the fold.
     z6 = let_expr(
         toks,
-        lambda ts: F.when(
-            F.size(ts) > 0,
-            exact_round_ratio(
-                milli_sum(ts) * F.lit(10**6).cast("long")
-                + F.lit(bias_micro).cast("long")
-                * F.size(ts).cast("long")
-                * 1000,
-                F.size(ts).cast("long") * 1000,
-                0,
-            )
-            / F.lit(1e6),
-        ).otherwise(F.lit(bias_micro / 1e6)),
+        lambda ts: _z6_zraw_from_sn(
+            milli_sum(ts), F.size(ts).cast("long"), bias
+        )[0],
     )
     # unrounded z feeds the sigmoid (transcendental output: plain
     # round-6 is safe — only exact integer ratios hit decimal halves)
     z_raw = let_expr(
         toks,
-        lambda ts: F.when(
-            F.size(ts) > 0,
-            milli_sum(ts).cast("double")
-            / (F.lit(1000.0) * F.size(ts).cast("double")),
-        ).otherwise(F.lit(0.0)),
-    ) + F.lit(bias)
+        lambda ts: _z6_zraw_from_sn(
+            milli_sum(ts), F.size(ts).cast("long"), bias
+        )[1],
+    )
     n_tokens = F.size(toks).cast("bigint")
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_raw))
     keep = z6 >= 0
@@ -588,10 +615,9 @@ def hashed_linear_scored(
     barrier ``CollapseProject`` cannot inline through — and the four
     outputs derive from (s, n) in cheap integer/double arithmetic,
     value-identical to the column form (same fold, same exact-integer
-    rounding).  Still a shuffle-free narrow map: Generate adds no
-    Exchange."""
-    from tw_etl_spark.functions.rounding import exact_round_ratio
-
+    rounding — the (s, n) -> (z6, z_raw) arithmetic is literally the
+    same helper, :func:`_z6_zraw_from_sn`).  Still a shuffle-free
+    narrow map: Generate adds no Exchange."""
     toks = tokens_expr(F.col(text_col))
     sn = let_expr(
         toks,
@@ -600,23 +626,9 @@ def hashed_linear_scored(
             F.size(ts).cast("long").alias("n"),
         ),
     )
-    bias_micro = round(bias * 10**6)
     s = F.col("__sn").getField("s")
     n = F.col("__sn").getField("n")
-    z6 = F.when(
-        n > 0,
-        exact_round_ratio(
-            s * F.lit(10**6).cast("long")
-            + F.lit(bias_micro).cast("long") * n * 1000,
-            n * 1000,
-            0,
-        )
-        / F.lit(1e6),
-    ).otherwise(F.lit(bias_micro / 1e6))
-    z_raw = (
-        F.when(n > 0, s.cast("double") / (F.lit(1000.0) * n.cast("double")))
-        .otherwise(F.lit(0.0))
-    ) + F.lit(bias)
+    z6, z_raw = _z6_zraw_from_sn(s, n, bias)
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_raw))
     return df.select(
         id_col, F.explode(F.array(sn)).alias("__sn")

@@ -324,6 +324,12 @@ def quantile_gate(
 
     Returns every input row as (id, score, bin_idx, thr_idx, kept) —
     callers drop to the survivor set with ``.filter("kept")``.
+
+    EAGER: calling this function launches a Spark job immediately (the
+    (id, score) proxy is ``localCheckpoint``-materialized so the three
+    consumers of the scored relation don't re-run the score fold);
+    batch DataFrames only — a streaming input raises AnalysisException
+    at the checkpoint.
     """
     from tw_etl_spark.functions.rounding import floor_div
 

@@ -966,7 +966,11 @@ def ann_lsh_portable_topk(
 
     from pyspark.sql.window import Window
 
-    from tw_etl_spark.functions.vectors import dot_expr, l2_norm_expr
+    from tw_etl_spark.functions.vectors import (
+        dot_expr,
+        double_array_lit,
+        l2_norm_expr,
+    )
 
     dim = len(corpus.select(vec_col).first()[0])
     w = [
@@ -985,9 +989,10 @@ def ann_lsh_portable_topk(
         df = df.select(F.col(id_col).alias(out_id), u.alias("__u"))
         bucket = F.lit(0).cast("long")
         for p in range(planes):
-            # one py4j literal per plane (round 14) — the per-element
-            # F.lit form cost planes*dim round-trips per prep side
-            wp = F.lit([float(x) for x in w[p]])
+            # one PARSED literal per plane (round 15): classic-mode
+            # F.lit(list) still expands to one py4j call per element
+            # (ADVICE r14), so the round-14 form saved nothing
+            wp = double_array_lit(w[p])
             bucket = bucket + F.when(
                 dot_expr(F.col("__u"), wp) >= 0, F.lit(1 << p).cast("long")
             ).otherwise(F.lit(0).cast("long"))
@@ -1562,7 +1567,7 @@ def ann_ivfpq_portable_topk(
     """
     from pyspark.sql.window import Window
 
-    from tw_etl_spark.functions.vectors import dot_expr
+    from tw_etl_spark.functions.vectors import dot_expr, nested_double_array_lit
     from tw_etl_spark.operators.dedup import (
         kmeans_assign_expr,
         kmeans_dists_expr,
@@ -1647,9 +1652,10 @@ def ann_ivfpq_portable_topk(
     )
 
     # --- stage 3: ADC scoring + exact re-rank ---
-    # nested literal: cents_lit[s][c] = codeword c of subspace s
-    # (one py4j literal instead of m_sub*k_codes*sub_d F.lit calls)
-    cents_lit = F.lit(
+    # nested literal: cents_lit[s][c] = codeword c of subspace s — ONE
+    # parsed py4j round-trip for the whole m_sub*k_codes*sub_d table
+    # (round 15: classic F.lit(list) expands per element, ADVICE r14)
+    cents_lit = nested_double_array_lit(
         [[[float(x) for x in cw] for cw in codebooks[s]] for s in range(m_sub)]
     )
     adc = F.aggregate(

@@ -319,6 +319,15 @@ def register(
 # sweeps + x12/x13 driver slots; resample ⊂ x12 weights + x15
 # exactly-n), t8 (tf-idf ranking superseded by t18/t19 BM25 — same
 # explode/agg machinery under a sharper oracle).
+# Round-15 rotation (VERDICT r14 #6 — close the last never-driver-scored
+# debt): in — v14_mmr_diversified_topk (registered late in r13/r14,
+# pinned in COVERAGE.md; its DuckDB oracle is now linear after the CTE
+# MATERIALIZED fix). Out — v12_retrieval_eval: its eval block is the
+# same shared eval CTE v13_retrieval_tiers_eval applies to all three
+# tiers (dense included), so v13 keeps the family's driver anchor;
+# v12 stays registered, strict-green in the sf0.1 sweep
+# (tools/sweep_sf01_strict.json) and holds an sf1 strict row
+# (tools/sweep_sf1_strict.json).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- core flagship (1 TPC anchor; q1/q3/e3/d2/v1 stay bench+sweep)
     "q5_nation_revenue",
@@ -336,12 +345,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dd12_audio_fingerprint_neardup",
     "x13_quantile_quality_gate",
     "x12_dsir_weights",
-    # -- retrieval [EXT] (5: lexical, batch-lexical, hybrid, eval x2)
+    # -- retrieval [EXT] (5: lexical, batch-lexical, hybrid, tier-eval, MMR)
     "t18_bm25_topk",
     "t19_bm25_multiquery",
     "v11_hybrid_rrf",
-    "v12_retrieval_eval",
     "v13_retrieval_tiers_eval",
+    "v14_mmr_diversified_topk",
     # -- ANN portable twins [EXT] (3)
     "v3p_ann_lsh_portable",
     "v5p_knn_quantized_portable",

@@ -941,27 +941,31 @@ def _mmr_oracle(
     all in INTEGER micro units with ascending-id tie-breaks — the same
     no-recursion unrolling discipline as x3p's fold replay. Relevance
     and pair similarities use the proven v11/v12 cosine bridge
-    (list_dot_product / norm product, micro-rounded)."""
+    (list_dot_product / norm product, micro-rounded). Every CTE is
+    MATERIALIZED: each unrolled step references its predecessor twice
+    (NOT EXISTS + penalty join), so DuckDB's default CTE inlining
+    re-evaluates the whole cosine chain 2^k times (471 s at sf0.001);
+    materialization makes the replay linear (0.1 s), rows identical."""
     p_num, q_den = lam
     pen_w = q_den - p_num
     steps = []
     prev = "sel1"
     for t in range(2, k + 1):
         steps.append(f"""
-    r{t} AS (
+    r{t} AS MATERIALIZED (
       SELECT c.* FROM cand c
       WHERE NOT EXISTS (
         SELECT 1 FROM {prev} s WHERE s.qid = c.qid AND s.nid = c.nid
       )
     ),
-    p{t} AS (
+    p{t} AS MATERIALIZED (
       SELECT r.qid, r.nid, r.rel_micro, max(cs.sim_micro) AS pen
       FROM r{t} r
       JOIN {prev} s ON s.qid = r.qid
       JOIN cs ON cs.qid = r.qid AND cs.ia = r.nid AND cs.ib = s.nid
       GROUP BY 1, 2, 3
     ),
-    s{t} AS (
+    s{t} AS MATERIALIZED (
       SELECT qid, nid, rel_micro, pen,
              ({p_num} * rel_micro - {pen_w} * pen)::BIGINT AS score
       FROM (
@@ -973,7 +977,7 @@ def _mmr_oracle(
         FROM p{t}
       ) WHERE rn = 1
     ),
-    sel{t} AS (
+    sel{t} AS MATERIALIZED (
       SELECT * FROM {prev}
       UNION ALL
       SELECT qid, nid, {t}::BIGINT AS pick, rel_micro, pen, score FROM s{t}
@@ -981,11 +985,11 @@ def _mmr_oracle(
         prev = f"sel{t}"
     steps_sql = ",".join(steps)
     return f"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id < {n_queries}),
-    simsq AS (
+    q AS MATERIALIZED (SELECT * FROM v WHERE vec_id < {n_queries}),
+    simsq AS MATERIALIZED (
       SELECT q.vec_id AS qid, c.vec_id AS nid,
              round((list_dot_product(q.e, c.e)
                     / (sqrt(list_dot_product(q.e, q.e))
@@ -993,7 +997,7 @@ def _mmr_oracle(
                    0)::BIGINT AS rel_micro
       FROM q JOIN v c ON c.vec_id <> q.vec_id
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT qid, nid, rel_micro FROM (
         SELECT qid, nid, rel_micro,
                row_number() OVER (
@@ -1002,7 +1006,7 @@ def _mmr_oracle(
         FROM simsq
       ) WHERE rn <= {n_cand}
     ),
-    cs AS (
+    cs AS MATERIALIZED (
       SELECT a.qid, a.nid AS ia, b.nid AS ib,
              round((list_dot_product(va.e, vb.e)
                     / (sqrt(list_dot_product(va.e, va.e))
@@ -1013,7 +1017,7 @@ def _mmr_oracle(
       JOIN v va ON va.vec_id = a.nid
       JOIN v vb ON vb.vec_id = b.nid
     ),
-    sel1 AS (
+    sel1 AS MATERIALIZED (
       SELECT qid, nid, 1::BIGINT AS pick, rel_micro, 0::BIGINT AS pen,
              ({p_num} * rel_micro)::BIGINT AS score
       FROM (
