@@ -128,6 +128,25 @@ HEAVY_BASELINE_SF1_MS = {
 }
 
 
+def _numpy_probe_ms(n: int = 3) -> float:
+    """Best-of-n fixed-work matmul, ~8 ms on the quiet reference box.
+    Re-measured immediately before each heavy query (VERDICT r14 #7):
+    the r14 heavy walls drifted up to ±2x on host CPU steal that a
+    single run-level calibration could not attribute per query."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1024, 1024))
+    b = rng.random((1024, 1024))
+    a @ b  # warm-up
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        a @ b
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
 def _calibrate(spark) -> dict[str, float]:
     """Fixed-work probes, best of 3 after one warm-up each. Machine-state
     normalizers, NOT benchmarks: identical work every run, so any drift
@@ -225,6 +244,7 @@ def main() -> None:
 
     heavy_runs = int(os.environ.get("BENCH_HEAVY_RUNS", "3"))
     heavy: dict[str, float] = {}
+    heavy_probe: dict[str, float] = {}
     if os.environ.get("BENCH_HEAVY", "1") != "0":
         reg = all_queries()
         for name in HEAVY:
@@ -232,6 +252,10 @@ def main() -> None:
             fn(spark, sf_dir).toPandas()  # warm (plan rebuild each run:
             # these callables stage scratch artifacts; rebuilding is
             # part of the measured job, matching how a pipeline runs)
+            # per-query load probe (VERDICT r14 #7): the box state AT
+            # THIS query, so a reader can normalize each heavy wall
+            # individually instead of by the run-level calibration
+            heavy_probe[name] = _numpy_probe_ms()
             best = float("inf")
             for _ in range(heavy_runs):
                 t0 = time.perf_counter()
@@ -265,6 +289,9 @@ def main() -> None:
                 "queries_heavy": heavy,
                 "heavy_total_sec": round(sum(heavy.values()), 4),
                 "heavy_runs": heavy_runs,
+                # fixed-work numpy probe measured immediately before
+                # each heavy query's timed runs (quiet reference ~8 ms)
+                "queries_heavy_probe_ms": heavy_probe,
                 # Spark wall / DuckDB oracle wall (BASELINE.md heavy
                 # tier, best-of-3 warm) — only comparable at sf0.1,
                 # where the baselines were measured

@@ -2033,6 +2033,8 @@ def relational_kmeans_centroids(
     seeds = [list(r.u) for r in unit.orderBy("id").limit(k).collect()]
     dim = len(seeds[0])
     a1 = unit.select("id", "u", kmeans_assign_expr(seeds).alias("c1"))
+    # (the multi-stage batching in relational_kmeans_centroids_multi
+    # replays exactly this seed rule and mean arithmetic — keep in sync)
     # mean in nano-units rounded to the nearest integer IN INTEGER
     # ARITHMETIC (exact_round_ratio): s/c regularly lands on exact
     # decimal halves where float round(x, 9) diverges cross-engine
@@ -2056,6 +2058,81 @@ def relational_kmeans_centroids(
     )
     cents2 = [[float(r[f"m{i}"]) for i in range(dim)] for r in mean_rows]
     return seeds, cents2
+
+
+def relational_kmeans_centroids_multi(
+    unit: DataFrame, specs: list[tuple[int, int, int]]
+) -> list[tuple[list[list[float]], list[list[float]]]]:
+    """Batched :func:`relational_kmeans_centroids` over several
+    independent stages of the SAME unit-vector table — v6p's staging
+    (1 coarse k-means + m_sub per-subspace codebooks) previously ran
+    2 bounded jobs per stage (seed collect + mean aggregate), 18 jobs
+    of ~a scheduler floor each; this runs ONE seed collect and ONE
+    union-aggregate job for every stage (guide §1.2 step 1 /
+    VERDICT r14 #3).
+
+    ``specs[i] = (k_i, offset_i, len_i)``: stage i trains ``k_i``
+    centroids on the 0-based coordinate slice
+    ``u[offset_i : offset_i + len_i]``.
+
+    Value identity with the per-stage form (pinned by
+    tests/test_r15_optimizations.py): seeds are the unit vectors of the
+    k smallest ids — slicing commutes with orderBy(id).limit(k), so one
+    max(k_i)-row collect serves every stage; means use the same
+    round(u*1e9) BIGINT accumulation + exact_round_ratio per
+    (stage, cluster, coordinate), which is partition-order-independent,
+    so batching the stages into one union cannot move a single bit.
+    Empty clusters drop out per stage exactly as in the single form.
+    """
+    from tw_etl_spark.functions.rounding import exact_round_ratio
+
+    max_k = max(k for k, _, _ in specs)
+    head = [list(r.u) for r in unit.orderBy("id").limit(max_k).collect()]
+    seeds_per_stage = [
+        [row[off : off + ln] for row in head[:k]] for k, off, ln in specs
+    ]
+
+    stage_frames = []
+    for i, (k, off, ln) in enumerate(specs):
+        sub = F.slice(F.col("u"), off + 1, ln)
+        assign = kmeans_assign_expr(seeds_per_stage[i], sub)
+        # two projections: a Generate in the SAME select strips the
+        # aliases inside the assign fold's struct (analyzer quirk —
+        # FIELD_NOT_FOUND col1/col2), so assign first, explode second
+        stage_frames.append(
+            unit.select(
+                F.lit(i).alias("stage"),
+                assign.alias("c1"),
+                F.transform(
+                    sub, lambda x: F.round(x * 1e9, 0).cast("long")
+                ).alias("nanos"),
+            ).select(
+                "stage",
+                "c1",
+                F.posexplode(F.col("nanos")).alias("idx", "nano"),
+            )
+        )
+    frame = stage_frames[0]
+    for f in stage_frames[1:]:
+        frame = frame.unionByName(f)
+    mean_rows = (
+        frame.groupBy("stage", "c1", "idx")
+        .agg(
+            (
+                exact_round_ratio(F.sum("nano"), F.count(F.lit(1)), 0)
+                / F.lit(1e9)
+            ).alias("m")
+        )
+        .collect()
+    )
+    out = []
+    for i, (k, off, ln) in enumerate(specs):
+        rows = [r for r in mean_rows if r.stage == i]
+        clusters = sorted({r.c1 for r in rows})
+        by_cc = {(r.c1, r.idx): float(r.m) for r in rows}
+        cents2 = [[by_cc[(c, j)] for j in range(ln)] for c in clusters]
+        out.append((seeds_per_stage[i], cents2))
+    return out
 
 
 def semantic_dedup_relational(

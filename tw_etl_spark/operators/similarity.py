@@ -1571,7 +1571,7 @@ def ann_ivfpq_portable_topk(
     from tw_etl_spark.operators.dedup import (
         kmeans_assign_expr,
         kmeans_dists_expr,
-        relational_kmeans_centroids,
+        relational_kmeans_centroids_multi,
         unit_vectors,
     )
     from tw_etl_spark.operators.text import let_expr
@@ -1588,18 +1588,20 @@ def ann_ivfpq_portable_topk(
     sub_d = dim // m_sub
     assert sub_d * m_sub == dim, "dim must split evenly into m_sub subspaces"
 
-    # --- stage 1: coarse IVF (shared construction with v4p) ---
-    _, coarse_cents = relational_kmeans_centroids(uc, n_lists)
+    # --- stages 1+2 batched (round 15, VERDICT r14 #3): coarse IVF +
+    # the m_sub per-subspace codebooks are independent k-means over the
+    # SAME checkpointed unit table, so their 2x(1+m_sub) bounded
+    # staging jobs collapse to ONE seed collect + ONE union-aggregate
+    # (18 jobs -> 2 at these parameters); seeds/means bit-identical to
+    # the per-stage form (see relational_kmeans_centroids_multi).
+    staged = relational_kmeans_centroids_multi(
+        uc,
+        [(n_lists, 0, dim)]
+        + [(k_codes, s * sub_d, sub_d) for s in range(m_sub)],
+    )
+    _, coarse_cents = staged[0]
     nprobe = min(nprobe, len(coarse_cents))
-
-    # --- stage 2: per-subspace codebooks (k-row collects each) ---
-    codebooks = []  # codebooks[s] = list of k_codes centroids (sub_d floats)
-    for s in range(m_sub):
-        sub = uc.select(
-            "id", F.slice(F.col("u"), s * sub_d + 1, sub_d).alias("u")
-        )
-        _, cents_s = relational_kmeans_centroids(sub, k_codes)
-        codebooks.append(cents_s)
+    codebooks = [cents_s for _, cents_s in staged[1:]]
 
     # Round 14: each subspace's argmin is dedup.kmeans_assign_expr run
     # directly on the vector slice (the helper now accepts a Column).
