@@ -1,7 +1,7 @@
-"""Dump .explain('formatted') for a list of queries to plans/r14/.
+"""Dump .explain('formatted') for a list of queries to plans/r15/.
 
 Usage: PYTHONPATH=. python tools/plan_dump.py <suffix> [name ...]
-Writes plans/r14/<name>_<suffix>.txt. Default name list = the round-14
+Writes plans/r15/<name>_<suffix>.txt. Default name list = the round-14
 optimization candidate set."""
 import sys
 import io
@@ -37,7 +37,7 @@ for name in names:
         sys.stdout = buf
         df.explain("formatted")
         sys.stdout = _stdout
-        with open(f"plans/r14/{name}_{suffix}.txt", "w") as f:
+        with open(f"plans/r15/{name}_{suffix}.txt", "w") as f:
             f.write(buf.getvalue())
         print("dumped", name, flush=True)
     except Exception as e:

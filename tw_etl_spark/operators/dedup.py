@@ -1955,32 +1955,37 @@ def kmeans_dists_expr(cents: list[list[float]], u_col: str = "u") -> Column:
     """array of squared-L2 distances from ``u_col`` to each literal
     centroid, each an index-order fold (engine-reconstructible).
 
-    Round 14: one ``transform`` over a single nested array literal
-    instead of k sibling per-centroid trees.  The old form built k
-    copies of the zip_with/aggregate machinery with k*dim individual
-    ``F.lit`` calls (512 py4j round-trips at k=8, dim=64, ~2 s of plan
-    construction per call site) and an expression tree Catalyst walks
-    k times per consumer; the transform keeps ONE fold body and the
-    centroids ride in as one literal.  Per-centroid arithmetic —
-    zip_with in index order, 0.0-seeded left fold — is unchanged, so
-    every distance is bit-identical and the dd8p/v4p/v7p..v10/dd17/st11
-    oracles are untouched (optimization guide §1.2 step 2).
+    Round 15 (VERDICT r14 #1 — dd8p exonerated the hard way): the
+    round-14 form wrapped the k folds in ONE ``transform`` over a
+    nested literal to cut plan-construction py4j calls, but the
+    interleaved fresh-JVM A/B (tools/ab_dd8p.py) showed it EVALUATES
+    slower — dd8p best walls 13.4-17.5 s (per-centroid trees) vs
+    17.3-19.3 s (transform form) on quiet-probe windows, and the
+    steal-independent JVM CPU metric 33.6-35.7 s vs 36.5-46.0 s: the
+    extra lambda binding + nested element access per row costs ~15-25%
+    CPU in the interpreted HOF path.  This form keeps BOTH properties:
+    per-centroid fold trees (the fast r13 eval shape) with each
+    centroid shipped as one PARSED array literal (k py4j round-trips
+    total instead of k*dim — construction stays milliseconds).
+    Per-centroid arithmetic — zip_with in index order, 0.0-seeded left
+    fold — is unchanged in all three forms, so every distance is
+    bit-identical and the dd8p/v4p/v7p..v10/dd17/st11 oracles are
+    untouched (optimization guide §1.2 step 2).
 
     ``u_col`` may be a column name or an arbitrary array Column (the
     v6p product-quantization subspaces pass vector slices directly)."""
-    from tw_etl_spark.functions.vectors import nested_double_array_lit
+    from tw_etl_spark.functions.vectors import double_array_lit
 
     u = F.col(u_col) if isinstance(u_col, str) else u_col
-    # one parsed py4j round-trip for the whole k*dim table; classic
-    # F.lit(list) would expand to one call per element (ADVICE r14)
-    table = nested_double_array_lit(cents)
-    return F.transform(
-        table,
-        lambda c: F.aggregate(
-            F.zip_with(u, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ),
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(u, double_array_lit(c), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            for c in cents
+        ]
     )
 
 
