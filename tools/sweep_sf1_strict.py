@@ -68,6 +68,8 @@ SF1_EXTRAS: tuple[str, ...] = (
     "x11_bloom_decontaminate",
     "x14_importance_resample",
     "t8_tfidf_top_terms",
+    # round-15 rotated-out window member (keeps its sf1 coverage)
+    "v12_retrieval_eval",
 )
 
 
